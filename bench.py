@@ -1,0 +1,84 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with per-query wall seconds.
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver) — the number measures the engine, not result
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "top_eps_report",
+    "sessionize",
+    "asof_join",
+    "tumbling_window",
+    "exact_dedup",
+    "minhash_lsh",
+    "text_stats",
+    "knn_brute",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+    from spotify_podcasts_airflow_batch_spark.session import get_spark
+
+    registry = all_queries()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths so per-query numbers measure the plan,
+    # not first-call JIT.
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+    table(spark, sf_dir, "lineitem").count()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        run(q.spark_fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Event-stream analytics (SURVEY.md §2 E1-E2) — batch forms of the
+windowed aggregations the streaming module runs continuously. Window
+starts are computed with explicit epoch arithmetic (not the opaque
+``window()`` struct) so the DuckDB oracle can reproduce them exactly;
+the streaming wrappers in streaming/windows.py share the same helper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+
+def window_start(ts: Column, slide_seconds: int, offset_seconds: int = 0) -> Column:
+    """Epoch-aligned window start: floor(ts/slide)*slide - offset."""
+    e = ts.cast("long")
+    start = (F.floor(e / slide_seconds) * slide_seconds) - offset_seconds
+    return start.cast("timestamp")
+
+
+@register(
+    "tumbling_window",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — 1-hour tumbling windows per event type. Partial (map-side)
+    aggregation makes the shuffle O(windows × types), independent of
+    event volume — the property that matters at 100 TB/day."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            window_start(F.col("ts"), 3600).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    CROSS JOIN (SELECT unnest(range(4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — 1-hour windows sliding every 15 min. Each event belongs to
+    4 windows; the explode is by a constant-4 array (no data-dependent
+    blow-up), aggregation stays partial-aggregatable."""
+    ev = table(spark, sf_dir, "events")
+    exploded = ev.select(
+        "ts", "event_type", "value", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    )
+    start = (
+        (F.floor(F.col("ts").cast("long") / 900) * 900) - F.col("k") * 900
+    ).cast("timestamp")
+    return (
+        exploded.groupBy(start.alias("window_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column and aggregate. get_json_object runs JVM-side (no Python);
+    at scale prefer parsing once with from_json into a struct column."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+            F.max(k.cast("long")).alias("max_k"),
+        )
+    )

@@ -1,0 +1,48 @@
+"""SparkSession builder tuned for the workload.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]``; the same configs
+are what we would ship to a 1000-executor cluster: AQE (runtime
+re-planning + skew-join splitting + partition coalescing), a broadcast
+threshold large enough to cover all dimension tables, and Arrow for any
+Python exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spotify-podcasts-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: coalesce post-shuffle partitions, split skewed ones, and
+        # convert sort-merge joins to broadcast at runtime when a side
+        # turns out small. Essential at 100 TB where static planning
+        # can't see per-key skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dimension tables (region/nation/supplier/part) stay far below
+        # this; broadcasting them removes the shuffle on the fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else max(cpus, 32)),
+        )
+        # 128 MB input splits — the parquet-side knob that keeps scan
+        # tasks right-sized as files grow.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
