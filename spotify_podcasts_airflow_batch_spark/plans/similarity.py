@@ -1,1 +1,93 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity queries over ``embeddings`` (SURVEY.md §2 C8, D1, D2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.functions.vectors import cosine
+from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+)
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+EMBED_DIMS = 64
+NEAR_DUP_TAU = 0.3
+
+
+@register(
+    "embed_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEAR_DUP_TAU}
+    """,
+)
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — embedding-cosine near-duplicate pairs (≥ τ), blocked by
+    label. The block join bounds the pair space; at 100 TB the block
+    key would be an LSH bucket (see knn_lsh) instead of a label —
+    semantics identical, block cardinality tunable."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label"),
+        F.col("embedding").alias("vec_b"),
+    )
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= F.lit(NEAR_DUP_TAU))
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "knn_brute",
+    oracle="""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                            c.vec_id
+               ) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+)
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — exact cosine top-10 for 5 query vectors. The query set is
+    broadcast; the corpus is scanned once and never shuffled."""
+    e = table(spark, sf_dir, "embeddings")
+    return knn_brute_force(
+        corpus=e, queries=e.where(F.col("vec_id") < 5), k=10
+    )
+
+
+@register("ann_lsh", oracle=None)  # rows-only: approximate by design
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — LSH-bucketed approximate top-10 for the same query set.
+    Deterministic hyperplanes → reproducible output; recall properties
+    are asserted in tests/test_similarity.py (exact duplicates always
+    share a bucket)."""
+    e = table(spark, sf_dir, "embeddings")
+    return knn_lsh(
+        corpus=e,
+        queries=e.where(F.col("vec_id") < 5),
+        dims=EMBED_DIMS,
+        k=10,
+    )

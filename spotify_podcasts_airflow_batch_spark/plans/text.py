@@ -1,1 +1,305 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis + dedup queries over ``documents`` (SURVEY.md §2 C1-C7).
+
+Every formula here mirrors functions/text.py / operators/dedup.py
+exactly; the repetitive oracle SQL (60 SimHash bit votes, 16 MinHash
+seeds) is generated so the two sides cannot drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.functions.text import (
+    LANG_STOPWORDS,
+    LANGS,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from spotify_podcasts_airflow_batch_spark.operators.dedup import (
+    NUM_MINHASHES,
+    SIMHASH_BITS,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+# Shared DuckDB fragments (documents.text is never NULL in testdata).
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _hits(words: tuple[str, ...]) -> str:
+    return f"len(list_filter(w, x -> x IN ({_sql_in_list(words)})))"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, length(text) AS n_chars, {_TOKS} AS w,
+               length(replace(regexp_replace(text, '\\s', '', 'g'),'','')) AS _unused,
+               regexp_replace(text, '\\s', '', 'g') AS squeezed
+        FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           n_chars,
+           {_hits(LANG_STOPWORDS["en"])} AS stop_hits,
+           round({_hits(LANG_STOPWORDS["en"])} / len(w), 4) AS stop_ratio,
+           round(CASE WHEN length(squeezed) = 0 THEN 0.0
+                 ELSE length(regexp_replace(squeezed, '[a-z0-9]', '', 'g')) / length(squeezed)
+                 END, 4) AS punct_ratio,
+           round(least(len(w) / 64.0, 1.0)
+                 * (0.5 + 0.5 * least(({_hits(LANG_STOPWORDS["en"])} / len(w)) * 4.0, 1.0))
+                 * (1.0 - CASE WHEN length(squeezed) = 0 THEN 0.0
+                          ELSE length(regexp_replace(squeezed, '[a-z0-9]', '', 'g')) / length(squeezed)
+                          END), 4) AS quality
+    FROM toks
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — token counts, stopword/punctuation ratios, quality score.
+    Pure built-in column expressions: the whole thing is one
+    whole-stage-codegen projection, no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = stopword_hits(toks, LANG_STOPWORDS["en"])
+    n = token_count(F.col("text"))
+    p = punct_ratio(F.col("text"))
+    stop_ratio = hits / n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        hits.alias("stop_hits"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(p, 4).alias("punct_ratio"),
+        F.round(quality_score(n, stop_ratio, p), 4).alias("quality"),
+    )
+
+
+_LANG_CASE_SQL = (
+    "CASE WHEN " + " + ".join(f"h_{lang}" for lang in LANGS) + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN h_{lang} >= greatest({', '.join('h_' + o for o in LANGS[i + 1:])})"
+        f" THEN '{lang}'"
+        if i < len(LANGS) - 1
+        else f"ELSE '{lang}'"
+        for i, lang in enumerate(LANGS)
+    )
+    + " END"
+)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS declared_lang, len(w) AS n_tokens,
+               {", ".join(f"{_hits(LANG_STOPWORDS[lang])} AS h_{lang}" for lang in LANGS)}
+        FROM (SELECT doc_id, lang, {_TOKS} AS w FROM documents)
+    )
+    SELECT doc_id, declared_lang,
+           {_LANG_CASE_SQL} AS pred_lang,
+           round(greatest({", ".join("h_" + lang for lang in LANGS)}) / n_tokens, 4) AS confidence
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — stopword-hit language ID. Ties resolve in LANGS order; zero
+    hits → 'und'. (The synthetic corpus is English-ish word soup, so
+    the interesting property is determinism, not accuracy.)"""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        token_count(F.col("text")).alias("n_tokens"),
+        *[
+            stopword_hits(toks, LANG_STOPWORDS[lang]).alias(f"h_{lang}")
+            for lang in LANGS
+        ],
+    )
+    total = sum(F.col(f"h_{lang}") for lang in LANGS)
+    pred = F.when(total == 0, F.lit("und"))
+    for i, lang in enumerate(LANGS[:-1]):
+        rest = [F.col(f"h_{o}") for o in LANGS[i + 1 :]]
+        rest_max = F.greatest(*rest) if len(rest) > 1 else rest[0]
+        pred = pred.when(F.col(f"h_{lang}") >= rest_max, F.lit(lang))
+    pred = pred.otherwise(F.lit(LANGS[-1]))
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in LANGS])
+    return scored.select(
+        "doc_id",
+        "declared_lang",
+        pred.alias("pred_lang"),
+        F.round(best / F.col("n_tokens"), 4).alias("confidence"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS fingerprint60,
+           n_chars // 256 AS len_bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — content fingerprints: full md5 + the 60-bit integer form +
+    a coarse length bucket (the blocking key other dedup ops reuse)."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import md5_hash60
+    from spotify_podcasts_airflow_batch_spark.operators.dedup import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        md5_hash60(norm).alias("fingerprint60"),
+        F.floor(F.col("n_chars") / 256).cast("long").alias("len_bucket"),
+    )
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS rep_id,
+           count(*)    AS n_dupes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — exact dedup groups: one map-side-combinable hash aggregate
+    on the fingerprint. At 100 TB this is the cheapest possible dedup:
+    shuffle volume is one (hash, id, 1) triple per input row, collapsed
+    map-side."""
+    return exact_dedup_groups(
+        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+
+
+@register(
+    "ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ), shd AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(w[i+1:i+2], ' ') AS shingle
+        FROM toks, UNNEST(range(greatest(len(w) - 1, 0))) AS t(i)
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shd a
+        JOIN shd b ON a.shingle = b.shingle AND a.lang = b.lang
+                  AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c / (ca.n + cb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE c / (ca.n + cb.n - c) >= 0.2
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — word-bigram Jaccard pairs ≥ 0.2, blocked by (lang, source).
+    Pair generation rides the shingle equi-join: the shuffle key is the
+    shingle, so only co-occurring docs ever meet."""
+    return jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_k=2,
+        threshold=0.2,
+    )
+
+
+_MINHASH_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), shd AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+)
+SELECT doc_id, s AS seed,
+       min(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS minhash
+FROM shd, UNNEST(range(%d)) AS u(s)
+GROUP BY doc_id, s
+""" % NUM_MINHASHES
+
+
+@register("minhash_signatures", oracle=_MINHASH_ORACLE)
+def minhash_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6a — MinHash signatures in long form (doc_id, seed, minhash),
+    bit-exact against the oracle's md5 hash family."""
+    sig = minhash_signatures(
+        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(NUM_MINHASHES))
+    return sig.selectExpr(
+        "doc_id",
+        f"stack({NUM_MINHASHES}, {stack_args}) AS (seed, minhash)",
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
+
+
+@register("minhash_lsh", oracle=None)  # rows-only: pair set is the point
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b — LSH candidate pairs (4 bands × 4 rows) with estimated
+    Jaccard. Signature correctness is oracle-checked by C6a; the pair
+    recall floor is asserted in tests/test_dedup.py on planted dups."""
+    sig = minhash_signatures(
+        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    return lsh_candidate_pairs(sig, id_col="doc_id")
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — 60-bit SimHash per document: explode tokens, 60
+    conditional-sum bit votes in one aggregate (map-side combinable),
+    reassemble. Near-dup detection then compares hamming distance on
+    the single long — done downstream by XOR + bit_count."""
+    return simhash(
+        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )

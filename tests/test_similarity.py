@@ -1,0 +1,64 @@
+"""Property tests for similarity search (D2's recall floor — the part
+the oracle can't check because LSH is approximate by design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+    lsh_bucket,
+)
+
+DIMS = 8
+
+
+def _vecs(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        # deterministic points on a few directions + noise-free dups
+        base = [math.sin(0.7 * i + d) for d in range(DIMS)]
+        rows.append((i, [float(x) for x in base]))
+    rows.append((100, rows[7][1]))  # exact duplicate of vec 7
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_identical_vectors_share_bucket(spark):
+    df = _vecs(spark)
+    b = df.select(
+        "vec_id", lsh_bucket(F.col("embedding"), DIMS).alias("bucket")
+    ).collect()
+    buckets = {r.vec_id: r.bucket for r in b}
+    assert buckets[7] == buckets[100]
+    assert all(0 <= v < 256 for v in buckets.values())
+
+
+def test_lsh_finds_exact_duplicate(spark):
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") == 7)
+    res = knn_lsh(df, queries, dims=DIMS, k=5).collect()
+    top = [r.neighbor_id for r in res if r.rank == 1]
+    assert top == [100]  # the planted duplicate is rank 1, cos=1
+    assert res[0].cos_sim == 1.0
+
+
+def test_brute_force_is_exact_reference(spark):
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") == 7)
+    brute = knn_brute_force(df, queries, k=5).collect()
+    assert [r.neighbor_id for r in brute if r.rank == 1] == [100]
+    # LSH results are a subset of the same scoring order
+    lsh = knn_lsh(df, queries, dims=DIMS, k=5).collect()
+    brute_order = [r.neighbor_id for r in brute]
+    lsh_order = [r.neighbor_id for r in lsh]
+    assert [n for n in brute_order if n in set(lsh_order)] == lsh_order
