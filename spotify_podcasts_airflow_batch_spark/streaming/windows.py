@@ -1,0 +1,89 @@
+"""Structured Streaming: the continuous form of the E-series windowed
+aggregates (SURVEY.md §2 E3).
+
+The reference is a daily cron batch (Airflow ``schedule="15 20 * * *"``)
+— its streaming analogue is a file-source stream with event-time
+windows and a watermark bounding state. The aggregation logic is the
+same groupBy the batch query runs; only the source/sink differ. Late
+data within the watermark updates its window; beyond it, state is
+dropped — that bound is what lets this run forever at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # int64 nanos (see sources/readers)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over events parquet files dropped into
+    ``directory`` (the streaming analogue of the reference's daily S3
+    prefix scan). New files are discovered incrementally; each is read
+    exactly once."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_agg(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """1-hour tumbling windows per event_type with a watermark.
+
+    Same measures as the batch `tumbling_window` query; the window()
+    struct is epoch-aligned so ``window.start`` equals the batch
+    query's arithmetic ``window_start`` (session timezone is UTC).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, directory: str, query_name: str = "tumbling"
+):
+    """Drive the stream with availableNow (process-everything-then-stop)
+    into an in-memory sink — the test/bench harness entry point."""
+    agg = streaming_tumbling_agg(read_events_stream(spark, directory))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

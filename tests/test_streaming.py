@@ -1,0 +1,76 @@
+"""E3 — Structured Streaming equals batch on the same input."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_dir):
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    q = run_stream_to_memory(spark, events_dir, query_name="t_stream")
+    q.awaitTermination(120)
+
+    stream_rows = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT window_start, event_type, n_events, total_value, avg_value"
+            " FROM t_stream"
+        ).collect()
+    }
+    batch = all_queries()["tumbling_window"].spark_fn(spark, sf_dir)
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert stream_rows == batch_rows
+
+
+def test_streaming_sessionize_counts(spark, sf_dir, events_dir):
+    from spotify_podcasts_airflow_batch_spark.operators.sessionize import sessionize
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+    from spotify_podcasts_airflow_batch_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        read_events_stream,
+    )
+    from pyspark.sql import functions as F
+
+    stream = streaming_sessionize(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("s_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.n_sessions)
+        for r in spark.sql(
+            "SELECT user_id, n_events, n_sessions FROM s_sessions"
+        ).collect()
+    }
+
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("session_id").alias("s"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.s) for r in batch}
+    assert got == want
