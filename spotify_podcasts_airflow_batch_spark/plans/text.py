@@ -233,18 +233,34 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = r"""
-WITH toks AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-), shd AS (
-    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
-    FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
-)
-SELECT doc_id, s AS seed,
-       min(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS minhash
-FROM shd, UNNEST(range(%d)) AS u(s)
-GROUP BY doc_id, s
-""" % NUM_MINHASHES
+def _minhash_oracle() -> str:
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        oracle_hash31,
+        oracle_universal_hash,
+        universal_family,
+    )
+
+    fam = universal_family(NUM_MINHASHES)
+    arms = " ".join(
+        f"WHEN s = {i} THEN min({oracle_universal_hash('h31', a, b)})"
+        for i, (a, b) in enumerate(fam)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), shd AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+    ), hashed AS (
+        SELECT doc_id, {oracle_hash31('shingle')} AS h31 FROM shd
+    )
+    SELECT doc_id, s AS seed, CASE {arms} END AS minhash
+    FROM hashed, UNNEST(range({NUM_MINHASHES})) AS u(s)
+    GROUP BY doc_id, s
+    """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @register("minhash_signatures", oracle=_MINHASH_ORACLE)
@@ -269,6 +285,10 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(
         table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+    # Both sides of the bucket self-join consume the signatures; persist
+    # so the shingle+hash pipeline runs once, not twice. (At 100 TB the
+    # signature table would be written out and bucketed — same idea.)
+    sig = sig.persist()
     return lsh_candidate_pairs(sig, id_col="doc_id")
 
 

@@ -1,0 +1,72 @@
+"""§5.5 — physical-plan assertions: the plans we'd want at 100 TB,
+not just plans that happen to pass. Catches regressions like filters
+failing to reach the parquet scan or a dimension join falling back to
+sort-merge."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 7 needed columns, not all 11
+    assert "l_orderkey" not in scan_schema and "l_partkey" not in scan_schema
+    assert "l_quantity" in scan_schema and "l_returnflag" in scan_schema
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_enrich_join_is_broadcast_no_shuffle_of_fact(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "enrich_left_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    for name in QUERIES:
+        if name == "knn_brute":
+            continue  # deliberate broadcast nested loop: tiny query set × corpus
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_knn_brute_broadcasts_query_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_brute")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregates_are_partial(spark, sf_dir):
+    # map-side combine: HashAggregate appears ≥2× (partial + final)
+    for name in ["q1_pricing_summary", "daily_snapshot", "tumbling_window"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, name
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE prints the final (codegen-annotated) plan only after execution;
+    # '*(n)' prefixes mark whole-stage-codegen stages.
+    for name in ["q1_pricing_summary", "text_stats", "chart_rank"]:
+        df = QUERIES[name].spark_fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan or "WholeStageCodegen" in plan, name
