@@ -85,6 +85,77 @@ def knn_brute_force(
     )
 
 
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: nearest-centroid cell assignment + probed search.
+
+    Coarse centroids are the first ``n_cells`` corpus vectors by id —
+    deterministic without a training pass (swap in k-means centroids
+    from `label_centroids`-style aggregation for real data). Corpus
+    rows join only the broadcast centroid set (argmax via max_by);
+    queries probe their ``n_probe`` best cells. All joins are
+    broadcast-or-bucket — the corpus never self-joins."""
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec_cent")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "cell_cos", cosine(F.col(vc), F.col("cvec_cent"))
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.round(F.col("cell_cos"), 6).desc(), F.col("cell_id")
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") <= n)
+            .drop("__cr", "cvec_cent", "cell_cos")
+        )
+
+    bc = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "neighbor_id",
+        "cvec",
+        1,
+    )
+    bq = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "query_id",
+        "qvec",
+        n_probe,
+    )
+    scored = (
+        F.broadcast(bq)
+        .join(bc, "cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_raw"), 4).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -78,6 +78,55 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, i AS dim,
+           round(avg(CAST(embedding[i+1] AS DOUBLE)), 4) AS centroid_val,
+           count(*) AS n_vectors
+    FROM embeddings, UNNEST(range(64)) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — element-wise centroid per label in long form
+    (label, dim, avg). posexplode keeps the aggregation partial-
+    combinable: the shuffle carries (label, dim) partial sums, which is
+    how you'd train IVF coarse centroids at 100 TB (one pass,
+    mergeable state)."""
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid_val", "n_vectors")
+    )
+
+
+@register("ivf_ann", oracle=None)  # rows-only: approximate by design
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-ext — IVF-style ANN: 16 deterministic coarse centroids (the
+    first 16 corpus vectors), every vector assigned to its nearest
+    cell, queries probe their top-2 cells and brute-force within.
+    Cell assignment is a broadcast join + max_by aggregate; the probe
+    join key is the cell id — the corpus is never self-joined."""
+    from spotify_podcasts_airflow_batch_spark.operators.similarity import ivf_knn
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        corpus=e,
+        queries=e.where(F.col("vec_id") < 5),
+        n_cells=16,
+        n_probe=2,
+        k=10,
+    )
+
+
 @register("ann_lsh", oracle=None)  # rows-only: approximate by design
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — LSH-bucketed approximate top-10 for the same query set.

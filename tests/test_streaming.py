@@ -38,6 +38,47 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, events_dir):
     assert stream_rows == batch_rows
 
 
+def test_builtin_session_window_matches_batch_sessionize(spark, sf_dir, events_dir):
+    """Spark's built-in session_window (gap-merge) over the stream
+    agrees with the batch lag+cumsum sessionize on session counts
+    (ties at the exact gap boundary are measure-zero with µs data)."""
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.operators.sessionize import sessionize
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id,): r.n
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n FROM sess_win GROUP BY user_id"
+        ).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+        .collect()
+    )
+    want = {(r.user_id,): r.n_sessions for r in batch}
+    assert got == want
+
+
 def test_streaming_sessionize_counts(spark, sf_dir, events_dir):
     from spotify_podcasts_airflow_batch_spark.operators.sessionize import sessionize
     from spotify_podcasts_airflow_batch_spark.sources.readers import table
