@@ -73,12 +73,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure built-in column expressions: the whole thing is one
     whole-stage-codegen projection, no shuffle at all."""
     d = table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # tokens projected once in a separate step — every downstream
+    # reference is a cheap bound column, not a re-inlined regex split.
+    staged = d.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
     hits = stopword_hits(toks, LANG_STOPWORDS["en"])
-    n = token_count(F.col("text"))
+    n = F.size(toks)
     p = punct_ratio(F.col("text"))
     stop_ratio = hits / n
-    return d.select(
+    return staged.select(
         "doc_id",
         n.alias("n_tokens"),
         F.length("text").alias("n_chars"),
@@ -121,11 +126,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits → 'und'. (The synthetic corpus is English-ish word soup, so
     the interesting property is determinism, not accuracy.)"""
     d = table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    scored = d.select(
+    staged = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
+    scored = staged.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
-        token_count(F.col("text")).alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         *[
             stopword_hits(toks, LANG_STOPWORDS[lang]).alias(f"h_{lang}")
             for lang in LANGS
