@@ -62,6 +62,39 @@ def test_aggregates_are_partial(spark, sf_dir):
         assert plan.count("HashAggregate") >= 2, name
 
 
+def test_q8_dims_all_broadcast(spark, sf_dir):
+    # part, supplier, nation×2 (region folds into the n1 semi-filter)
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q19_stays_hash_join(spark, sf_dir):
+    # the OR predicate must NOT degrade the equi-join to a nested loop
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_join")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "unpivot_metrics")
+    assert "Exchange" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    # band-bucket decomposition: hash join on (user, bucket), no
+    # nested loop over the interval predicate
+    plan = plan_of(spark, sf_dir, "range_join")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_shuffle_branch(spark, sf_dir):
+    # supplier dim must broadcast; the existence test reuses the
+    # flagged join rather than re-scanning lineitem through a new join
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE prints the final (codegen-annotated) plan only after execution;
     # '*(n)' prefixes mark whole-stage-codegen stages.
