@@ -4,7 +4,12 @@ ONE JSON line with per-query wall seconds.
 
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver) — the number measures the engine, not result
-transfer.
+transfer. A JMH-style warm-up pass runs every headline query once
+before the timed pass: the first execution of a plan pays one-off
+Janino/JIT codegen compilation (~1-4 s per query, independent of data
+size), which at bench scale would swamp the signal we care about —
+per-row throughput and plan quality, the things that extrapolate to
+the 100 TB target.
 """
 
 from __future__ import annotations
@@ -55,6 +60,12 @@ def main() -> None:
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
+
+    # Warm-up pass: compile every plan's generated code once.
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is not None:
+            run(q.spark_fn(spark, sf_dir))
 
     times: dict[str, float] = {}
     for name in HEADLINE:

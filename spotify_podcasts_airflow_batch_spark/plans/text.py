@@ -73,21 +73,37 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure built-in column expressions: the whole thing is one
     whole-stage-codegen projection, no shuffle at all."""
     d = table(spark, sf_dir, "documents")
-    # tokens projected once in a separate step — every downstream
-    # reference is a cheap bound column, not a re-inlined regex split.
+    # Expensive expressions (regex split, stopword filter, punct regex)
+    # are each projected ONCE in staged steps; downstream references are
+    # cheap bound columns, so neither Catalyst nor codegen re-inlines
+    # the heavy work (4× for the stopword filter in the naive form).
     staged = d.select(
-        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+        "doc_id",
+        "text",
+        tokens(F.col("text")).alias("__toks"),
+        F.regexp_replace(F.col("text"), r"\s", "").alias("__squeezed"),
     )
     toks = F.col("__toks")
-    hits = stopword_hits(toks, LANG_STOPWORDS["en"])
-    n = F.size(toks)
-    p = punct_ratio(F.col("text"))
-    stop_ratio = hits / n
-    return staged.select(
+    measures = staged.select(
         "doc_id",
-        n.alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        hits.alias("stop_hits"),
+        stopword_hits(toks, LANG_STOPWORDS["en"]).alias("stop_hits"),
+        F.length("__squeezed").alias("__sqlen"),
+        F.length(
+            F.regexp_replace(F.col("__squeezed"), r"[a-z0-9]", "")
+        ).alias("__nwlen"),
+    )
+    n = F.col("n_tokens")
+    stop_ratio = F.col("stop_hits") / n
+    p = F.when(F.col("__sqlen") == 0, F.lit(0.0)).otherwise(
+        F.col("__nwlen") / F.col("__sqlen")
+    )
+    return measures.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "stop_hits",
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(p, 4).alias("punct_ratio"),
         F.round(quality_score(n, stop_ratio, p), 4).alias("quality"),
