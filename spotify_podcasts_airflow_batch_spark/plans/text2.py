@@ -1,0 +1,221 @@
+"""Text analysis, part 2 (LLM-training-data pipeline signals): BPE-ish
+regex token counting, winnowing (rolling-hash) fingerprints, corpus
+vocabulary / document frequency, and intra-document repetition — the
+Gopher/C4-style quality measures a 100 TB text pipeline filters on.
+
+All built-in column functions (regexp_extract_all + higher-order array
+ops) — no Python in the hot path; every formula is mirrored by its
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+    MERSENNE_31,
+    md5_hash31,
+)
+from spotify_podcasts_airflow_batch_spark.functions.text import tokens
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+# GPT-2-style pre-tokenizer, simplified to the character classes the
+# corpus contains: letter runs, digit runs, single other glyphs.
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(b)                AS n_bpe_tokens,
+           len(list_distinct(b)) AS n_distinct_bpe,
+           len({_TOKS})          AS n_ws_tokens,
+           round(length(text) / greatest(len(b), 1), 4) AS chars_per_token
+    FROM (
+        SELECT doc_id, text,
+               regexp_extract_all(text, '{_BPE_PATTERN}') AS b
+        FROM documents
+    ) t
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (letter runs / digit runs / single punctuation) versus the
+    whitespace count, plus chars-per-token (the compression-ratio
+    signal used to spot boilerplate/garbage). One codegen projection,
+    no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "text",
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)).alias(
+            "__bpe"
+        ),
+        tokens(F.col("text")).alias("__toks"),
+    )
+    nb = F.size("__bpe")
+    return staged.select(
+        "doc_id",
+        nb.alias("n_bpe_tokens"),
+        F.size(F.array_distinct("__bpe")).alias("n_distinct_bpe"),
+        F.size("__toks").alias("n_ws_tokens"),
+        F.round(F.length("text") / F.greatest(nb, F.lit(1)), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+_WINNOW_K = 3  # tokens per gram
+_WINNOW_W = 4  # grams per winnowing window
+
+
+@register(
+    "winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(w) - {_WINNOW_K - 1}, 0) + 1),
+                              i -> array_to_string(w[i:i + {_WINNOW_K - 1}], ' ')) AS g
+        FROM toks
+    ), hashes AS (
+        SELECT doc_id,
+               list_transform(g, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT
+                                      & {MERSENNE_31}) AS hs
+        FROM grams
+    ), wins AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(range(0, greatest(len(hs) - {_WINNOW_W}, 0) + 1),
+                                  j -> list_aggregate(hs[j + 1:j + {_WINNOW_W}],
+                                                      'min'))) AS fps
+        FROM hashes
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    MOSS): hash every k-token gram, slide a w-gram window, keep each
+    window's minimum, emit the distinct set. The classic 'rolling' hash
+    is an imperative micro-optimization; declaratively each gram hashes
+    independently (same fingerprint set) so the whole thing stays in
+    one codegen projection + explode — no shuffle until a consumer
+    groups by fingerprint. Guarantees a match for any shared run of
+    k+w-1 tokens, the property substring-dedup at corpus scale needs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    n = F.size("__toks")
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            n >= _WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(0), n - _WINNOW_K),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__toks"), i + 1, _WINNOW_K)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    )
+    hashes = grams.select(
+        "doc_id",
+        F.transform(F.col("__grams"), lambda g: md5_hash31(g)).alias("__hs"),
+    )
+    m = F.size("__hs")
+    wins = hashes.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(m - _WINNOW_W, F.lit(0))),
+                lambda j: F.array_min(F.slice(F.col("__hs"), j + 1, _WINNOW_W)),
+            )
+        ).alias("__fps"),
+    )
+    return (
+        wins.select("doc_id", F.explode_outer("__fps").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+    )
+
+
+@register(
+    "token_doc_freq",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT token, count(*) AS doc_freq,
+           round(ln(n_docs / count(*)), 4) AS idf
+    FROM t, n
+    GROUP BY token, n_docs
+    HAVING count(*) >= 10
+    """,
+)
+def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — corpus vocabulary with document frequency + IDF (tokens in
+    ≥10 docs). Distinct-per-doc explode then count: the shuffle key is
+    the token, so hot tokens spread across reducers only as far as
+    map-side partial counts allow — at 100 TB the partial aggregation
+    reduces each (map task, token) to one long before the shuffle. The
+    corpus size joins in as a 1-row broadcast, never a driver round
+    trip."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= 10)
+        .join(n_docs)
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 4).alias("idf"),
+        )
+    )
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), c AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(1 - count(*) / sum(cnt), 4) AS rep_ratio,
+           round(max(cnt) / sum(cnt), 4)     AS top_ratio
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — intra-document repetition (Gopher-style quality signal):
+    duplicate-token ratio and most-frequent-token share. Two hash
+    aggregations keyed by (doc, token) then doc — both map-side
+    combinable, so the shuffled volume is bounded by per-doc vocabulary,
+    not token count."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("cnt"), 4).alias("rep_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_ratio"),
+    )
