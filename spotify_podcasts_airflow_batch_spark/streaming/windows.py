@@ -33,7 +33,9 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream over events parquet files dropped into
     ``directory`` (the streaming analogue of the reference's daily S3
     prefix scan). New files are discovered incrementally; each is read
@@ -41,7 +43,7 @@ def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(directory)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

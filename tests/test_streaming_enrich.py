@@ -1,0 +1,86 @@
+"""Stream-static enrichment join + streaming dedup (at-least-once →
+exactly-once-per-key)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+from spotify_podcasts_airflow_batch_spark.streaming.enrich import (
+    dedup_stream,
+    enrich_stream,
+)
+from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+    read_events_stream,
+)
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def dup_events_dir(tmp_path, sf_dir):
+    """The same events file delivered twice (two micro-batches) — the
+    at-least-once redelivery scenario."""
+    d = tmp_path / "events_dup"
+    d.mkdir()
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+    return str(d)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
+    ev = table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper("event_type"))
+    )
+    stream = enrich_stream(
+        read_events_stream(spark, events_dir), dim, on="event_type", how="left"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(type_label) AS labeled FROM enriched"
+    ).collect()[0]
+    n_batch = ev.count()
+    assert got.n == n_batch
+    assert got.labeled == n_batch  # every event found its dim row
+
+
+def test_streaming_dedup_across_batches(spark, sf_dir, dup_events_dir):
+    stream = dedup_stream(
+        read_events_stream(spark, dup_events_dir, max_files_per_trigger=1),
+        keys=["event_id"],
+        event_time_col="ts",
+        delay="90 days",  # horizon > the 30-day test window: nothing evicted
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM deduped").collect()[0].n
+    want = table(spark, sf_dir, "events").count()  # each event exactly once
+    assert got == want
