@@ -419,10 +419,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole supplier who shipped late on a
     multi-supplier finished order ('late' = >90 days after order date;
     the schema has no receipt/commit dates). The EXISTS / NOT-EXISTS
-    pair is re-expressed as ONE aggregation over the order — distinct
-    suppliers vs distinct late suppliers — then a filter; the oracle
-    keeps the correlated-subquery form to prove equivalence. One
-    shuffle on l_orderkey serves both existence tests."""
+    pair is re-expressed as ONE window pass over the order — distinct
+    suppliers vs distinct late suppliers per l_orderkey partition —
+    then a filter; the oracle keeps the correlated-subquery form to
+    prove equivalence. A single shuffle on l_orderkey serves both
+    existence tests (an aggregate + self-join would shuffle twice and
+    sort-merge; the window reuses one partitioning)."""
+    from pyspark.sql import Window
+
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -433,17 +437,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL '90' DAY"),
     )
-    per_order = flagged.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
+    w = Window.partitionBy("l_orderkey")
+    counted = flagged.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
         ),
     )
     s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
-        flagged.where(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
-        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        counted.where(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
