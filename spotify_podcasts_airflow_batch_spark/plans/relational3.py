@@ -625,6 +625,36 @@ def set_ops_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_summary",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 4)          AS avg_price,
+           round(stddev_samp(l_extendedprice), 4)  AS std_price,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group — stddev / correlation /
+    covariance in one pass. All four are algebraic (mergeable partial
+    states: n, Σx, Σx², Σxy), so map-side partial aggregation applies
+    exactly as for sum/count — one small shuffle at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
     "range_join",
     oracle="""
     SELECT e1.event_id AS event_a, e2.event_id AS event_b,

@@ -127,6 +127,46 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= {NEAR_DUP_TAU}
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), walk(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u
+    )
+    SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+    FROM walk GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — near-duplicate PAIRS → duplicate GROUPS: connected
+    components (min-label propagation, operators/graph.py) over the
+    embed_near_dup edge list. cluster_id = min vec_id in the
+    component, so 'keep the representative' is a trivial
+    ``node == component`` filter. The oracle walks the same graph with
+    a recursive CTE — exact agreement, not just cluster counts."""
+    from spotify_podcasts_airflow_batch_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = embed_near_dup(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
 @register("ann_lsh", oracle=None)  # rows-only: approximate by design
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — LSH-bucketed approximate top-10 for the same query set.
