@@ -384,3 +384,73 @@ def top_eps_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_name",
         )
     )
+
+
+@register(
+    "chart_rank_move",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS chart_date, event_type AS chart,
+               user_id, round(sum(value), 4) AS score
+        FROM events GROUP BY 1, 2, user_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY chart_date, chart
+                   ORDER BY score DESC, user_id) AS rank
+        FROM daily
+    ), moved AS (
+        SELECT *,
+               lag(rank) OVER w AS prev_rank,
+               lag(chart_date) OVER w AS prev_date
+        FROM ranked
+        WINDOW w AS (PARTITION BY chart, user_id ORDER BY chart_date)
+    )
+    SELECT chart_date, chart, user_id, score, rank,
+           CASE WHEN prev_date IS NULL OR prev_date <> chart_date - 1
+                THEN 'NEW'
+                WHEN prev_rank > rank THEN 'UP'
+                WHEN prev_rank < rank THEN 'DOWN'
+                ELSE 'SAME' END AS rank_move
+    FROM moved
+    WHERE rank <= 10
+    """,
+)
+def chart_rank_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — the reference's ``chartRankMove`` field (spotify_eps.py:80)
+    is passed through from the chart API; here it is COMPUTED:
+    UP/DOWN/SAME against yesterday's rank, NEW when the entry wasn't
+    charted the previous day. Two window passes (rank within day,
+    lag within entry) — each one shuffle, both unavoidable; the
+    day-partitioned rank never globally sorts."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("chart_date"),
+            F.col("event_type").alias("chart"),
+            F.col("user_id"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("score"))
+    )
+    w_rank = Window.partitionBy("chart_date", "chart").orderBy(
+        F.col("score").desc(), F.col("user_id")
+    )
+    w_lag = Window.partitionBy("chart", "user_id").orderBy("chart_date")
+    ranked = daily.withColumn("rank", F.row_number().over(w_rank))
+    moved = ranked.withColumn("prev_rank", F.lag("rank").over(w_lag)).withColumn(
+        "prev_date", F.lag("chart_date").over(w_lag)
+    )
+    move = (
+        F.when(
+            F.col("prev_date").isNull()
+            | (F.col("prev_date") != F.date_sub(F.col("chart_date"), 1)),
+            F.lit("NEW"),
+        )
+        .when(F.col("prev_rank") > F.col("rank"), F.lit("UP"))
+        .when(F.col("prev_rank") < F.col("rank"), F.lit("DOWN"))
+        .otherwise(F.lit("SAME"))
+    )
+    return moved.where(F.col("rank") <= 10).select(
+        "chart_date", "chart", "user_id", "score", "rank", move.alias("rank_move")
+    )
