@@ -93,3 +93,56 @@ def frame_sample(decoded: DataFrame, every: int = 2) -> DataFrame:
         "width",
         "height",
     )
+
+
+def resize_plan(decoded: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize geometry — pure JVM arithmetic, NO Python: target dims
+    preserve aspect ratio, capped at ``max_dim`` on the longer side,
+    never upscaled. Only the pixel transform itself would be a Pandas
+    UDF kernel (absent codec → the byte payload is untouched here);
+    computing geometry in the JVM keeps the Python exchange to the one
+    decode pass."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim)
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(
+            F.lit(1), F.round(F.col("width") * scale).cast("int")
+        ).alias("target_width"),
+        F.greatest(
+            F.lit(1), F.round(F.col("height") * scale).cast("int")
+        ).alias("target_height"),
+    )
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(decoded: DataFrame) -> DataFrame:
+    """Feature extraction via a vectorized (Arrow-batched) Pandas UDF:
+    payload bytes → fixed-width float vector. STUB kernel — a byte-
+    value histogram of the thumb, L1-normalized; a real implementation
+    would run a vision/audio encoder over the same batch interface.
+    The batch shape (pd.Series of bytes → pd.Series of list[float])
+    is exactly what an ONNX/torch batch-infer call consumes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def thumb_histogram(thumbs: pd.Series) -> pd.Series:
+        out = []
+        for t in thumbs:
+            arr = np.frombuffer(bytes(t), dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+            total = hist.sum()
+            out.append((hist / total if total else hist).astype("float32"))
+        return pd.Series(out)
+
+    return decoded.select(
+        "doc_id", thumb_histogram(F.col("thumb")).alias("features")
+    )

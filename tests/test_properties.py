@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for operator invariants that
+example-based tests can't pin down: semantics-preservation of the
+salting transform, the winnowing match guarantee, sessionize gap
+counting. Few examples per property (each runs a Spark job), but each
+example is adversarially generated."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=30)
+
+
+@given(left=_keys, right=_keys)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, left, right):
+    """Salting is semantics-free for any key multiset, including heavy
+    skew (all keys equal) and empty sides."""
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left)], "k long, lv long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(right)], "rk long, rv long"
+    )
+    salted = salted_join(
+        ldf, rdf, left_key="k", right_key="rk",
+        salt_source=F.col("lv"), salt_buckets=4,
+    )
+    plain = ldf.join(rdf, ldf.k == rdf.rk)
+    got = sorted((r.k, r.lv, r.rv) for r in salted.collect())
+    want = sorted((r.k, r.lv, r.rv) for r in plain.collect())
+    assert got == want
+
+
+_token = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+
+@given(
+    shared=st.lists(_token, min_size=6, max_size=8),
+    pre_a=st.lists(_token, min_size=0, max_size=5),
+    post_b=st.lists(_token, min_size=0, max_size=5),
+)
+@settings(**SETTINGS)
+def test_winnowing_match_guarantee(spark, shared, pre_a, post_b):
+    """Two documents sharing any run of k+w-1 tokens (k=3, w=4 → 6)
+    MUST share at least one winnowing fingerprint — the guarantee that
+    makes fingerprint-join dedup sound (no false negatives for long
+    overlaps)."""
+    import spotify_podcasts_airflow_batch_spark.plans.text2 as t2
+
+    doc_a = " ".join(pre_a + shared)
+    doc_b = " ".join(shared + post_b)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        fps = t2.winnow_fingerprint(spark, d).collect()
+    a = {r.fingerprint for r in fps if r.doc_id == 0}
+    b = {r.fingerprint for r in fps if r.doc_id == 1}
+    assert a & b, f"no shared fingerprint: {doc_a!r} vs {doc_b!r}"
+
+
+@given(
+    gaps=st.lists(
+        st.one_of(
+            st.integers(min_value=1, max_value=7200),
+            st.just(1800),  # exactly-at-threshold boundary: NOT a new session
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_counts_gap_crossings(spark, gaps):
+    """#sessions per user == 1 + #inter-event gaps strictly above the
+    threshold, for any gap sequence."""
+    import datetime
+
+    from spotify_podcasts_airflow_batch_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    ts, t = [], base
+    for g in gaps:
+        t = t + datetime.timedelta(seconds=g)
+        ts.append(t)
+    df = spark.createDataFrame(
+        [(7, x, i) for i, x in enumerate(ts)], "user_id long, ts timestamp, event_id long"
+    )
+    out = sessionize(df, gap_minutes=30).collect()
+    want = 1 + sum(1 for g in gaps[1:] if g > 1800)
+    assert max(r.session_id for r in out) == want
