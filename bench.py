@@ -22,18 +22,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q8_market_share",
     "q10_returned_items",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+    # reference parity
     "top_eps_report",
+    "chart_rank_move",
+    # events / time
     "sessionize",
     "asof_join",
     "tumbling_window",
+    "range_join",
+    # dedup / text
     "exact_dedup",
     "minhash_lsh",
+    "winnow_fingerprint",
     "text_stats",
+    "token_doc_freq",
+    # similarity
     "knn_brute",
+    "dedup_clusters",
 ]
 
 

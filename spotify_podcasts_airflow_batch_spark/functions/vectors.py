@@ -26,3 +26,24 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalized(df, vec_col: str, out_col: str):
+    """Attach an L2-normalized copy of ``vec_col``.
+
+    The norm is staged as its own column so it is computed ONCE per
+    row — pair-wise cosine after a join then reduces to a plain dot
+    product: O(rows) norm evaluations instead of O(pairs). (Inlining
+    ``x / norm(a)`` inside the transform lambda would re-evaluate the
+    norm per ELEMENT.)"""
+    n = norm(F.col(vec_col))
+    return (
+        df.withColumn("__norm", n)
+        .withColumn(
+            out_col,
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")
+            ),
+        )
+        .drop("__norm")
+    )

@@ -19,7 +19,10 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spotify_podcasts_airflow_batch_spark.functions.vectors import cosine, dot
+from spotify_podcasts_airflow_batch_spark.functions.vectors import (
+    dot,
+    l2_normalized,
+)
 
 NUM_PLANES = 8
 
@@ -56,19 +59,20 @@ def knn_brute_force(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × scan corpus × per-query
     window. Ordering uses round(cos, 6) + id so ranks are reproducible
-    bit-for-bit against the oracle."""
+    bit-for-bit against the oracle. Both sides are L2-normalized once
+    per row, so each of the |Q|×|C| pairs costs one dot product."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        l2_normalized(queries, vec_col, "__nq").select(
+            F.col(id_col).alias("query_id"), F.col("__nq").alias("qvec")
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    c = l2_normalized(corpus, vec_col, "__nc").select(
+        F.col(id_col).alias("neighbor_id"), F.col("__nc").alias("cvec")
     )
     scored = (
         q.crossJoin(c)
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos_raw", dot(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
@@ -103,16 +107,17 @@ def ivf_knn(
     queries probe their ``n_probe`` best cells. All joins are
     broadcast-or-bucket — the corpus never self-joins."""
     cents = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_cells)
+        l2_normalized(corpus.orderBy(id_col).limit(n_cells), vec_col, "__ncent")
         .select(
-            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec_cent")
+            F.col(id_col).alias("cell_id"), F.col("__ncent").alias("cvec_cent")
         )
     )
 
     def assign(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+        # df's vc is already normalized; centroids normalized above →
+        # cell affinity is a dot product
         scored = df.crossJoin(cents).withColumn(
-            "cell_cos", cosine(F.col(vc), F.col("cvec_cent"))
+            "cell_cos", dot(F.col(vc), F.col("cvec_cent"))
         )
         w = Window.partitionBy(idc).orderBy(
             F.round(F.col("cell_cos"), 6).desc(), F.col("cell_id")
@@ -124,13 +129,17 @@ def ivf_knn(
         )
 
     bc = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        l2_normalized(corpus, vec_col, "__nv").select(
+            F.col(id_col).alias("neighbor_id"), F.col("__nv").alias("cvec")
+        ),
         "neighbor_id",
         "cvec",
         1,
     )
     bq = assign(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        l2_normalized(queries, vec_col, "__nv").select(
+            F.col(id_col).alias("query_id"), F.col("__nv").alias("qvec")
+        ),
         "query_id",
         "qvec",
         n_probe,
@@ -139,7 +148,7 @@ def ivf_knn(
         F.broadcast(bq)
         .join(bc, "cell_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos_raw", dot(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
@@ -168,21 +177,21 @@ def knn_lsh(
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine within. Same output shape as brute force;
     recall is a function of `planes` (8 → 256 buckets)."""
-    bq = queries.select(
+    bq = l2_normalized(queries, vec_col, "__nv").select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
+        F.col("__nv").alias("qvec"),
         lsh_bucket(F.col(vec_col), dims, planes).alias("bucket"),
     )
-    bc = corpus.select(
+    bc = l2_normalized(corpus, vec_col, "__nv").select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
+        F.col("__nv").alias("cvec"),
         lsh_bucket(F.col(vec_col), dims, planes).alias("bucket"),
     )
     scored = (
         F.broadcast(bq)
         .join(bc, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos_raw", dot(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")

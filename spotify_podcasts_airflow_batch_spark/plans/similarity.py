@@ -5,7 +5,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spotify_podcasts_airflow_batch_spark.functions.vectors import cosine
+from spotify_podcasts_airflow_batch_spark.functions.vectors import (
+    dot,
+    l2_normalized,
+)
 from spotify_podcasts_airflow_batch_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
@@ -32,19 +35,22 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     label. The block join bounds the pair space; at 100 TB the block
     key would be an LSH bucket (see knn_lsh) instead of a label —
     semantics identical, block cardinality tunable."""
-    e = table(spark, sf_dir, "embeddings")
+    e = l2_normalized(
+        table(spark, sf_dir, "embeddings"), "embedding", "nvec"
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label"),
-        F.col("embedding").alias("vec_a"),
+        F.col("nvec").alias("vec_a"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label"),
-        F.col("embedding").alias("vec_b"),
+        F.col("nvec").alias("vec_b"),
     )
     pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("vec_a"), F.col("vec_b"))
+    # vectors pre-normalized once per row → per-pair work is one dot
+    cos = dot(F.col("vec_a"), F.col("vec_b"))
     return (
         pairs.withColumn("cos_raw", cos)
         .where(F.col("cos_raw") >= F.lit(NEAR_DUP_TAU))
