@@ -28,7 +28,8 @@ def window_start(ts: Column, slide_seconds: int, offset_seconds: int = 0) -> Col
            event_type,
            count(*)             AS n_events,
            round(sum(value), 4) AS total_value,
-           round(avg(value), 4) AS avg_value
+           floor((2 * round(sum(value) * 1000000, 0) + 100 * count(*))
+                 / (2 * 100 * count(*))) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -46,7 +47,24 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # avg at 4 dp via integer micro-units with explicit HALF_UP:
+            # floor((2N + D) / 2D) / 1e4, N = round(sum·1e6), D = 100·n.
+            # Engine round() functions disagree on half-boundary doubles
+            # (Java rounds the shortest decimal repr, DuckDB the exact
+            # binary value; DuckDB decimal division degrades to DOUBLE),
+            # so the only portable formulation keeps every intermediate
+            # an exactly-representable integer-valued double — identical
+            # IEEE ops → identical result on any engine.
+            (
+                F.floor(
+                    (
+                        2 * F.round(F.sum("value") * 1000000, 0)
+                        + 100 * F.count(F.lit(1))
+                    )
+                    / (2 * 100 * F.count(F.lit(1)))
+                )
+                / 10000.0
+            ).alias("avg_value"),
         )
     )
 

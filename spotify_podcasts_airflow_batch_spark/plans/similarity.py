@@ -88,7 +88,7 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroids",
     oracle="""
     SELECT label, i AS dim,
-           round(avg(CAST(embedding[i+1] AS DOUBLE)), 4) AS centroid_val,
+           round(avg(CAST(embedding[i+1] AS DOUBLE)), 4) + 0 AS centroid_val,
            count(*) AS n_vectors
     FROM embeddings, UNNEST(range(64)) AS t(i)
     GROUP BY label, i
@@ -107,7 +107,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", "dim")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_val"),
+            # + 0.0 canonicalizes IEEE -0.0 → +0.0 (an avg of values
+            # summing to a tiny negative rounds to -0.0 on one engine
+            # and +0.0 on the other)
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid_val"
+            ),
             F.count(F.lit(1)).alias("n_vectors"),
         )
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid_val", "n_vectors")

@@ -64,7 +64,18 @@ def streaming_tumbling_agg(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # same integer-micro-unit avg as the batch tumbling_window —
+            # the stream≡batch test compares them row-for-row
+            (
+                F.floor(
+                    (
+                        2 * F.round(F.sum("value") * 1000000, 0)
+                        + 100 * F.count(F.lit(1))
+                    )
+                    / (2 * 100 * F.count(F.lit(1)))
+                )
+                / 10000.0
+            ).alias("avg_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
