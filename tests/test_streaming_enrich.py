@@ -84,3 +84,31 @@ def test_streaming_dedup_across_batches(spark, sf_dir, dup_events_dir):
     got = spark.sql("SELECT count(*) AS n FROM deduped").collect()[0].n
     want = table(spark, sf_dir, "events").count()  # each event exactly once
     assert got == want
+
+
+def test_stream_to_daily_partitions_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """foreachBatch → partitioned parquet: streamed output matches a
+    batch write of the same data, date partitioning included."""
+    from spotify_podcasts_airflow_batch_spark.streaming.sinks import (
+        stream_to_daily_parquet,
+    )
+
+    out = str(tmp_path / "daily_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_daily_parquet(
+        read_events_stream(spark, events_dir), out, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    ev = table(spark, sf_dir, "events")
+    assert got.count() == ev.count()
+    # date partitioning materialized
+    n_dates = got.select("snapshot_date").distinct().count()
+    want_dates = ev.select(F.col("ts").cast("date")).distinct().count()
+    assert n_dates == want_dates
+    # values survive the round trip
+    assert (
+        got.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+        == ev.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+    )
