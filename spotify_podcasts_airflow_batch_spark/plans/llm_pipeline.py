@@ -1,0 +1,473 @@
+"""LLM-training-data pipeline operators, part 3 (SURVEY.md §2 C13-C17,
+D6-D7): reproducible train/val/test splitting, corpus n-gram frequency,
+composite quality filtering, benchmark-contamination checking, sparse
+TF-IDF all-pairs similarity, embedding scalar quantization, and Lloyd
+k-means.
+
+Everything except k-means is mirrored bit-for-bit by a DuckDB oracle;
+the only cross-engine float hazards (ln in IDF) are frozen by rounding
+before any downstream arithmetic. No Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+    md5_hash31,
+    oracle_hash31,
+)
+from spotify_podcasts_airflow_batch_spark.functions.text import (
+    tokens,
+    word_shingles,
+)
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+# ---------------------------------------------------------------- C13
+_SPLIT_HASH = oracle_hash31("'split:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "train_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_SPLIT_HASH} % 100 AS bucket,
+           CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 — deterministic hash-based train/val/test assignment
+    (80/10/10). The split is a pure function of the document id, so it
+    is reproducible across runs, engines, and data re-partitioning —
+    the property a 100 TB corpus split must have (a seeded
+    ``randomSplit`` changes membership whenever file order changes).
+    One codegen projection, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        md5_hash31(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------- C14
+_NGRAM_MIN_FREQ = 5
+
+
+@register(
+    "ngram_freq",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS w FROM documents),
+    g AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS ngram
+        FROM t
+    )
+    SELECT ngram, count(*) AS freq
+    FROM g GROUP BY ngram HAVING count(*) >= {_NGRAM_MIN_FREQ}
+    """,
+)
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 — corpus bigram frequency table (freq ≥ 5): the vocabulary
+    statistic behind n-gram LMs, contamination screens, and boilerplate
+    detection. Explode then hash-aggregate on the n-gram — map-side
+    partial counts collapse each (task, ngram) to one row before the
+    shuffle, so shuffled volume is bounded by distinct vocabulary, not
+    corpus token count."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("__toks"))
+    n = F.size("__toks")
+    grams = toks.select(
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams")
+    )
+    return (
+        grams.select(F.explode("__grams").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= _NGRAM_MIN_FREQ)
+    )
+
+
+# ---------------------------------------------------------------- C15
+_QF_MIN_TOKENS, _QF_MAX_TOKENS = 30, 1000
+_QF_MIN_MEAN_LEN, _QF_MAX_MEAN_LEN = 3.0, 5.0
+_QF_MIN_DISTINCT = 0.3
+
+
+@register(
+    "quality_filter",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(w) AS n_tokens,
+               list_sum(list_transform(w, x -> length(x))) / len(w)
+                   AS mean_len,
+               len(list_distinct(w)) / len(w) AS distinct_ratio
+        FROM (SELECT doc_id, lang, {_TOKS} AS w FROM documents) t
+        WHERE len(w) > 0
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(mean_len, 4) AS mean_tok_len,
+           round(distinct_ratio, 4) AS distinct_ratio
+    FROM s
+    WHERE n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS}
+      AND mean_len BETWEEN {_QF_MIN_MEAN_LEN} AND {_QF_MAX_MEAN_LEN}
+      AND distinct_ratio >= {_QF_MIN_DISTINCT}
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 — composite Gopher/C4-style quality gate: token count in
+    [30, 1000], mean token length in [3, 5], distinct-token ratio
+    ≥ 0.3. All three signals are exact integer ratios (single IEEE
+    division), so the pass/fail boundary is engine-portable with no
+    rounding tricks. One projection + filter, fully pushed into the
+    scan stage — at 100 TB this is the first, cheapest pass of the
+    pipeline and removes the bulk of the data before any shuffle."""
+    d = table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    n = F.size("__toks")
+    mean_len = (
+        F.aggregate(
+            F.col("__toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        / n
+    )
+    distinct_ratio = F.size(F.array_distinct("__toks")) / n
+    sig = staged.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        mean_len.alias("__mean_len"),
+        distinct_ratio.alias("__distinct"),
+    )
+    return sig.where(
+        F.col("n_tokens").between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
+        & F.col("__mean_len").between(_QF_MIN_MEAN_LEN, _QF_MAX_MEAN_LEN)
+        & (F.col("__distinct") >= _QF_MIN_DISTINCT)
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("__mean_len", 4).alias("mean_tok_len"),
+        F.round("__distinct", 4).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------- C16
+_BENCH_SOURCE = "src0"  # the held-out "benchmark" slice
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1), "
+    "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))"
+)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, unnest({_SHINGLE_SQL}) AS shingle
+        FROM (SELECT doc_id, source, {_TOKS} AS w FROM documents) t
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}'),
+    train AS (SELECT doc_id, shingle FROM sh WHERE source <> '{_BENCH_SOURCE}')
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           count(b.shingle) AS n_contaminated,
+           round(count(b.shingle) / count(*), 4) AS contamination
+    FROM train LEFT JOIN bench b USING (shingle)
+    GROUP BY doc_id
+    HAVING count(b.shingle) >= 1
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 — benchmark-contamination screen: for every training
+    document, the share of its distinct 3-gram shingles that also
+    appear in the held-out benchmark slice (source = src0). The
+    benchmark shingle set is distinct-ed and BROADCAST (benchmarks are
+    MBs even when the corpus is 100 TB), so the scan side never
+    shuffles for the membership probe — the only shuffle is the final
+    per-document aggregate."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
+    )
+    bench = (
+        sh.where(F.col("source") == _BENCH_SOURCE)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = sh.where(F.col("source") != _BENCH_SOURCE)
+    n_cont = F.count("__hit")
+    return (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_cont.alias("n_contaminated"),
+            F.round(n_cont / F.count(F.lit(1)), 4).alias("contamination"),
+        )
+        .where(F.col("n_contaminated") >= 1)
+    )
+
+
+# ---------------------------------------------------------------- C17
+_MAX_DF_RATIO = 0.95  # drop tokens present in > 95% of docs
+_TFIDF_TAU = 0.8
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, lang, tok, count(*) AS tf
+        FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents) t
+        GROUP BY doc_id, lang, tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    kept AS (
+        SELECT tok, round(ln(n_docs / count(*)), 4) AS idf
+        FROM tf, n
+        GROUP BY tok, n_docs
+        HAVING count(*) <= {_MAX_DF_RATIO} * n_docs
+    ),
+    w AS (
+        SELECT doc_id, lang, tf.tok, tf * idf AS weight
+        FROM tf JOIN kept USING (tok)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(weight * weight)) AS nrm
+            FROM w GROUP BY doc_id),
+    wn AS (SELECT w.doc_id, lang, tok, weight / nrm AS wn
+           FROM w JOIN nrm USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(sum(a.wn * b.wn), 4) AS cos_sim
+    FROM wn a JOIN wn b
+      ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING sum(a.wn * b.wn) >= {_TFIDF_TAU}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 — sparse all-pairs TF-IDF cosine similarity (≥ τ) via the
+    posting-list self-join (Elsayed/Lin/Oard 2008): weight = tf ·
+    round(ln(N/df), 4), L2-normalize per doc, join postings on (lang,
+    token), sum products per pair. The IDF is rounded BEFORE any
+    downstream arithmetic so both engines compute from identical
+    doubles (ln differs across libms in the last ulp). At 100 TB the
+    df-cap is the scale lever: dropping tokens in > 95% of documents
+    removes exactly the postings whose self-join blows up (a token in
+    f·N docs contributes (f·N)² pairs); real corpora prune to near-
+    linear pair volume. Shuffles: tf agg, per-doc norm, posting join,
+    pair agg — all map-side combinable or key-partitioned."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    kept = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(n_docs)
+        .where(F.col("df") <= _MAX_DF_RATIO * F.col("n_docs"))
+        .select(
+            "tok",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 4).alias("idf"),
+        )
+    )
+    w = tf.join(F.broadcast(kept), "tok").select(
+        "doc_id", "lang", "tok", (F.col("tf") * F.col("idf")).alias("weight")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
+    )
+    wn = w.join(nrm, "doc_id").select(
+        "doc_id", "lang", "tok", (F.col("weight") / F.col("nrm")).alias("wn")
+    )
+    a = wn.select(
+        F.col("doc_id").alias("id_a"), "lang", "tok", F.col("wn").alias("wa")
+    )
+    b = wn.select(
+        F.col("doc_id").alias("id_b"), "lang", "tok", F.col("wn").alias("wb")
+    )
+    return (
+        a.join(b, ["lang", "tok"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("__cos"))
+        .where(F.col("__cos") >= _TFIDF_TAU)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------- D6
+_EMBED_DIMS = 64
+
+
+@register(
+    "vector_quantize",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim)
+    SELECT vec_id, x.dim,
+           CASE WHEN mx = mn THEN 0
+                ELSE CAST(least(255, floor((v - mn) / (mx - mn) * 256))
+                          AS INT) - 128
+           END AS code
+    FROM x JOIN s USING (dim)
+    """,
+)
+def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — int8 scalar quantization of embeddings against per-dimension
+    global min/max: code = floor((v-mn)/(mx-mn)·256) - 128, clamped to
+    [-128, 127]. Shrinks a float32 embedding store 4× — at 100 TB
+    that's the difference between spilling and an in-memory ANN index.
+    The per-dim stats are ONE wide aggregate (128 min/max expressions,
+    map-side combinable to a single row — no 64× posexplode of the
+    fact table) broadcast back as two literal-sized arrays; the
+    quantization itself is two zip_withs in one codegen projection.
+    Every op is a single IEEE arithmetic step, so codes are bit-equal
+    across engines with no rounding tricks. Output long-form
+    (vec_id, dim, code); dims are 1-based."""
+    e = table(spark, sf_dir, "embeddings")
+    aggs = []
+    for i in range(1, _EMBED_DIMS + 1):
+        v = F.element_at("embedding", i).cast("double")
+        aggs.append(F.min(v).alias(f"mn{i}"))
+        aggs.append(F.max(v).alias(f"mx{i}"))
+    stats = e.agg(*aggs).select(
+        F.array(*[F.col(f"mn{i}") for i in range(1, _EMBED_DIMS + 1)]).alias(
+            "mins"
+        ),
+        F.array(*[F.col(f"mx{i}") for i in range(1, _EMBED_DIMS + 1)]).alias(
+            "maxs"
+        ),
+    )
+    shifted = F.zip_with(
+        "embedding", "mins", lambda x, mn: x.cast("double") - mn
+    )
+    ranges = F.zip_with("maxs", "mins", lambda mx, mn: mx - mn)
+    q = (
+        e.join(F.broadcast(stats))
+        .withColumn("__shift", shifted)
+        .withColumn("__rng", ranges)
+        .withColumn(
+            "__codes",
+            F.zip_with(
+                "__shift",
+                "__rng",
+                lambda s, r: F.when(r == 0, F.lit(0)).otherwise(
+                    F.least(F.lit(255), F.floor(s / r * 256)).cast("int")
+                    - 128
+                ),
+            ),
+        )
+    )
+    return q.select(
+        "vec_id", F.posexplode("__codes").alias("dim", "code")
+    ).select("vec_id", (F.col("dim") + 1).alias("dim"), "code")
+
+
+# ---------------------------------------------------------------- D7
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+@register("kmeans_lloyd", oracle=None)  # rows-only: float argmin ties
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — Lloyd's k-means, k=8, 2 iterations, deterministic seeding
+    (the 8 lowest vec_ids). Each iteration: broadcast the k centroids
+    against the corpus (k rows — never a real shuffle), take the
+    arg-min cluster per vector via min(struct(dist, cluster)), then
+    recompute centroids as one wide per-cluster aggregate (128 avg
+    expressions, map-side combinable — no posexplode of the corpus).
+    Per iteration exactly ONE fact-table shuffle (the k-row centroid
+    aggregate); assignment itself is map-only. At 1000 executors the
+    centroid table stays KBs regardless of corpus size — the classic
+    mergeable-summary shape. Rows-only check: cross-engine float
+    argmin ties make a SQL oracle fragile; determinism within the
+    engine is asserted in tests instead."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    from pyspark.sql import Window
+
+    w8 = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .select(
+            (F.row_number().over(w8) - 1).alias("cluster"),
+            F.col("vec").alias("cvec"),
+        )
+    )
+    assigned = None
+    for _ in range(_KMEANS_ITERS):
+        d2 = F.aggregate(
+            F.zip_with("vec", "cvec", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            e.join(F.broadcast(cents))
+            .withColumn("__d2", d2)
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("__d2"), F.col("cluster"))).alias("__m"),
+                F.first("vec").alias("vec"),
+            )
+            .select(
+                "vec_id",
+                F.col("__m.cluster").alias("cluster"),
+                F.col("__m.__d2").alias("__d2"),
+                "vec",
+            )
+        )
+        cent_aggs = [
+            F.avg(F.element_at("vec", i)).alias(f"c{i}")
+            for i in range(1, _EMBED_DIMS + 1)
+        ]
+        cents = (
+            assigned.groupBy("cluster")
+            .agg(*cent_aggs)
+            .select(
+                "cluster",
+                F.array(
+                    *[F.col(f"c{i}") for i in range(1, _EMBED_DIMS + 1)]
+                ).alias("cvec"),
+            )
+        )
+    return assigned.select(
+        "vec_id", "cluster", F.round(F.sqrt("__d2"), 4).alias("dist")
+    )
