@@ -305,11 +305,22 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tf.join(F.broadcast(kept), "tok").select(
         "doc_id", "lang", "tok", (F.col("tf") * F.col("idf")).alias("weight")
     )
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
-    )
-    wn = w.join(nrm, "doc_id").select(
-        "doc_id", "lang", "tok", (F.col("weight") / F.col("nrm")).alias("wn")
+    # per-doc norm as a WINDOW over the postings, not groupBy + join
+    # back: a join-back would fork the lineage and recompute the whole
+    # tokenize+tf subtree per branch (AQE exchange reuse is best-effort,
+    # not guaranteed) — the window keeps ONE lineage and the same
+    # doc_id shuffle the join would have needed anyway.
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id")
+    wn = w.select(
+        "doc_id",
+        "lang",
+        "tok",
+        (
+            F.col("weight")
+            / F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(wdoc))
+        ).alias("wn"),
     )
     a = wn.select(
         F.col("doc_id").alias("id_a"), "lang", "tok", F.col("wn").alias("wa")
