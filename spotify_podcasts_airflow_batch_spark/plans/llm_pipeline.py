@@ -338,6 +338,74 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- C18
+_PACK_BUDGET = 2048  # tokens per packed sequence
+_PACK_SHARDS = 16
+_PACK_HASH = oracle_hash31("'pack:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               {_PACK_HASH} % {_PACK_SHARDS} AS shard,
+               len({_TOKS}) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           cum_before // {_PACK_BUDGET} AS bin,
+           cum_before % {_PACK_BUDGET} AS "offset"
+    FROM c
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 — context-window sequence packing: documents are laid out
+    end-to-end in deterministic order (doc_id) and assigned the
+    2048-token bin their start offset falls in — the streaming-pack
+    approximation every pretraining data loader uses. Packing is
+    inherently sequential, so parallelism comes from SHARDING first: a
+    hash shard per (lang, shard) keeps 100 TB packable with one
+    window shuffle and no global order; each shard packs
+    independently, exactly how a 1000-executor run would write 1000
+    independent sequence files. Integer arithmetic only — bit-equal
+    across engines."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (
+            md5_hash31(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+            % _PACK_SHARDS
+        ).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).alias("bin"),
+        (F.col("cum_before") % _PACK_BUDGET).alias("offset"),
+    )
+
+
 # ---------------------------------------------------------------- D6
 _EMBED_DIMS = 64
 
