@@ -77,6 +77,30 @@ def test_kmeans_deterministic_and_partitioned(spark, sf_dir):
     assert len(a) == n_vecs
 
 
+def test_sequence_pack_invariants(spark, sf_dir):
+    from spotify_podcasts_airflow_batch_spark.plans.llm_pipeline import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        sequence_pack,
+    )
+
+    rows = sequence_pack(spark, sf_dir).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < _PACK_SHARDS
+        assert 0 <= r.offset < _PACK_BUDGET
+        by_shard.setdefault((r.lang, r.shard), []).append(r)
+    for group in by_shard.values():
+        group.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in group:
+            # bin/offset are exactly the start-offset layout
+            assert r.bin == cum // _PACK_BUDGET
+            assert r.offset == cum % _PACK_BUDGET
+            cum += r.n_tokens
+
+
 def test_tfidf_pairs_symmetric_bounds(spark, sf_dir):
     rows = tfidf_cosine_pairs(spark, sf_dir).collect()
     for r in rows:
