@@ -406,6 +406,84 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- C19
+# per-source keep rates, cycled by the numeric source suffix: the
+# "data mixture" a pretraining run specifies (wiki 4 epochs, web 0.1
+# epochs, ...) expressed as deterministic per-document sampling.
+_MIX_RATES = (1.0, 0.5, 0.25, 0.1)
+_MIX_HASH = oracle_hash31("'mix:' || CAST(doc_id AS VARCHAR)")
+_MIX_RATE_SQL = (
+    "CASE CAST(substr(source, 4) AS INT) % 4 "
+    + " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(_MIX_RATES)
+    )
+    + " END"
+)
+
+
+@register(
+    "source_mixture",
+    oracle=f"""
+    SELECT doc_id, source, CAST({_MIX_RATE_SQL} AS DOUBLE) AS rate
+    FROM documents
+    WHERE {_MIX_HASH} % 10000 < {_MIX_RATE_SQL} * 10000
+    """,
+)
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 — deterministic data-mixture sampling: each source gets a
+    target keep-rate (cycled 1.0/0.5/0.25/0.1 by source index) and a
+    document survives iff hash(doc_id) mod 10000 falls under
+    rate·10000. Membership is a pure function of (doc_id, source) —
+    reproducible across runs, engines, partitionings, and additive
+    under rate changes (raising a rate only ADDS documents, the
+    property epoch-weight sweeps need). Map-only: no shuffle, filter
+    runs inside the scan stage."""
+    d = table(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int") % len(_MIX_RATES)
+    rate = F.element_at(F.array(*[F.lit(r) for r in _MIX_RATES]), idx + 1)
+    h = md5_hash31(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("rate", rate)
+        .where((h % 10000) < F.col("rate") * 10000)
+        .select("doc_id", "source", "rate")
+    )
+
+
+# ---------------------------------------------------------------- C20
+@register(
+    "text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                          ' +', ' ', 'g') AS norm_text,
+           length(text) AS n_chars_raw,
+           length(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                                 ' +', ' ', 'g')) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 — canonical text normalization (lowercase, strip
+    non-alphanumerics, collapse runs of spaces): the preprocessing pass
+    fingerprinting/dedup keys on, as one codegen projection. At 100 TB
+    this runs fused with the scan — normalization never justifies its
+    own pass over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
+        ),
+        r" +",
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
 # ---------------------------------------------------------------- D6
 _EMBED_DIMS = 64
 
