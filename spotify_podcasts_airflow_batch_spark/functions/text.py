@@ -69,3 +69,39 @@ def quality_score(n_toks: Column, stop_ratio: Column, p_ratio: Column) -> Column
     length_credit = F.least(n_toks / F.lit(64.0), F.lit(1.0))
     stop_credit = F.least(stop_ratio * 4.0, F.lit(1.0))
     return length_credit * (0.5 + 0.5 * stop_credit) * (1.0 - p_ratio)
+
+
+# --- PII redaction ----------------------------------------------------
+#
+# The C4/RefinedWeb-style scrub pass: regex families for emails, IPv4
+# addresses, and US-style phone numbers, applied in a fixed order so
+# Spark (Java regex) and the DuckDB oracle (RE2) produce identical
+# output. Patterns deliberately stay inside the syntax subset the two
+# engines share: character classes, bounded repetition, and \b word
+# boundaries — no backreferences, no lookaround.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-family match counts, measured on the RAW text (before any
+    replacement, so families never see each other's tokens)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace every PII match with its family token, families applied
+    in PII_PATTERNS order (email → ip → phone, so the IP pass cannot
+    consume digit runs the phone pass should see, and vice versa is
+    impossible by construction)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -19,6 +19,9 @@ from spotify_podcasts_airflow_batch_spark.functions.hashing import (
     oracle_hash31,
 )
 from spotify_podcasts_airflow_batch_spark.functions.text import (
+    PII_PATTERNS,
+    pii_counts,
+    pii_scrub,
     tokens,
     word_shingles,
 )
@@ -481,6 +484,122 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length("text").alias("n_chars_raw"),
         F.length(norm).alias("n_chars_norm"),
+    )
+
+
+# ---------------------------------------------------------------- C21
+# Segment-level duplicate statistics (the MassiveText "duplicate line
+# fraction" quality signal, re-keyed to fixed k-token segments because
+# the synthetic corpus has no line structure). A segment's identity is
+# its full md5 — a 31/60-bit key would collide at 100 TB segment
+# cardinality and silently merge distinct segments.
+_SEG_K = 8
+
+
+@register(
+    "dup_segments",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    s AS (
+        SELECT doc_id,
+               md5(array_to_string(w[CAST(i * {_SEG_K} + 1 AS INT) :
+                                     CAST(i * {_SEG_K} + {_SEG_K} AS INT)],
+                                   ' ')) AS seg_h
+        FROM t,
+             unnest(range(0, CAST(ceil(len(w) / {_SEG_K}.0) AS BIGINT))) AS u(i)
+    ),
+    c AS (SELECT doc_id, count(*) OVER (PARTITION BY seg_h) AS cnt FROM s)
+    SELECT doc_id,
+           count(*) AS n_segs,
+           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_segs,
+           CAST(floor(10000.0 * sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                      / count(*)) AS INT) AS dup_frac_bp
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 — per-document duplicate-segment fraction: chop each doc
+    into consecutive 8-token segments, count corpus-wide occurrences of
+    each segment, report the fraction (basis points) of a doc's
+    segments that appear elsewhere too. This is MassiveText's
+    duplicate-line-fraction filter generalized to token windows.
+    Scale shape: explode is bounded (n_tokens/8 segments per doc), the
+    corpus-wide count is one shuffle on the segment hash (window
+    partition-by ≡ groupBy+join but with no join), and the per-doc
+    re-aggregate is the second and last shuffle. floor(10000·x) rather
+    than round(x, 4): both engines compute the identical IEEE quotient,
+    and floor of the same double is bit-stable where decimal rounding
+    is not."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nseg = F.ceil(F.size(toks) / F.lit(float(_SEG_K))).cast("int")
+    seg_idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        seg_idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i * _SEG_K + 1, _SEG_K)),
+    )
+    from pyspark.sql import Window
+
+    seg = d.select("doc_id", F.explode(segs).alias("seg")).select(
+        "doc_id", F.md5("seg").alias("seg_h")
+    )
+    cnt = F.count("*").over(Window.partitionBy("seg_h"))
+    dup = F.sum((F.col("cnt") > 1).cast("int")).alias("dup_segs")
+    return (
+        seg.withColumn("cnt", cnt)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_segs"), dup)
+        .select(
+            "doc_id",
+            "n_segs",
+            "dup_segs",
+            F.floor(10000.0 * F.col("dup_segs") / F.col("n_segs"))
+            .cast("int")
+            .alias("dup_frac_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C22
+def _pii_oracle_counts() -> str:
+    return ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+
+
+def _pii_oracle_scrub() -> str:
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id, {_pii_oracle_scrub()} AS clean_text,
+           {_pii_oracle_counts()}
+    FROM documents
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 — PII redaction (emails, IPv4, phone numbers → family
+    tokens) plus per-family match counts, the C4/RefinedWeb scrub pass.
+    One codegen projection fused with the scan — redaction never costs
+    its own pass at 100 TB. The synthetic corpus contains no PII (all
+    counts 0, text unchanged) so the oracle here checks the no-op path;
+    the match/replace semantics themselves are pinned by
+    tests/test_pii.py on adversarial literal rows."""
+    d = table(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        pii_scrub(F.col("text")).alias("clean_text"),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
     )
 
 

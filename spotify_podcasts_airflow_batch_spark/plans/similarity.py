@@ -191,3 +191,42 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=EMBED_DIMS,
         k=10,
     )
+
+
+# ---------------------------------------------------------------- D8
+@register(
+    "embed_dim_stats",
+    oracle="""
+    WITH x AS (
+        SELECT i - 1 AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT dim, count(*) AS n,
+           round(avg(v), 3) + 0 AS mean_v,
+           round(stddev_samp(v), 3) + 0 AS std_v,
+           round(min(v), 6) + 0 AS min_v,
+           round(max(v), 6) + 0 AS max_v
+    FROM x GROUP BY dim
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — per-dimension corpus statistics (mean/std/min/max): the
+    normalization parameters every embedding pipeline computes before
+    whitening, quantization (D6 uses the min/max), or drift monitoring.
+    posexplode fans each vector into (dim, value) — a bounded 64×
+    blow-up — and the per-dim aggregate is algebraic, so Spark
+    map-side-combines to 64 rows per task before the one shuffle.
+    mean/std round to 3dp: cross-engine sums differ in the last ulp
+    because partition order differs; min/max are order-exact so 6dp.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "f")).select(
+        "dim", F.col("f").cast("double").alias("v")
+    )
+    return x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg("v"), 3) + 0).alias("mean_v"),
+        (F.round(F.stddev_samp("v"), 3) + 0).alias("std_v"),
+        (F.round(F.min("v"), 6) + 0).alias("min_v"),
+        (F.round(F.max("v"), 6) + 0).alias("max_v"),
+    )
