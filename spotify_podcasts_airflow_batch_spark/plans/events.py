@@ -126,3 +126,45 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k.cast("long")).alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------- E7
+@register(
+    "click_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS amount
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(c.ts)
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    """,
+)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — click→purchase attribution: every purchase paired with the
+    same user's clicks in the preceding 30 minutes. The SAME logical
+    function (streaming/joins.py click_purchase_attribution) runs as a
+    watermarked stream-stream join in tests/test_streaming_joins.py;
+    here it runs in batch against the DuckDB oracle. Batch plan: both
+    sides hash-join on user_id (one shuffle each), the time-range
+    predicate rides the join as a residual filter — per-user fan-out is
+    bounded by activity in the gap window, never |events|²."""
+    from spotify_podcasts_airflow_batch_spark.streaming.joins import (
+        click_purchase_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = click_purchase_attribution(ev, max_gap="30 minutes")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "amount",
+    )

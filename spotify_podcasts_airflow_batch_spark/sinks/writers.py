@@ -71,3 +71,59 @@ def upload_to_s3(local_path: str, bucket: str, key: str) -> None:
     raise NotImplementedError(
         "write directly to s3a:// paths from Spark on a real cluster"
     )
+
+
+def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """Columnar ORC sink, optionally date-partitioned like the parquet
+    snapshot writer."""
+    w = df.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(
+            partition_col
+        )
+    w.orc(path)
+
+
+def compact_partitions(
+    spark, path: str, out_path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_bytes``. Streaming/backfill sinks accrete many small
+    files per partition; at 100 TB the resulting scan-task explosion
+    (one task per tiny file) and NameNode/object-store listing pressure
+    dominate query time, so compaction is a first-class maintenance op.
+
+    Sizing is derived from the dataset's actual on-disk bytes — not a
+    guessed partition count — and the rewrite uses
+    ``repartition(n)`` (round-robin) so output files are uniform even
+    when the input's partitioning was skewed. Returns the file count
+    written."""
+    import math
+
+    total = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
+        out_path
+    )
+    return len(glob.glob(os.path.join(out_path, "*.parquet")))
+
+
+def write_sorted_layout(
+    df: DataFrame, path: str, order_cols: list[str], files: int
+) -> None:
+    """Range-partitioned, sorted-within-file layout: the write-time
+    clustering that makes parquet min/max row-group stats selective, so
+    later range predicates on ``order_cols`` prune whole files
+    (data-skipping ≍ clustered index). ``repartitionByRange`` samples
+    the key distribution to build balanced ranges — skew-resistant
+    without manual bucketing — and ``sortWithinPartitions`` keeps each
+    file internally ordered for row-group-level skipping."""
+    (
+        df.repartitionByRange(files, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

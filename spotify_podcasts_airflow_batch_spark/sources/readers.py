@@ -87,3 +87,14 @@ def list_data_files(root: str, suffix: str = ".parquet") -> list[str]:
         for p in glob.glob(os.path.join(root, "**", f"*{suffix}"), recursive=True)
         if os.path.isfile(p)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan (native, vectorized, predicate-pushdown like parquet).
+    The engine treats parquet and ORC as interchangeable columnar
+    sources — same pruning/pushdown behavior through the DataSource V2
+    path."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

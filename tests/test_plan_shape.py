@@ -103,3 +103,46 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "*(" in plan or "WholeStageCodegen" in plan, name
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """A selective dimension-side filter should inject a runtime bloom
+    filter into the fact scan (Spark's runtime row-level filtering) —
+    at 100 TB this is the difference between shuffling all of lineitem
+    and shuffling only rows whose orderkey can match. The assertion
+    pins that our session/config keeps the optimization reachable."""
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # test data is KBs; drop the 10GB "is the fact side big enough
+        # to bother" floor so the rule fires at test scale
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force non-broadcast so the runtime filter has a shuffle to save
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan or "might_contain" in plan, plan[:2000]
+        assert j.collect()[0]["qty"] > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -109,3 +109,61 @@ def test_partition_overwrite_is_surgical(spark, sf_dir, tmp_path):
     assert after.where(F.col("snapshot_date") == pick).count() == 5
     other = after.where(F.col("snapshot_date") != pick).count()
     assert other == total_before - ev.where(F.col("snapshot_date") == pick).count()
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from spotify_podcasts_airflow_batch_spark.sinks.writers import write_orc
+    from spotify_podcasts_airflow_batch_spark.sources.readers import read_orc
+
+    c = table(spark, sf_dir, "customer")
+    path = str(tmp_path / "customers_orc")
+    write_orc(c, path)
+    back = read_orc(spark, path)
+    assert back.schema == c.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_compact_partitions(spark, sf_dir, tmp_path):
+    from spotify_podcasts_airflow_batch_spark.sinks.writers import (
+        compact_partitions,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    small = str(tmp_path / "small_files")
+    li.repartition(64).write.parquet(small)  # pathological small files
+    import glob as g
+
+    assert len(g.glob(os.path.join(small, "*.parquet"))) == 64
+    out = str(tmp_path / "compacted")
+    n_files = compact_partitions(spark, small, out, target_file_bytes=64 << 20)
+    assert n_files < 64
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_sorted_layout_enables_file_skipping(spark, sf_dir, tmp_path):
+    """Range-partitioned write → per-file key ranges are disjoint, so
+    a range predicate touches a strict subset of files (what parquet
+    footer min/max pruning does at scale)."""
+    from spotify_podcasts_airflow_batch_spark.sinks.writers import (
+        write_sorted_layout,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select("l_shipdate", "l_orderkey")
+    path = str(tmp_path / "sorted_layout")
+    write_sorted_layout(li, path, ["l_shipdate"], files=8)
+    import glob as g
+
+    files = sorted(g.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) >= 4
+    spans = []
+    for p in files:
+        row = (
+            spark.read.parquet(p)
+            .selectExpr("min(l_shipdate) AS lo", "max(l_shipdate) AS hi")
+            .collect()[0]
+        )
+        spans.append((row["lo"], row["hi"]))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint (or touching) key ranges
+    assert spark.read.parquet(path).count() == li.count()
