@@ -524,13 +524,15 @@ def dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     each segment, report the fraction (basis points) of a doc's
     segments that appear elsewhere too. This is MassiveText's
     duplicate-line-fraction filter generalized to token windows.
-    Scale shape: explode is bounded (n_tokens/8 segments per doc), the
-    corpus-wide count is one shuffle on the segment hash (window
-    partition-by ≡ groupBy+join but with no join), and the per-doc
-    re-aggregate is the second and last shuffle. floor(10000·x) rather
-    than round(x, 4): both engines compute the identical IEEE quotient,
-    and floor of the same double is bit-stable where decimal rounding
-    is not."""
+    Scale shape: explode is bounded (n_tokens/8 segments per doc); the
+    corpus-wide count is groupBy(seg_h) + join-back rather than a
+    count-over-window — groupBy partial-aggregates map-side (a segment
+    duplicated a million times collapses to per-task counts before the
+    shuffle) and the join is AQE-skew-splittable, while a window
+    partition-by would ship every raw segment row to one reducer per
+    hot key with no combine. floor(10000·x) rather than round(x, 4):
+    both engines compute the identical IEEE quotient, and floor of the
+    same double is bit-stable where decimal rounding is not."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     nseg = F.ceil(F.size(toks) / F.lit(float(_SEG_K))).cast("int")
@@ -541,15 +543,13 @@ def dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_idx,
         lambda i: F.concat_ws(" ", F.slice(toks, i * _SEG_K + 1, _SEG_K)),
     )
-    from pyspark.sql import Window
-
     seg = d.select("doc_id", F.explode(segs).alias("seg")).select(
         "doc_id", F.md5("seg").alias("seg_h")
     )
-    cnt = F.count("*").over(Window.partitionBy("seg_h"))
+    counts = seg.groupBy("seg_h").agg(F.count("*").alias("cnt"))
     dup = F.sum((F.col("cnt") > 1).cast("int")).alias("dup_segs")
     return (
-        seg.withColumn("cnt", cnt)
+        seg.join(counts, "seg_h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_segs"), dup)
         .select(
