@@ -747,3 +747,48 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", "cluster", F.round(F.sqrt("__d2"), 4).alias("dist")
     )
+
+
+# ---------------------------------------------------------------- C23
+@register(
+    "token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+    a AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               sum(c * ln(c)) AS clnc
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(n_tokens) - clnc / n_tokens, 4) + 0 AS entropy
+    FROM a
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 — per-document unigram Shannon entropy,
+    H = ln(n) − (Σ c·ln c)/n over within-doc token counts: low entropy
+    flags repetitive/templated/gibberish text that the C12 top-token
+    share misses when repetition spreads over a few tokens. Two
+    map-side-combinable aggregates (token counts per doc, then the
+    per-doc fold); the c·ln(c) form needs one ln per DISTINCT token
+    rather than one per token. ln differs across engines only in the
+    last ulp, smothered by round(4) — the same freeze the C11 IDF
+    uses."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+    )
+    entropy = F.log("n_tokens") - F.col("clnc") / F.col("n_tokens")
+    return a.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.round(entropy, 4) + 0).alias("entropy"),
+    )
