@@ -44,9 +44,19 @@ HEADLINE = [
     "winnow_fingerprint",
     "text_stats",
     "token_doc_freq",
+    # training-data pipeline layer
+    "quality_filter",
+    "dup_segments",
+    "token_entropy",
+    "train_split",
+    "sequence_pack",
+    "contamination_check",
     # similarity
     "knn_brute",
     "dedup_clusters",
+    "embed_dim_stats",
+    # streaming-parity batch form
+    "click_attribution",
 ]
 
 

@@ -213,13 +213,24 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark shingle set is distinct-ed and BROADCAST (benchmarks are
     MBs even when the corpus is 100 TB), so the scan side never
     shuffles for the membership probe — the only shuffle is the final
-    per-document aggregate."""
+    per-document aggregate.
+
+    Plan hygiene (same two points as operators/dedup.py
+    minhash_signatures): tokens() is staged in its OWN projection so
+    word_shingles' O(shingles) references to the token array bind a
+    column instead of re-inlining the regex split (O(tokens²) per doc
+    otherwise — measured 3.3× on this query at sf0.1), and
+    explode_outer avoids InferFiltersFromGenerate re-evaluating the
+    shingle expression three more times as a pre-Generate filter."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
+    toks = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("__toks")
+    )
+    sh = toks.select(
         "doc_id",
         "source",
-        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
-    )
+        F.explode_outer(word_shingles(F.col("__toks"), 3)).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     bench = (
         sh.where(F.col("source") == _BENCH_SOURCE)
         .select("shingle")
