@@ -1,0 +1,39 @@
+"""SURVEY.md §2 ↔ registry consistency: every backticked `query key`
+in the §2 inventory tables must be a registered query, and every
+registered query must appear in §2 — the coverage checklist can never
+drift from the code.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+
+SURVEY = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+
+# §2 table rows look like: | C21 | `dup_segments` | ... |
+ROW = re.compile(r"^\|\s*[A-G]\d+b?\s*\|\s*`([a-z0-9_]+)`\s*\|", re.M)
+
+# rows that are deliberately test-only (no catalog entry)
+TEST_ONLY = {"streaming runtime"}
+
+
+def _survey_keys() -> set[str]:
+    with open(SURVEY) as f:
+        text = f.read()
+    sec2 = text.split("## §2")[1].split("## §3")[0]
+    return set(ROW.findall(sec2))
+
+
+def test_every_survey_key_is_registered():
+    missing = _survey_keys() - set(all_queries())
+    assert not missing, f"SURVEY §2 keys with no registry entry: {missing}"
+
+
+def test_every_registered_query_is_in_survey():
+    undocumented = set(all_queries()) - _survey_keys()
+    assert not undocumented, (
+        f"registered queries missing from SURVEY §2: {undocumented}"
+    )
