@@ -168,3 +168,91 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
         "amount",
     )
+
+
+# ---------------------------------------------------------------- E8
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — ordered funnel (view → click → purchase): users counted at
+    each stage only if the stage's event strictly follows their FIRST
+    qualifying event of the previous stage.
+
+    Spark-first shape: instead of the SQL formulation (three
+    aggregate+join rounds — one corpus shuffle per stage), each user's
+    relevant events are collected and sorted ONCE and a single
+    ``F.aggregate`` fold walks the timeline tracking (t1, t2, t3) —
+    one shuffle total, stage count independent of shuffle count.
+    Per-user state is bounded by that user's event count (filtered to
+    funnel event types before the shuffle); timestamps compare in
+    integer microseconds, the precision both engines share."""
+    steps = ("view", "click", "purchase")
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(*steps)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ).alias("seq")
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("t1"),
+        F.lit(0).cast("long").alias("t2"),
+        F.lit(0).cast("long").alias("t3"),
+    )
+
+    def step(acc, e):
+        t1 = F.when(
+            (acc["t1"] == 0) & (e["et"] == "view"), e["us"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            (acc["t1"] > 0)
+            & (acc["t2"] == 0)
+            & (e["et"] == "click")
+            & (e["us"] > acc["t1"]),
+            e["us"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            (acc["t2"] > 0)
+            & (acc["t3"] == 0)
+            & (e["et"] == "purchase")
+            & (e["us"] > acc["t2"]),
+            e["us"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    walked = per_user.select(
+        F.aggregate("seq", zero, step).alias("w")
+    )
+    return walked.agg(
+        F.sum((F.col("w.t1") > 0).cast("long")).alias("n_view"),
+        F.sum((F.col("w.t2") > 0).cast("long")).alias("n_click"),
+        F.sum((F.col("w.t3") > 0).cast("long")).alias("n_purchase"),
+    )
