@@ -31,3 +31,58 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         F.floor(F.length("payload") / 1024).cast("long").alias("size_bucket_kb"),
     )
+
+
+_DECODE_META_SQL = """
+    SELECT doc_id,
+           'application/octet-stream' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+           CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
+    FROM documents
+"""
+
+
+@register("media_decode", oracle=_DECODE_META_SQL)
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — the Arrow-batched ``mapInPandas`` decode pass, verified
+    END-TO-END against SQL: the stub decoder's metadata is a pure
+    function of the payload bytes, so the oracle recomputes it
+    arithmetically and the hash-match proves the Python exchange
+    (schema, Arrow round-trip, batch iteration) is lossless — the part
+    that stays when the fake kernel is swapped for a real codec. The
+    thumb (binary) column is dropped from the comparison surface;
+    everything else is bit-checked."""
+    from spotify_podcasts_airflow_batch_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    d = attach_media(table(spark, sf_dir, "documents"))
+    return decode_media(d).drop("thumb")
+
+
+@register(
+    "media_frames",
+    oracle=f"""
+    WITH m AS ({_DECODE_META_SQL})
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx,
+           width, height
+    FROM m
+    """,
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — frame sampling (every 2nd frame) downstream of the decode
+    pass: the expansion is a JVM-side posexplode of a generated
+    sequence — Python ran exactly once per payload at decode, never
+    per frame. At 100 TB of video this ordering (decode once, expand
+    JVM-side, push frame-level work back into vectorized kernels) is
+    the difference between one Python exchange and n_frames of them."""
+    from spotify_podcasts_airflow_batch_spark.operators.multimodal import (
+        decode_media,
+        frame_sample,
+    )
+
+    d = attach_media(table(spark, sf_dir, "documents"))
+    return frame_sample(decode_media(d), every=2)
