@@ -701,3 +701,41 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ts2") > F.col("ts1")) & (dt <= band_us))
         .select("event_a", "event_b", "user_id", dt.alias("dt_us"))
     )
+
+
+# ---------------------------------------------------------------- B37
+@register("approx_quantiles", oracle=None)  # rows-only: sketch-approximate
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 — Greenwald-Khanna approximate percentiles per group: the
+    100 TB form of B17 `quantiles` (exact percentile needs a per-group
+    sort; the GK sketch is mergeable, so the shuffle carries
+    fixed-size summaries instead of every value). relativeError=0.001
+    → rank off by ≤ 0.1% of the group. Accuracy vs the exact B17
+    values is asserted in tests/test_sketches.py."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95),"
+        " 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        pct.alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- B38
+@register("heavy_hitters", oracle=None)  # rows-only: sketch-approximate
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38 — frequent items over order priorities (Karp/Misra-Gries
+    single-pass counter sketch, ``df.stat.freqItems``): the 100 TB
+    answer to "which values exceed s share" without a full
+    count-group-rank pass — one scan, mergeable per-partition
+    counters, no shuffle of raw values. Guarantee: every item with
+    true frequency > support is present; false positives are allowed,
+    false negatives are not (containment of the exact answer asserted
+    in tests/test_sketches.py)."""
+    o = table(spark, sf_dir, "orders").select("o_orderpriority")
+    freq = o.stat.freqItems(["o_orderpriority"], support=0.15)
+    return freq.select(
+        F.explode("o_orderpriority_freqItems").alias("frequent_priority")
+    )

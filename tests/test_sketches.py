@@ -1,0 +1,55 @@
+"""Sketch accuracy bounds: the approximate operators (B37/B38) vs
+their exact counterparts on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+QUERIES = all_queries()
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """Each GK estimate must sit within ±1% of the requested rank
+    (accuracy=10000 → ε=1e-4; we assert a much looser 1% rank bound
+    computed against the exact sorted values)."""
+    got = {
+        r["l_returnflag"]: r["price_quantiles"]
+        for r in QUERIES["approx_quantiles"].spark_fn(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    for flag, approx in got.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, est in zip((0.25, 0.5, 0.75, 0.95), approx):
+            # rank of the estimate in the exact ordering
+            lo = sum(1 for v in vals if v < est)
+            hi = sum(1 for v in vals if v <= est)
+            assert lo / n - 0.01 <= q <= hi / n + 0.01, (flag, q, est)
+
+
+def test_heavy_hitters_contain_exact_answer(spark, sf_dir):
+    """Every priority with true share > support (0.15) must appear —
+    the sketch may over-report, never under-report."""
+    got = {
+        r["frequent_priority"]
+        for r in QUERIES["heavy_hitters"].spark_fn(spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    n = o.count()
+    exact = {
+        r["o_orderpriority"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 0.15 * n)
+        .collect()
+    }
+    assert exact, "fixture data must have at least one true heavy hitter"
+    assert exact <= got
