@@ -347,3 +347,79 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(
         table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+
+
+# ---------------------------------------------------------------- C7b
+_HAM_D = 3  # max hamming distance
+_HAM_BLOCKS = _HAM_D + 1  # pigeonhole: ≤3 flipped bits → 1 of 4 blocks intact
+_HAM_BLOCK_BITS = SIMHASH_BITS // _HAM_BLOCKS  # 60/4 = 15
+
+
+@register(
+    "simhash_near_dup",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id
+    ), sh AS (
+        SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM_D}
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7b — SimHash near-duplicate pairs (hamming ≤ 3), the Manku/
+    Jain/Das Sarma WWW'07 web-dedup design, EXACT despite blocking:
+    split the 60-bit fingerprint into 4 15-bit blocks; by pigeonhole a
+    pair differing in ≤ 3 bit positions has at least one block
+    identical, so an equi-join per block finds every qualifying pair
+    (completeness guaranteed, not probabilistic), and an XOR+popcount
+    verifies each candidate. The oracle brute-forces all O(n²) pairs —
+    feasible at test scale only — while the Spark plan's pair space is
+    bounded by per-block bucket sizes, the property that holds at
+    100 TB. Candidates found via several blocks dedupe in the
+    final DISTINCT (bounded: ≤ 4 copies of each true pair)."""
+    sh = simhash(
+        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(
+                    F.col("simhash"), i * _HAM_BLOCK_BITS
+                ).bitwiseAND(F.lit((1 << _HAM_BLOCK_BITS) - 1)).alias("val"),
+            )
+            for i in range(_HAM_BLOCKS)
+        ]
+    )
+    keyed = sh.select(
+        "doc_id", "simhash", F.explode(blocks).alias("b")
+    ).select("doc_id", "simhash", "b.blk", "b.val")
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "blk",
+        "val",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "blk",
+        "val",
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= _HAM_D)
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+    )
