@@ -255,10 +255,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_DF_RATIO = 0.95  # drop tokens present in > 95% of docs
 _TFIDF_TAU = 0.8
 
-
-@register(
-    "tfidf_cosine_pairs",
-    oracle=f"""
+_TFIDF_ORACLE = f"""
     WITH tf AS (
         SELECT doc_id, lang, tok, count(*) AS tf
         FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents) t
@@ -285,20 +282,14 @@ _TFIDF_TAU = 0.8
       ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING sum(a.wn * b.wn) >= {_TFIDF_TAU}
-    """,
-)
-def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C17 — sparse all-pairs TF-IDF cosine similarity (≥ τ) via the
-    posting-list self-join (Elsayed/Lin/Oard 2008): weight = tf ·
-    round(ln(N/df), 4), L2-normalize per doc, join postings on (lang,
-    token), sum products per pair. The IDF is rounded BEFORE any
-    downstream arithmetic so both engines compute from identical
-    doubles (ln differs across libms in the last ulp). At 100 TB the
-    df-cap is the scale lever: dropping tokens in > 95% of documents
-    removes exactly the postings whose self-join blows up (a token in
-    f·N docs contributes (f·N)² pairs); real corpora prune to near-
-    linear pair volume. Shuffles: tf agg, per-doc norm, posting join,
-    pair agg — all map-side combinable or key-partitioned."""
+    """
+
+
+def _tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage of C17/C17b: df-capped, L2-normalized TF-IDF
+    postings (doc_id, lang, tok, wn, df). The IDF is rounded BEFORE
+    any downstream arithmetic so both engines compute from identical
+    doubles (ln differs across libms in the last ulp)."""
     d = table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -313,11 +304,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= _MAX_DF_RATIO * F.col("n_docs"))
         .select(
             "tok",
+            "df",
             F.round(F.log(F.col("n_docs") / F.col("df")), 4).alias("idf"),
         )
     )
     w = tf.join(F.broadcast(kept), "tok").select(
-        "doc_id", "lang", "tok", (F.col("tf") * F.col("idf")).alias("weight")
+        "doc_id", "lang", "tok", "df", (F.col("tf") * F.col("idf")).alias("weight")
     )
     # per-doc norm as a WINDOW over the postings, not groupBy + join
     # back: a join-back would fork the lineage and recompute the whole
@@ -327,15 +319,32 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     wdoc = Window.partitionBy("doc_id")
-    wn = w.select(
+    return w.select(
         "doc_id",
         "lang",
         "tok",
+        "df",
         (
             F.col("weight")
             / F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(wdoc))
         ).alias("wn"),
     )
+
+
+@register("tfidf_cosine_pairs", oracle=_TFIDF_ORACLE)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 — sparse all-pairs TF-IDF cosine similarity (≥ τ) via the
+    posting-list self-join (Elsayed/Lin/Oard 2008): weight = tf ·
+    round(ln(N/df), 4), L2-normalize per doc, join postings on (lang,
+    token), sum products per pair. The IDF is rounded BEFORE any
+    downstream arithmetic so both engines compute from identical
+    doubles (ln differs across libms in the last ulp). At 100 TB the
+    df-cap is the scale lever: dropping tokens in > 95% of documents
+    removes exactly the postings whose self-join blows up (a token in
+    f·N docs contributes (f·N)² pairs); real corpora prune to near-
+    linear pair volume. Shuffles: tf agg, per-doc norm, posting join,
+    pair agg — all map-side combinable or key-partitioned."""
+    wn = _tfidf_postings(spark, sf_dir).drop("df")
     a = wn.select(
         F.col("doc_id").alias("id_a"), "lang", "tok", F.col("wn").alias("wa")
     )
@@ -347,6 +356,81 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("__cos"))
+        .where(F.col("__cos") >= _TFIDF_TAU)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------- C17b
+@register("tfidf_pairs_prefix", oracle=_TFIDF_ORACLE)
+def tfidf_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17b — the SAME all-pairs result as C17 (identical oracle) via
+    prefix filtering (Chaudhuri et al. ICDE'06 / Bayardo et al.
+    WWW'07), the algorithm that actually survives 100 TB:
+
+    - order each doc's postings rare-token-first (df asc);
+    - INDEX only the prefix — postings where the remaining suffix L2 norm
+      (this token onward) is ≥ τ. If every token a pair shares lay in
+      doc a's unindexed suffix, then cos(a,b) ≤ ‖a_suffix‖ < τ — so
+      any qualifying pair must collide on an indexed prefix token
+      (completeness is a theorem, not a probability);
+    - candidates = prefix postings ⋈ full postings on (lang, tok),
+      pair-normalized, deduped;
+    - VERIFY each candidate with the exact dot product over the two
+      docs' weight maps (map_from_entries + one F.aggregate fold —
+      JVM-side, no Python).
+
+    The self-join side shrinks from ALL postings to prefix postings:
+    on real corpora (Zipfian vocabulary) prefixes are the rare tokens,
+    so candidate volume collapses by orders of magnitude, while C17's
+    df-cap alone leaves every mid-frequency token's quadratic bucket
+    intact. On this synthetic ~30-token vocabulary prefixes stay long
+    (every token is frequent), so the win is structural, not local —
+    which is exactly what the equality-to-oracle test pins down."""
+    from pyspark.sql import Window
+
+    wn = _tfidf_postings(spark, sf_dir)
+    # reverse-cumulative suffix norm over rare-first posting order
+    order = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    suffix_sq = F.sum(F.col("wn") * F.col("wn")).over(
+        order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    keyed = wn.withColumn("__suf", F.sqrt(suffix_sq))
+    prefix = keyed.where(F.col("__suf") >= _TFIDF_TAU)
+    full = wn
+    cand = (
+        prefix.select(F.col("doc_id").alias("pid"), "lang", "tok")
+        .join(
+            full.select(F.col("doc_id").alias("fid"), "lang", "tok"),
+            ["lang", "tok"],
+        )
+        .where(F.col("pid") != F.col("fid"))
+        .select(
+            F.least("pid", "fid").alias("id_a"),
+            F.greatest("pid", "fid").alias("id_b"),
+        )
+        .distinct()
+    )
+    docmap = wn.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), F.col("wn")))
+        ).alias("m")
+    )
+    ma = docmap.select(F.col("doc_id").alias("id_a"), F.col("m").alias("ma"))
+    mb = docmap.select(F.col("doc_id").alias("id_b"), F.col("m").alias("mb"))
+    dot = F.aggregate(
+        F.map_entries("ma"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["value"]
+        * F.coalesce(F.element_at(F.col("mb"), e["key"]), F.lit(0.0)),
+    )
+    return (
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .withColumn("__cos", dot)
         .where(F.col("__cos") >= _TFIDF_TAU)
         .select("id_a", "id_b", F.round("__cos", 4).alias("cos_sim"))
     )
