@@ -887,3 +887,48 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         (F.round(entropy, 4) + 0).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------- C24
+_INCR_SOURCE = "src1"  # the "today's ingest" slice
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE source <> '{_INCR_SOURCE}'),
+    today AS (SELECT doc_id, fp FROM fp WHERE source = '{_INCR_SOURCE}')
+    SELECT t.doc_id,
+           CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM today t LEFT JOIN hist h USING (fp)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 — incremental (daily-ingest) dedup: flag each document of
+    today's slice whose normalized content already exists in the
+    historical corpus. This is the shape a production pipeline runs
+    every day — dedup TODAY against ALL-TIME without re-deduping
+    all-time: the new slice is tiny, the history is 100 TB, and only
+    fingerprints shuffle (16 bytes/doc, never text). With the history
+    fingerprint store bucketed on fp (operators/bucketing.py), the
+    probe join is exchange-free on the big side; AQE broadcasts
+    today's side when it fits."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    hist = (
+        fp.where(F.col("source") != _INCR_SOURCE).select("fp").distinct()
+    )
+    today = fp.where(F.col("source") == _INCR_SOURCE)
+    return today.join(
+        hist.withColumn("__hit", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("__hit").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_dup"),
+    )
