@@ -932,3 +932,43 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------- C25
+_SAMPLE_K = 20
+_SAMPLE_HASH = oracle_hash31("'sample:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_sample",
+    oracle=f"""
+    SELECT doc_id, source, rk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {_SAMPLE_HASH}, doc_id) AS rk
+        FROM documents
+    ) t
+    WHERE rk <= {_SAMPLE_K}
+    """,
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 — deterministic fixed-SIZE sample: the k documents with the
+    smallest content-id hash per source (bottom-k / KMV sampling).
+    Complements C19's fixed-RATE mixture: eval sets and debug slices
+    need exactly-k membership that is stable under corpus growth —
+    adding documents can only displace, never reshuffle, and two runs
+    (or two engines) pick the identical k. One window shuffle on
+    source; at 100 TB the per-source top-k would ride a partial
+    bottom-k aggregate (each task keeps k, merge keeps k), which AQE's
+    window-group-limit pushdown already approximates (rank predicate
+    pushed below the sort)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = md5_hash31(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _SAMPLE_K)
+    )
