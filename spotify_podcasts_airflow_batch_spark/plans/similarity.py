@@ -230,3 +230,86 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.min("v"), 6) + 0).alias("min_v"),
         (F.round(F.max("v"), 6) + 0).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------- D9
+_RERANK_DEPTH = 50
+
+
+@register(
+    "ann_hamming_rerank",
+    oracle=f"""
+    WITH thr AS (
+        SELECT i - 1 AS dim,
+               round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 3) AS t
+        FROM embeddings, unnest(range(1, {EMBED_DIMS + 1})) AS u(i)
+        GROUP BY 1
+    ), sig AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN t.dim < 32
+                              AND CAST(e.embedding[CAST(t.dim + 1 AS INT)] AS DOUBLE) > t.t
+                             THEN 1::BIGINT << t.dim ELSE 0 END) AS BIGINT) AS sig_lo,
+               CAST(sum(CASE WHEN t.dim >= 32
+                              AND CAST(e.embedding[CAST(t.dim + 1 AS INT)] AS DOUBLE) > t.t
+                             THEN 1::BIGINT << (t.dim - 32) ELSE 0 END) AS BIGINT) AS sig_hi
+        FROM embeddings e, thr t
+        GROUP BY e.vec_id
+    ), ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.sig_lo, c.sig_lo))
+               + bit_count(xor(q.sig_hi, c.sig_hi)) AS hamming
+        FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ), shortlist AS (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rn
+        FROM ham
+    )
+    SELECT query_id, neighbor_id, hamming, cos_sim, rank FROM (
+        SELECT s.query_id, s.neighbor_id, s.hamming,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]), 6) DESC,
+                            s.neighbor_id
+               ) AS rank
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+        WHERE s.rn <= {_RERANK_DEPTH}
+    ) WHERE rank <= 10
+    """,
+)
+def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — binary-quantized ANN: per-dim-mean sign bits pack each
+    vector into 64 bits; XOR+popcount Hamming shortlists ``_RERANK_DEPTH``
+    candidates per query; exact cosine reranks to top-10. Unlike D2/D4
+    this quantized path is fully deterministic, so the oracle replays it
+    bit-for-bit. Thresholds are a 64-row aggregate collected once and
+    inlined as literals — the same broadcast-tiny-model shape as D7's
+    centroids; everything after is one shuffle-free scan plus two
+    per-query top-k windows."""
+    from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+        knn_hamming_rerank,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    thr_rows = (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 3).alias("t"))
+        .collect()
+    )
+    thresholds = [0.0] * EMBED_DIMS
+    for r in thr_rows:
+        thresholds[r["dim"]] = r["t"]
+    return knn_hamming_rerank(
+        corpus=e,
+        queries=e.where(F.col("vec_id") < 5),
+        thresholds=thresholds,
+        k=10,
+        rerank=_RERANK_DEPTH,
+    )

@@ -62,3 +62,43 @@ def test_brute_force_is_exact_reference(spark):
     brute_order = [r.neighbor_id for r in brute]
     lsh_order = [r.neighbor_id for r in lsh]
     assert [n for n in brute_order if n in set(lsh_order)] == lsh_order
+
+
+def test_hamming_rerank_recall_vs_brute(spark):
+    """D9 recall floor on real data: the quantized shortlist reranked
+    exactly must recover most of the true top-10 (sf0.001 corpus)."""
+    from spotify_podcasts_airflow_batch_spark.plans.similarity import (
+        ann_hamming_rerank,
+        knn_brute,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        (r.query_id, r.neighbor_id) for r in knn_brute(spark, sf).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_hamming_rerank(spark, sf).collect()
+    }
+    assert len(quant) == len(brute)
+    recall = len(quant & brute) / len(brute)
+    assert recall >= 0.5, recall
+
+
+def test_hamming_rerank_planted_duplicate(spark):
+    """An exact duplicate has Hamming distance 0 and cosine 1 — it must
+    survive the prefilter and land at rank 1."""
+    from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+        knn_hamming_rerank,
+    )
+
+    df = _vecs(spark)
+    res = knn_hamming_rerank(
+        df,
+        df.where(F.col("vec_id") == 7),
+        thresholds=[0.0] * DIMS,
+        k=5,
+    ).collect()
+    top = [r for r in res if r.rank == 1]
+    assert [r.neighbor_id for r in top] == [100]
+    assert top[0].hamming == 0 and top[0].cos_sim == 1.0
