@@ -972,3 +972,41 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= _SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------- C26
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT source), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 — ingest-time data-quality profile of the corpus table:
+    per-column row/null/distinct counts + min/max, ONE scan (the
+    oracle's 4-scan UNION ALL is the naive form; Spark's multi-distinct
+    Expand reads the table once). First gate of every pipeline run —
+    schema drift, null regressions, and id-range anomalies surface here
+    before any compute is spent downstream."""
+    from spotify_podcasts_airflow_batch_spark.operators.profile import profile
+
+    return profile(table(spark, sf_dir, "documents"), _PROFILE_COLS)
