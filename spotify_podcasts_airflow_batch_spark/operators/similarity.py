@@ -50,6 +50,60 @@ def lsh_bucket(vec: Column, dims: int, planes: int = NUM_PLANES) -> Column:
     return bucket
 
 
+def blocked_allpairs_cosine(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """All-pairs cosine similarity ≥ ``tau`` within each block, as one
+    shuffle on the block key + a numpy GEMM per block.
+
+    The naive formulation (self-join on the block key, one
+    ``zip_with``/``aggregate`` dot per joined row) evaluates a 64-term
+    fold PER PAIR and allocates the zipped array each time — measured
+    ~6× slower than shipping each block through Arrow once and letting
+    BLAS compute the whole block's Gram matrix (``Xn @ Xn.T``). Pair
+    enumeration never leaves the executor: each task emits only the
+    above-threshold upper-triangle entries.
+
+    Scale story: cost is Σ block² — bounded by the blocking key
+    (label here; an LSH band bucket at 100 TB), not corpus size. A
+    pathological mega-block is per-task O(b²) memory; cap it upstream
+    by sub-bucketing the blocking key before calling this."""
+    import numpy as np
+    import pandas as pd
+
+    def allpairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        G = Xn @ Xn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ia, ib = ids[iu], ids[ju]
+        swap = ia > ib
+        ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+        c = G[iu, ju]
+        m = c >= tau
+        return pd.DataFrame(
+            {"id_a": ia[m], "id_b": ib[m], "cos_sim": np.round(c[m], round_dp)}
+        )
+
+    return (
+        df.select(
+            F.col(block_col).alias("__block"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
+        .groupBy("__block")
+        .applyInPandas(allpairs, schema="id_a long, id_b long, cos_sim double")
+    )
+
+
 def knn_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
