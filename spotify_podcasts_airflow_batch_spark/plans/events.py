@@ -7,7 +7,7 @@ the streaming wrappers in streaming/windows.py share the same helper.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_podcasts_airflow_batch_spark.plans.registry import register
@@ -125,6 +125,174 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
             F.max(k.cast("long")).alias("max_k"),
         )
+    )
+
+
+# ---------------------------------------------------------------- E9
+@register(
+    "gap_fill",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+               count(*) AS n, round(sum(value), 4) AS tv
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(b) AS mn, max(b) AS mx FROM agg GROUP BY 1
+    ), grid AS (
+        SELECT event_type, mn + 3600 * k AS b
+        FROM bounds, unnest(range(CAST((mx - mn) / 3600 + 1 AS BIGINT))) AS t(k)
+    ), j AS (
+        SELECT g.event_type, g.b, coalesce(a.n, 0) AS n_events, a.tv
+        FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b
+    )
+    SELECT CAST(to_timestamp(b) AS TIMESTAMP) AS bucket_start,
+           event_type, n_events,
+           coalesce(tv, 0.0) AS total_value,
+           last_value(tv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM j
+    """,
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — hypertable-style gap-filled rollup: 1-hour buckets per
+    event type, EVERY bucket between each type's first and last
+    emitted (TimescaleDB ``time_bucket_gapfill``), empty buckets
+    filled with zero counts and a last-observation-carried-forward
+    value.
+
+    Spark-first shape: the raw scan aggregates once (map-side partial,
+    shuffle is O(types × buckets)); the dense grid is generated FROM
+    THE AGGREGATE — per-type ``sequence(min, max, step)`` + explode,
+    never a driver loop — and left-joins the sparse buckets. LOCF is
+    ``last(ignorenulls)`` over an unbounded-preceding window, a single
+    pass per type partition. Nothing downstream of the first aggregate
+    touches raw-event volume, so the gap fill costs the same at 100 TB
+    as at 10 MB."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.col("event_type"),
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("tv"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("b"),
+    )
+    j = grid.join(agg, ["event_type", "b"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("b").cast("timestamp").alias("bucket_start"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        F.last("tv", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+# ---------------------------------------------------------------- E10
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+        FROM events
+    ), co AS (
+        SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1
+    )
+    SELECT co.cohort_week, uw.wk - co.cohort_week AS week_offset,
+           count(*) AS n_users
+    FROM uw JOIN co USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — weekly retention cohorts: users grouped by first-activity
+    week, counted in every later week they return. The classic
+    formulation (distinct user-weeks, re-aggregate for cohorts, join
+    back) shuffles the user-week set twice; here one shuffle on
+    user_id produces BOTH the cohort week (min) and the distinct week
+    set (collect_set) in the same aggregate, the offsets explode from
+    the set, and the final cohort-cell aggregate is a plain count —
+    per-user state bounded by distinct active weeks (≤ a few hundred
+    for years of data)."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.floor(F.col("ts").cast("long") / 604800)
+    per_user = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort_week"),
+            F.collect_set("wk").alias("weeks"),
+        )
+    )
+    return (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("wk")
+        )
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------- E11
+@register(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(least(floor((e.value - b.mn) / ((b.mx - b.mn) / 10)), 9) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(e.value), 2) AS bin_min,
+           round(max(e.value), 2) AS bin_max
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 — equi-width 10-bin histogram of ``value`` per event type
+    (the distribution-profiling pass behind data-quality dashboards).
+    Two aggregates over one table: per-type min/max (map-side, tiny)
+    broadcast back onto the scan, then bin assignment is pure
+    arithmetic inside codegen and the bin counts partial-aggregate.
+    Bin boundaries are IEEE-identical on both engines because both
+    compute the same double expression — no rounding in the bin key
+    itself."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = ev.join(F.broadcast(b), "event_type").withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)
+            ),
+            F.lit(9).cast("long"),
+        ),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
     )
 
 
