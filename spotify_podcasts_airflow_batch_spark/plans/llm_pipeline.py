@@ -1023,3 +1023,85 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_podcasts_airflow_batch_spark.operators.profile import profile
 
     return profile(table(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------- C27
+_PMI_MIN_FREQ = 5
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS w FROM documents),
+    uni AS (SELECT unnest(w) AS tok FROM t),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    nu AS (SELECT count(*) AS n FROM uni),
+    g AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM t
+    ),
+    bc AS (SELECT bigram, count(*) AS freq FROM g GROUP BY bigram
+           HAVING count(*) >= {_PMI_MIN_FREQ}),
+    nb AS (SELECT count(*) AS n FROM g)
+    SELECT bc.bigram, bc.freq,
+           round(ln((bc.freq / nb.n)
+                    / ((ua.c / nu.n) * (ub.c / nu.n))), 4) + 0 AS pmi
+    FROM bc, nu, nb
+    JOIN uc ua ON ua.tok = string_split(bc.bigram, ' ')[1]
+    JOIN uc ub ON ub.tok = string_split(bc.bigram, ' ')[2]
+    """,
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 — collocation mining: pointwise mutual information for every
+    corpus bigram with freq ≥ 5 (PMI = ln P(ab) / (P(a)·P(b))), the
+    statistic behind phrase detection (word2vec phrases, boilerplate
+    discovery). Three aggregates over one tokenization: unigram counts,
+    bigram counts, and the two scalar totals; the scalar totals ride a
+    broadcast cross-join, and the frequency-filtered bigram table
+    (small by construction) broadcasts onto the unigram vocabulary
+    twice — the corpus-sized relations are never joined to each other.
+    The PMI expression is written with the IDENTICAL operation order on
+    both engines, so every divide/multiply is bit-equal; ln() may
+    differ in the last ulp, absorbed by round(…, 4)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("__toks"))
+    uni = toks.select(F.explode("__toks").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    n = F.size("__toks")
+    grams = toks.select(
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams")
+    )
+    g = grams.select(F.explode("__grams").alias("bigram"))
+    bc = (
+        g.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= _PMI_MIN_FREQ)
+    )
+    nb = g.agg(F.count(F.lit(1)).alias("n_bi"))
+    withparts = bc.withColumn("a", F.split("bigram", " ")[0]).withColumn(
+        "b", F.split("bigram", " ")[1]
+    )
+    ua = uc.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    j = (
+        F.broadcast(withparts)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.log(
+        (F.col("freq") / F.col("n_bi"))
+        / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+    )
+    return j.select("bigram", "freq", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"))

@@ -454,3 +454,60 @@ def chart_rank_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moved.where(F.col("rank") <= 10).select(
         "chart_date", "chart", "user_id", "score", "rank", move.alias("rank_move")
     )
+
+
+# ---------------------------------------------------------------- A11
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev
+        FROM events
+    ), s AS (
+        SELECT user_id, event_type, us, event_id
+        FROM o WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           us AS valid_from_us,
+           lead(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS valid_to_us
+    FROM s
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — slowly-changing-dimension (type 2) history build: collapse
+    each user's event-type stream into validity intervals
+    [valid_from, valid_to), open interval = NULL valid_to. This is the
+    history-keeping dual of A8 latest_per_key — the reference's
+    daily-updated dataset (kaggle_update_dag.py) keeps only the latest
+    state; SCD2 keeps every state with its lifetime.
+
+    Two stacked windows on the SAME partition key (user_id): the lag
+    marks change rows, the lead over the filtered change rows closes
+    each interval. One shuffle — Spark reuses the partitioning for
+    both windows since key and ordering agree. Timestamps compare in
+    integer microseconds, the precision both engines share."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    o = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    s = o.where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return s.select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+    )
