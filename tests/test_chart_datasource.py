@@ -1,0 +1,71 @@
+"""G — chart-API ingest as a Python DataSource: per-region partitions,
+deterministic stubbed fetch, schema matching the reference's chart
+DataFrame (include/spotify_eps.py:70-88)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.sources.chart_api import (
+    DEFAULT_REGIONS,
+    ChartDataSource,
+)
+
+
+def _load(spark, **opts):
+    spark.dataSource.register(ChartDataSource)
+    r = spark.read.format("spotify_charts")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_one_partition_per_region_and_shape(spark):
+    df = _load(spark, regions="us,gb,de", top_n="50")
+    assert df.rdd.getNumPartitions() == 3
+    assert df.columns == [
+        "date",
+        "rank",
+        "region",
+        "chartRankMove",
+        "episodeUri",
+        "showUri",
+        "episodeName",
+    ]
+    per_region = {
+        r.region: (r.n, r.min_rank, r.max_rank)
+        for r in df.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rank").alias("min_rank"),
+            F.max("rank").alias("max_rank"),
+        )
+        .collect()
+    }
+    assert per_region == {
+        "us": (50, 1, 50),
+        "gb": (50, 1, 50),
+        "de": (50, 1, 50),
+    }
+
+
+def test_deterministic_re_read(spark):
+    a = sorted(map(tuple, _load(spark, regions="us,jp", top_n="20").collect()))
+    b = sorted(map(tuple, _load(spark, regions="us,jp", top_n="20").collect()))
+    assert a == b
+    assert len(a) == 40
+
+
+def test_default_region_list_matches_reference(spark):
+    df = _load(spark, top_n="5")
+    regions = {r.region for r in df.select("region").distinct().collect()}
+    assert regions == set(DEFAULT_REGIONS.split(","))
+    assert df.count() == 22 * 5
+
+
+def test_uris_carry_reference_prefixes(spark):
+    df = _load(spark, regions="us", top_n="10")
+    row = df.where(F.col("rank") == 1).collect()[0]
+    assert row.episodeUri.startswith("spotify:episode:")
+    assert row.showUri.startswith("spotify:show:")
+    assert row.chartRankMove in {"UP", "DOWN", "SAME", "NEW"}
