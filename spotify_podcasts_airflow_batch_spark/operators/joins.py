@@ -74,24 +74,26 @@ def asof_join(
             *[F.col(c) for c in payload_cols],
         )
     )
+    # Deterministic winner among right rows sharing (key, ts): rather
+    # than pre-deduping with a row_number window partitioned by
+    # (key, ts) — a SECOND shuffle+sort of the whole right side — fold
+    # the tiebreak into the one window's sort order. Ascending, so the
+    # frame's LAST right row at the greatest timestamp is the max-
+    # tiebreak one, which is exactly what last(ignorenulls) picks up.
+    order = [F.col("__t"), F.col("__side")]
     if right_tiebreak is not None:
-        # Deterministic winner among right rows sharing (key, ts).
-        w = Window.partitionBy(key, "__t").orderBy(right_tiebreak.desc())
-        rt = (
-            rt.withColumn("__rtb", F.row_number().over(w))
-            .where(F.col("__rtb") == 1)
-            .drop("__rtb")
-        )
+        rt = rt.withColumn("__tb", right_tiebreak)
+        order.append(F.col("__tb").asc_nulls_first())
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
     # right rows (__side=0) sort before left rows at equal timestamps →
     # "<=" as-of semantics.
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = unioned
     for c in payload_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return out.where(F.col("__side") == 1).drop("__side", "__t")
+    return out.where(F.col("__side") == 1).drop("__side", "__t", "__tb")
