@@ -49,10 +49,13 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
-def test_knn_brute_broadcasts_query_side(spark, sf_dir):
+def test_knn_brute_scores_without_any_join(spark, sf_dir):
+    # queries are closed over as a literal matrix; scoring is one
+    # mapInPandas GEMM pass over the corpus scan — no join operator,
+    # no corpus shuffle before the top-k window
     plan = plan_of(spark, sf_dir, "knn_brute")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_aggregates_are_partial(spark, sf_dir):
