@@ -511,3 +511,36 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("us").alias("valid_from_us"),
         F.lead("us").over(w2).alias("valid_to_us"),
     )
+
+
+# ---------------------------------------------------------------- A12
+# rows-only for the driver: the oracle harness pre-registers VIEWS, which
+# hide physical filenames; tests/test_file_inventory.py runs the
+# filename-aware DuckDB equivalent directly against the parquet paths.
+@register("file_inventory", oracle=None)
+def file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — ingest provenance audit via the hidden ``_metadata``
+    column: rows-per-source-file for the tables a daily drop feeds.
+    The reference tracks provenance by S3 key naming convention
+    (spotify_eps_union_dag.py lists keys, trusts the layout); here
+    every row carries its physical origin, so the audit is one
+    aggregate per table and generalizes to "which FILE produced this
+    bad row" debugging at 100 TB — no shuffle beyond the tiny
+    per-file counts, metadata served from the scan itself."""
+    parts = []
+    for tbl in ("documents", "events", "orders"):
+        df = table(spark, sf_dir, tbl)
+        parts.append(
+            df.select(
+                F.lit(tbl).alias("tbl"),
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+)$", 1
+                ).alias("file_name"),
+            )
+            .groupBy("tbl", "file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
