@@ -38,8 +38,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as int64 nanoseconds and we convert with exact integer division to
     microseconds — the same truncation DuckDB applies, so both engines
     see identical values.
+
+    Timestamps without a timezone (isAdjustedToUTC=false) must read as
+    plain TIMESTAMP, not TIMESTAMP_NTZ: with ``inferTimestampNTZ``
+    disabled the stored micros are used directly as epoch micros — the
+    exact value DuckDB's naive timestamp sees — and every downstream
+    ``unix_micros``/``window`` call works on any session. Session
+    timezone is pinned UTC so date extraction from those micros matches
+    the oracle even under a caller-provided SparkSession.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql.types import LongType
 

@@ -21,10 +21,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql.types import TimestampType
+
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # int64 nanos (see sources/readers)
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -39,14 +41,34 @@ def read_events_stream(
     """File-source stream over events parquet files dropped into
     ``directory`` (the streaming analogue of the reference's daily S3
     prefix scan). New files are discovered incrementally; each is read
-    exactly once."""
+    exactly once.
+
+    A file stream needs a declared schema (no inference at start); the
+    one quirk is the event-time column, which historical files may
+    carry as TIMESTAMP(NANOS) — unreadable as a Spark timestamp. A
+    one-file batch sniff decides: nanos files stream as int64 +
+    exact-division to micros, native timestamp files stream as-is.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_is_nanos = isinstance(
+        spark.read.parquet(directory).schema["ts"].dataType, LongType
+    )
+    schema = StructType(
+        [
+            StructField("ts", LongType()) if f.name == "ts" and ts_is_nanos else f
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_tumbling_agg(
