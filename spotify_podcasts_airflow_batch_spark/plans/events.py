@@ -424,3 +424,104 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("w.t2") > 0).cast("long")).alias("n_click"),
         F.sum((F.col("w.t3") > 0).cast("long")).alias("n_purchase"),
     )
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, n
+    FROM (
+        SELECT user_id, event_type, n,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY n DESC, event_type ASC
+               ) AS rn
+        FROM (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+    )
+    WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 — deterministic per-user modal event type (ties broken
+    lexicographically). The count aggregate shrinks the data to
+    |users|×|types| BEFORE the window sort, so the rank pass runs on
+    the reduced relation — at 100 TB the raw scan partial-aggregates
+    map-side and only the small (user,type) table shuffles twice."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+@register(
+    "latest_event_argmax",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts
+    FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def latest_event_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40 — latest event per user as an ALGEBRAIC aggregate
+    (``max_by`` over a (ts, event_id) ordering struct), not a window
+    sort: partial max_by combines map-side, so the shuffle carries one
+    row per user per map task instead of every event — the same
+    motivation as A8 but without any per-partition sort at all. The
+    event_id tiebreak makes it deterministic under equal timestamps."""
+    ev = table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", order_key).alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(e.value - s.mu) > 2 * s.sigma
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 — events whose value sits >2σ from their type's mean.
+
+    Two-pass: a tiny per-type (mu, sigma) aggregate — algebraic, so it
+    partial-aggregates map-side — broadcasts back onto a second scan.
+    A window over event_type would shuffle EVERY row by a low-
+    cardinality (therefore skewed) key; the broadcast join touches no
+    shuffle on the fact side at all."""
+    from pyspark.sql.functions import broadcast
+
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        ev.join(broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
+        .select("event_id", "event_type", "value")
+    )
