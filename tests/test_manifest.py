@@ -1,0 +1,101 @@
+"""G — manifest-based file skipping over clustered parquet layouts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.sinks.manifest import (
+    build_manifest,
+    prune_files,
+    pruned_read,
+    refresh_manifest,
+)
+from spotify_podcasts_airflow_batch_spark.sinks.writers import write_sorted_layout
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+FILES = 8
+
+
+def _layout(spark, sf_dir, tmp_path) -> str:
+    out = str(tmp_path / "orders_sorted")
+    write_sorted_layout(
+        table(spark, sf_dir, "orders"), out, ["o_totalprice"], files=FILES
+    )
+    return out
+
+
+def test_manifest_covers_every_file_and_row(spark, sf_dir, tmp_path):
+    out = _layout(spark, sf_dir, tmp_path)
+    man = build_manifest(spark, out, ["o_totalprice"]).collect()
+    n_files = len(
+        [f for f in os.listdir(out) if f.endswith(".parquet")]
+    )
+    assert len(man) == n_files
+    assert sum(r.n_rows for r in man) == table(spark, sf_dir, "orders").count()
+    for r in man:
+        assert r.min_o_totalprice is not None
+        assert r.min_o_totalprice <= r.max_o_totalprice
+
+
+def test_pruned_scan_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
+    out = _layout(spark, sf_dir, tmp_path)
+    man = build_manifest(spark, out, ["o_totalprice"])
+    full = spark.read.parquet(out)
+    lo, hi = (
+        full.agg(
+            F.expr("percentile(o_totalprice, 0.40)"),
+            F.expr("percentile(o_totalprice, 0.45)"),
+        ).collect()[0]
+    )
+
+    kept = prune_files(man, "o_totalprice", lo, hi)
+    assert 0 < len(kept) < FILES  # range-sorted layout ⇒ real skipping
+
+    pruned = pruned_read(spark, man, "o_totalprice", lo, hi).filter(
+        F.col("o_totalprice").between(lo, hi)
+    )
+    want = full.filter(F.col("o_totalprice").between(lo, hi))
+    got_keys = {r.o_orderkey for r in pruned.select("o_orderkey").collect()}
+    want_keys = {r.o_orderkey for r in want.select("o_orderkey").collect()}
+    assert got_keys == want_keys
+    # the pruned plan genuinely reads fewer files
+    assert set(pruned.inputFiles()) == {f"file://{p}" for p in kept} or set(
+        pruned.inputFiles()
+    ) == set(kept)
+
+
+def test_manifest_prunes_timestamp_ranges(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_date")
+    write_sorted_layout(
+        table(spark, sf_dir, "orders"), out, ["o_orderdate"], files=FILES
+    )
+    man = build_manifest(spark, out, ["o_orderdate"])
+    full = spark.read.parquet(out)
+    lo_ts, hi_ts = full.agg(
+        F.expr("percentile(unix_micros(o_orderdate), 0.10)"),
+        F.expr("percentile(unix_micros(o_orderdate), 0.20)"),
+    ).collect()[0]
+    kept = prune_files(man, "o_orderdate", lo_ts, hi_ts)
+    assert 0 < len(kept) < FILES
+    pruned = pruned_read(spark, man, "o_orderdate", lo_ts, hi_ts).filter(
+        F.unix_micros("o_orderdate").between(lo_ts, hi_ts)
+    )
+    want = full.filter(F.unix_micros("o_orderdate").between(lo_ts, hi_ts))
+    assert pruned.count() == want.count() > 0
+
+
+def test_refresh_manifest_is_incremental_and_idempotent(spark, sf_dir, tmp_path):
+    out = _layout(spark, sf_dir, tmp_path)
+    man_path = str(tmp_path / "manifest")
+    first = refresh_manifest(spark, out, man_path, ["o_totalprice"])
+    n1 = first.count()
+    # no new files → same manifest back, no rewrite needed
+    again = refresh_manifest(spark, out, man_path, ["o_totalprice"])
+    assert again.count() == n1
+    # drop a new file in → exactly one manifest row appears
+    extra = table(spark, sf_dir, "orders").limit(10)
+    extra.coalesce(1).write.mode("append").parquet(out)
+    refreshed = refresh_manifest(spark, out, man_path, ["o_totalprice"])
+    assert refreshed.count() == n1 + 1
