@@ -31,9 +31,14 @@ Usage::
 from __future__ import annotations
 
 import hashlib
-from datetime import date as _date
+from datetime import date as _date, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 # spotify_chart_dag.py:12
 DEFAULT_REGIONS = (
@@ -95,6 +100,66 @@ class ChartReader(DataSourceReader):
         )
 
 
+class _DayRegionPartition(InputPartition):
+    def __init__(self, day: str, region: str):
+        self.day = day
+        self.region = region
+
+
+class ChartStreamReader(DataSourceStreamReader):
+    """Unbounded form of the same source: the reference's daily cron
+    (spotify_chart_dag.py ``schedule="15 20 * * *"``) becomes a
+    microbatch stream whose offset is the number of days ingested.
+
+    Each trigger advances the offset by ``days_per_trigger`` days (the
+    poll), bounded by ``end_date`` so tests terminate; a production
+    deployment drops the bound and the offset chases the calendar.
+    Every (day, region) pair is its own InputPartition — the same
+    22-way fetch parallelism as the batch reader, per batch. Offsets
+    are checkpointed by Spark: a restart resumes from the committed
+    day, giving exactly-once ingest of each daily chart — the property
+    the reference gets from Airflow's idempotent per-day tasks.
+    """
+
+    def __init__(self, options: dict):
+        self.chart = options.get("chart", "top_episodes")
+        self.top_n = int(options.get("top_n", "200"))
+        regions = options.get("regions", DEFAULT_REGIONS)
+        self.regions = [r.strip() for r in regions.split(",") if r.strip()]
+        self.start = _date.fromisoformat(options.get("start_date", "2024-10-22"))
+        end = options.get("end_date")
+        self.total_days = (
+            (_date.fromisoformat(end) - self.start).days + 1 if end else None
+        )
+        self.days_per_trigger = int(options.get("days_per_trigger", "1"))
+        self._cursor = 0
+
+    def initialOffset(self) -> dict:
+        return {"days": 0}
+
+    def latestOffset(self) -> dict:
+        nxt = self._cursor + self.days_per_trigger
+        if self.total_days is not None:
+            nxt = min(nxt, self.total_days)
+        self._cursor = nxt
+        return {"days": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for d in range(start["days"], end["days"]):
+            day = (self.start + timedelta(days=d)).isoformat()
+            parts.extend(_DayRegionPartition(day, r) for r in self.regions)
+        return parts
+
+    def read(self, partition: _DayRegionPartition):
+        yield from _fetch_chart_stub(
+            self.chart, partition.region, partition.day, self.top_n
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ChartDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -105,3 +170,6 @@ class ChartDataSource(DataSource):
 
     def reader(self, schema) -> ChartReader:
         return ChartReader(self.options)
+
+    def streamReader(self, schema) -> ChartStreamReader:
+        return ChartStreamReader(self.options)
