@@ -1,0 +1,82 @@
+"""Snapshot differencing (CDC extraction between table versions).
+
+The reference republishes its consolidated dataset daily
+(kaggle_update_dag.py — each run overwrites the Kaggle version with a
+fresh full snapshot). The dual of "publish a full snapshot" is
+"publish the delta": given yesterday's and today's versions of a keyed
+relation, emit one row per changed key tagged insert/update/delete —
+the change feed a downstream consumer can apply incrementally instead
+of re-reading 100 TB.
+
+Spark-first shape: one full outer shuffle join on the key, null-checks
+classify the op. Both sides partial-aggregate/prune before the join;
+at scale the two snapshots should share a bucketed layout on the key
+(operators/bucketing.py) so the diff is Exchange-free. Value equality
+is null-safe (``<=>``), so NULL→value and value→NULL transitions count
+as updates, not noise.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare: list[str]
+) -> DataFrame:
+    """Diff two versions of a keyed relation.
+
+    Returns ``keys…, op, old_<c>…, new_<c>…`` with one row per key
+    whose presence or compared values changed; unchanged keys are
+    dropped (a change feed carries changes only).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys],
+    )
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = reduce(
+        lambda a, b: a | b, [F.col(f"__ok_{k}").isNotNull() for k in keys]
+    )
+    in_new = reduce(
+        lambda a, b: a | b, [F.col(f"__nk_{k}").isNotNull() for k in keys]
+    )
+    same_vals = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare
+        ],
+        F.lit(True),
+    )
+    op = (
+        F.when(~in_new, F.lit("delete"))
+        .when(~in_old, F.lit("insert"))
+        .when(~same_vals, F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op") != "same")
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "op",
+            *[F.col(f"old_{c}") for c in compare],
+            *[F.col(f"new_{c}") for c in compare],
+        )
+    )

@@ -544,3 +544,153 @@ def file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+    ), b AS (
+        SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CASE WHEN b.user_id IS NULL THEN 'delete'
+                WHEN a.user_id IS NULL THEN 'insert'
+                WHEN a.n_events IS DISTINCT FROM b.n_events
+                     OR a.total_value IS DISTINCT FROM b.total_value
+                     THEN 'update'
+                ELSE 'same' END AS op,
+           a.n_events    AS old_n_events,
+           a.total_value AS old_total_value,
+           b.n_events    AS new_n_events,
+           b.total_value AS new_total_value
+    FROM a FULL JOIN b ON a.user_id = b.user_id
+    WHERE NOT (a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+               AND a.n_events IS NOT DISTINCT FROM b.n_events
+               AND a.total_value IS NOT DISTINCT FROM b.total_value)
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — change-feed extraction between two versions of a keyed
+    relation (operators/cdc.py). The reference republishes its FULL
+    dataset daily (kaggle_update_dag.py); the delta form emits one row
+    per changed key instead. Here the two versions are per-user
+    activity summaries of the first and second half-month — a key can
+    appear (insert), vanish (delete), or change (update). One full
+    outer shuffle join on the key; at 100 TB both snapshots share a
+    bucketed layout so the diff runs Exchange-free."""
+    from spotify_podcasts_airflow_batch_spark.operators.cdc import snapshot_diff
+
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+
+    def snap(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+
+    return snapshot_diff(
+        snap(F.col("ts") < cutoff),
+        snap(F.col("ts") >= cutoff),
+        keys=["user_id"],
+        compare=["n_events", "total_value"],
+    )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orderkey_unique' AS rule,
+           count(*) AS n_checked,
+           count(*) - count(DISTINCT o_orderkey) AS n_violations,
+           count(*) = count(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive', count(*),
+           count(*) FILTER (WHERE o_totalprice <= 0),
+           count(*) FILTER (WHERE o_totalprice <= 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range', count(*),
+           count(*) FILTER (WHERE o_orderdate IS NULL
+                            OR o_orderdate <  TIMESTAMP '1990-01-01'
+                            OR o_orderdate >= TIMESTAMP '2010-01-01'),
+           count(*) FILTER (WHERE o_orderdate IS NULL
+                            OR o_orderdate <  TIMESTAMP '1990-01-01'
+                            OR o_orderdate >= TIMESTAMP '2010-01-01') = 0
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_customer', count(*),
+           count(*) FILTER (WHERE c_custkey IS NULL),
+           count(*) FILTER (WHERE c_custkey IS NULL) = 0
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'acctbal_not_null', count(*),
+           count(*) FILTER (WHERE c_acctbal IS NULL),
+           count(*) FILTER (WHERE c_acctbal IS NULL) = 0
+    FROM customer
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — declarative data-quality gate (Deequ/Great-Expectations
+    shape): each rule is a conditional aggregate, so a table's rules
+    share ONE scan regardless of rule count; the referential-integrity
+    rule is a broadcast left join probed in the same pass. The
+    reference validates post-merge name agreement inline
+    (spotify_eps.py:210-212) — this is that contract, generalized and
+    emitted as a result table a pipeline can gate on."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    def rule_row(df, rule, n_checked, n_violations):
+        return df.select(
+            F.lit(rule).alias("rule"),
+            n_checked.alias("n_checked"),
+            n_violations.alias("n_violations"),
+            (n_violations == 0).alias("passed"),
+        )
+
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("nd"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+        F.sum(
+            (
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("bad_date"),
+    )
+    fk = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("orphans"),
+    )
+    c_agg = customer.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").isNull().cast("long")).alias("nulls"),
+    )
+
+    rows = [
+        rule_row(o_agg, "orderkey_unique", F.col("n"), F.col("n") - F.col("nd")),
+        rule_row(o_agg, "totalprice_positive", F.col("n"), F.col("bad_price")),
+        rule_row(o_agg, "orderdate_in_range", F.col("n"), F.col("bad_date")),
+        rule_row(fk, "custkey_fk_customer", F.col("n"), F.col("orphans")),
+        rule_row(c_agg, "acctbal_not_null", F.col("n"), F.col("nulls")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -423,3 +423,42 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", ham.alias("hamming"))
         .distinct()
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT fingerprint, doc_id AS keep_id, n_dupes
+    FROM (
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               doc_id,
+               count(*)  OVER (PARTITION BY md5(lower(trim(text)))) AS n_dupes,
+               row_number() OVER (
+                   PARTITION BY md5(lower(trim(text)))
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 — dedup keeping the BEST representative, not the first:
+    production corpus dedup keeps the longest/highest-quality copy of
+    each duplicate group (case/whitespace variants collapse under the
+    shared normalization). Where C4 takes min(id), this is an
+    algebraic ``max_by`` over a (quality, -id) ordering struct — still
+    one map-side-combinable aggregate, no window sort, no second pass;
+    the oracle's window formulation is the O(n log n) shape this
+    avoids."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
