@@ -142,6 +142,8 @@ class CorpusPipeline:
     # -- end to end ----------------------------------------------------
 
     def run(self) -> dict:
+        from pyspark.sql import Observation
+
         raw = self.load()
         self.stats["n_input"] = raw.count()
         scrubbed = self.scrub(raw)
@@ -150,12 +152,26 @@ class CorpusPipeline:
         exact = self.exact_dedup(gated)
         self.stats["n_after_exact"] = exact.count()
         near = self.near_dedup(exact)
-        self.stats["n_after_near"] = near.count()
         final = self.split(near)
+        # Final-stage metrics ride the write action itself (observe ≍
+        # accumulators on the CollectMetrics node): total + per-split
+        # counts cost ZERO extra jobs — no post-write read-back scan.
+        # Only the straight-line tail may carry an observe node: the
+        # dedup stages reference their input subtree twice (semi/anti
+        # join + aggregate), and a duplicated observe node would
+        # double-fire its counters.
+        obs = Observation("corpus_write")
+        final = final.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("split") == "train").cast("long")).alias("train"),
+            F.sum((F.col("split") == "val").cast("long")).alias("val"),
+            F.sum((F.col("split") == "test").cast("long")).alias("test"),
+        )
         self.write(final)
-        back = self.spark.read.parquet(self.out_dir)
+        got = obs.get
+        self.stats["n_after_near"] = got["n_total"]
         self.stats["splits"] = {
-            r["split"]: r["n"]
-            for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+            s: got[s] for s in ("train", "val", "test") if got[s] > 0
         }
         return dict(self.stats)

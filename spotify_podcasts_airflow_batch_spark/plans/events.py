@@ -525,3 +525,25 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42 — semi-structured filtering through VariantType (Spark 4):
+    ``parse_json`` shreds the JSON once into the binary variant
+    encoding, ``variant_get`` then extracts typed paths without
+    re-parsing — the scale answer to B36's per-path get_json_object,
+    which re-tokenizes the string for every path touched. At 100 TB
+    the variant column would be materialized at ingest so every
+    downstream path probe is O(shredded access), not O(reparse)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 90)
