@@ -11,7 +11,7 @@ from an at-least-once stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spotify_podcasts_airflow_batch_spark.sinks.writers import (
@@ -39,6 +39,81 @@ def stream_to_daily_parquet(
 
     return (
         stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_upsert_latest(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    buckets: int = 16,
+):
+    """Maintain a compacted CURRENT-STATE table (latest row per key)
+    as the stream flows — the streaming form of A8 latest_per_key and
+    of the reference's daily Kaggle republish (kaggle_update_dag.py),
+    which keeps only each episode's newest record.
+
+    Parquet-native upsert mechanics (no table format available here):
+    the state table is hash-bucketed on the key; each micro-batch
+    reduces to its own latest-per-key delta, touches ONLY the buckets
+    its keys hash into, merges with the existing rows of those buckets,
+    and dynamically overwrites exactly those partitions. Work per batch
+    is O(batch + affected-bucket rows), never O(state). The merged
+    result is localCheckpoint-materialized before the overwrite so the
+    read-modify-write never reads files it is replacing. On Delta/
+    Iceberg the same function body collapses to MERGE INTO; bucketing
+    here plays the role of the format's file-level pruning.
+    """
+    import os
+
+    from pyspark.sql import SparkSession
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = SparkSession.getActiveSession()
+        order = [F.col(ts_col).desc(), F.col(tiebreak_col).desc()]
+        w = Window.partitionBy(key_col).orderBy(*order)
+        delta = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn(
+                "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+            )
+        )
+        touched = [
+            r["__bucket"] for r in delta.select("__bucket").distinct().collect()
+        ]
+        merged = delta
+        if os.path.isdir(out_path) and any(
+            f.startswith("__bucket=") for f in os.listdir(out_path)
+        ):
+            existing = spark.read.parquet(out_path).filter(
+                F.col("__bucket").isin(touched)
+            )
+            merged = (
+                existing.unionByName(delta)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        (
+            merged.localCheckpoint()
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -112,3 +112,52 @@ def test_stream_to_daily_partitions_equals_batch(spark, sf_dir, events_dir, tmp_
         got.agg(F.round(F.sum("value"), 2)).collect()[0][0]
         == ev.agg(F.round(F.sum("value"), 2)).collect()[0][0]
     )
+
+
+def test_stream_upsert_maintains_latest_per_key(spark, sf_dir, tmp_path):
+    """Streaming A8: two micro-batches of interleaved user activity
+    upsert into a bucketed current-state table; the final table equals
+    batch latest-per-key over everything, and only one row per user
+    survives."""
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.operators.ranking import (
+        latest_per_key,
+    )
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+    from spotify_podcasts_airflow_batch_spark.streaming.sinks import (
+        stream_upsert_latest,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # two files → two micro-batches (maxFilesPerTrigger=1); parity split
+    # interleaves users so the second batch must UPDATE bucket rows
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "state")
+    q = stream_upsert_latest(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.user_id: (r.ts, r.event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in latest_per_key(
+            ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == ev.select("user_id").distinct().count()
