@@ -219,3 +219,44 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - F.count(F.lit(1)) / F.sum("cnt"), 4).alias("rep_ratio"),
         F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_ratio"),
     )
+
+
+@register(
+    "doc_chunk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+    ), idx AS (
+        SELECT doc_id, w, unnest(range((len(w) - 1) // 48 + 1)) AS i
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT)                          AS chunk_idx,
+           len(w[i * 48 + 1 : i * 48 + 64])           AS n_tokens,
+           md5(array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_hash
+    FROM idx
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 — context-window chunking: split each document into
+    overlapping 64-token windows with stride 48 (the embed/index unit
+    of a RAG or training pipeline; C18 packs whole docs, this SPLITS
+    long ones). Entirely JVM-side: tokenization once, a sequence of
+    chunk starts exploded, per-chunk slice + hash — no Python, no
+    shuffle at all (pure per-row expansion; Expand/Generate fuses into
+    the scan stage). Output carries the chunk hash, not the text, so
+    the result stays narrow at 100 TB."""
+    W, S = 64, 48
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.floor((F.size("w") - 1) / S)))
+    )
+    chunk = F.slice(F.col("w"), F.col("i") * S + 1, W)
+    return staged.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
