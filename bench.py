@@ -90,14 +90,21 @@ def main() -> None:
         if q is not None:
             run(q.spark_fn(spark, sf_dir))
 
+    # Median of 3 timed passes per query: at sub-second-to-seconds
+    # scale a single pass is dominated by scheduler jitter; the median
+    # is robust to one GC pause without rewarding a lucky cache hit.
     times: dict[str, float] = {}
+    PASSES = 3
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        run(q.spark_fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            run(q.spark_fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[PASSES // 2], 3)
 
     total = round(sum(times.values()), 3)
     print(
