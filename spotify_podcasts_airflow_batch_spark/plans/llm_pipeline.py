@@ -149,16 +149,28 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage — at 100 TB this is the first, cheapest pass of the
     pipeline and removes the bulk of the data before any shuffle."""
     d = table(spark, sf_dir, "documents")
+    # Tokenize ONCE behind a pushdown barrier (the nondeterministic id
+    # column blocks Catalyst from pushing the bound filters beneath
+    # this project and re-running split() per predicate inside the
+    # scan task — with single-row-group inputs that serializes the
+    # whole query). Mean token length avoids the interpreted
+    # higher-order aggregate entirely: sum of token lengths over a
+    # \s+-split IS the non-whitespace character count — one codegen
+    # regex, no per-element lambda.
     staged = d.select(
-        "doc_id", "lang", tokens(F.col("text")).alias("__toks")
-    ).where(F.size("__toks") > 0)
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("__toks"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).alias(
+            "__chars"
+        ),
+        F.monotonically_increasing_id().alias("__bar"),
+    ).where((F.col("__bar") >= 0) & (F.size("__toks") > 0))
+    # __bar ≥ 0 is always true; referencing the nondeterministic column
+    # keeps ColumnPruning from deleting it (an unused barrier is pruned
+    # first, which would re-enable the pushdown this exists to stop).
     n = F.size("__toks")
-    mean_len = (
-        F.aggregate(
-            F.col("__toks"), F.lit(0), lambda acc, x: acc + F.length(x)
-        )
-        / n
-    )
+    mean_len = F.col("__chars") / n
     distinct_ratio = F.size(F.array_distinct("__toks")) / n
     sig = staged.select(
         "doc_id",

@@ -50,11 +50,56 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     from pyspark.sql.types import LongType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in _CPU_HEAVY_TABLES:
+        df = _ensure_scan_parallelism(spark, df, path, _CPU_HEAVY_TABLES[name])
+    return df
+
+
+# documents (regex/shingle/hash pipelines) and embeddings (vector
+# arithmetic) spend far more CPU per row than the scan spends decoding
+# it — for them scan parallelism IS the job's parallelism. The unique
+# id column gives a sort-free hash exchange (round-robin would pay
+# sortBeforeRepartition inside the serial scan task).
+_CPU_HEAVY_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _ensure_scan_parallelism(
+    spark: SparkSession, df: DataFrame, path: str, key: str
+):
+    """Parquet scans parallelize across ROW GROUPS; a file written as
+    one giant row group (pandas/duckdb defaults at small scale) pins
+    every downstream map stage to a single task no matter how many
+    cores exist. When the layout's effective parallelism is below the
+    session's AND the serial work is material, stage one hash
+    repartition on the unique id so CPU-heavy per-row work fans out.
+    At production scale (many files / many row groups) this detects
+    adequate parallelism and no-ops — the check costs one driver-side
+    footer read."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else list_data_files(path)
+        )
+        metas = [pq.ParquetFile(p).metadata for p in files[:64]]
+        groups = sum(m.num_row_groups for m in metas)
+        rows = sum(m.num_rows for m in metas)
+        cores = spark.sparkContext.defaultParallelism
+        # Only pay the exchange when each row group is big enough that
+        # serial evaluation would dominate: below ~16k rows/group the
+        # shuffle costs more than the parallelism returns.
+        if 0 < groups < cores and rows / groups >= 16384:
+            return df.repartition(cores, F.col(key))
+    except Exception:
+        pass
     return df
 
 
