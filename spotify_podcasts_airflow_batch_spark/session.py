@@ -29,9 +29,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Dimension tables (region/nation/supplier/part) stay far below
-        # this; broadcasting them removes the shuffle on the fact side.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # True dimension tables (region/nation/supplier/part) are KBs—
+        # MBs and carry explicit broadcast() hints in the catalog; the
+        # auto threshold only governs UNHINTED relations. Keep it small:
+        # a generous threshold lets a filtered FACT slip under it, and
+        # building a million-entry broadcast hash relation costs more
+        # than the shuffle it avoids — and is impossible at 100 TB,
+        # where that same relation is TBs. 8 MB ≈ "would still be
+        # broadcastable on a 1000-executor cluster".
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions else max(cpus, 32)),
