@@ -80,3 +80,25 @@ def snapshot_diff(
             *[F.col(f"new_{c}") for c in compare],
         )
     )
+
+
+def apply_diff(
+    old: DataFrame, diff: DataFrame, keys: list[str], compare: list[str]
+) -> DataFrame:
+    """Apply a change feed back onto a snapshot: the consumer-side dual
+    of :func:`snapshot_diff`. ``apply_diff(old, snapshot_diff(old, new))
+    == new`` — the invariant tests/test_cdc.py asserts on arbitrary
+    inputs.
+
+    Plan shape: one left anti join drops deleted/updated keys from the
+    base, then the feed's insert/update images union in. Both sides
+    partition on the key, so on bucketed layouts this is Exchange-free
+    — the same property the diff side has.
+    """
+    changed_keys = diff.select(*[F.col(k) for k in keys])
+    kept = old.join(changed_keys, keys, "left_anti")
+    upserts = diff.filter(F.col("op") != "delete").select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"new_{c}").alias(c) for c in compare],
+    )
+    return kept.unionByName(upserts)

@@ -30,3 +30,34 @@ def test_all_three_ops_and_null_transitions(spark):
 def test_identical_snapshots_diff_to_empty(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
     assert snapshot_diff(df, df, ["k"], ["s"]).count() == 0
+
+
+def test_apply_diff_reconstructs_new_snapshot(spark):
+    """Round-trip invariant on randomized keyed tables: applying the
+    extracted change feed to the old snapshot yields the new one."""
+    import random
+
+    rng = random.Random(7)
+    keys = list(range(40))
+    old_rows = [
+        (k, rng.randint(0, 5), rng.choice(["a", "b", None]))
+        for k in keys
+        if rng.random() < 0.8
+    ]
+    new_rows = [
+        (k, rng.randint(0, 5), rng.choice(["a", "b", None]))
+        for k in keys
+        if rng.random() < 0.8
+    ]
+    from spotify_podcasts_airflow_batch_spark.operators.cdc import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(old_rows, "k long, v long, s string")
+    new = spark.createDataFrame(new_rows, "k long, v long, s string")
+    diff = snapshot_diff(old, new, ["k"], ["v", "s"])
+    rebuilt = apply_diff(old, diff, ["k"], ["v", "s"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
