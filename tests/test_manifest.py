@@ -99,3 +99,41 @@ def test_refresh_manifest_is_incremental_and_idempotent(spark, sf_dir, tmp_path)
     extra.coalesce(1).write.mode("append").parquet(out)
     refreshed = refresh_manifest(spark, out, man_path, ["o_totalprice"])
     assert refreshed.count() == n1 + 1
+
+
+def test_pruning_is_superset_for_arbitrary_ranges(spark, sf_dir, tmp_path):
+    """Property: for ANY [lo, hi], the pruned file set contains every
+    row the full scan's filter returns (file skipping may over-read,
+    never under-read). Randomized ranges over the z-ordered layout —
+    the multi-column case where envelope logic is easiest to get
+    wrong."""
+    import random
+
+    from spotify_podcasts_airflow_batch_spark.sinks.writers import (
+        write_zorder_layout,
+    )
+
+    out = str(tmp_path / "orders_z")
+    write_zorder_layout(
+        table(spark, sf_dir, "orders"),
+        out,
+        ["o_totalprice", "o_custkey"],
+        files=FILES,
+    )
+    man = build_manifest(spark, out, ["o_totalprice", "o_custkey"])
+    full = spark.read.parquet(out)
+    rng = random.Random(11)
+    lo_all, hi_all = full.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    for _ in range(5):
+        a, b = sorted(
+            (rng.uniform(lo_all, hi_all), rng.uniform(lo_all, hi_all))
+        )
+        got = (
+            pruned_read(spark, man, "o_totalprice", a, b)
+            .filter(F.col("o_totalprice").between(a, b))
+            .count()
+        )
+        want = full.filter(F.col("o_totalprice").between(a, b)).count()
+        assert got == want
