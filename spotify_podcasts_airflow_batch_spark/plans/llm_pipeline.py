@@ -1117,3 +1117,86 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
     )
     return j.select("bigram", "freq", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"))
+
+
+# ---------------------------------------------------------------- C24b
+_BLOOM_BITS = 1 << 18  # m: 262144 bits = 4096 int64 words (32 KB)
+_BLOOM_K = 4  # hash functions
+
+
+@register(
+    "incremental_dedup_bloom",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE source <> '{_INCR_SOURCE}'),
+    today AS (SELECT doc_id, fp FROM fp WHERE source = '{_INCR_SOURCE}')
+    SELECT t.doc_id,
+           CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM today t LEFT JOIN hist h USING (fp)
+    """,
+)
+def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24b — the same exact answer as C24, through a BLOOM-FILTER
+    prefilter, for the regime where even the distinct fingerprint
+    store is too large to hash-join comfortably: the history collapses
+    to a fixed 32 KB bitmap RELATION (word_idx → int64 of or-ed bits;
+    built with explode + bit_or, one map-side-combinable aggregate).
+    Today's fingerprints probe the broadcast bitmap (k=4 positions per
+    fp, all-hit ⇒ candidate); only candidates — true dups plus the
+    Bloom false-positive residue — reach the exact verification join,
+    so the expensive equi-join runs on ~(dup_rate + fpp)·|today| rows
+    instead of |today|. False positives are REMOVED by verification:
+    the result is exact, which is why this query shares C24's oracle.
+    At 100 TB the bitmap is sized m ≈ 10·n; it stays a relation, so
+    nothing here ever exceeds executor memory."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    hist = fp.where(F.col("source") != _INCR_SOURCE).select("fp").distinct()
+    today = fp.where(F.col("source") == _INCR_SOURCE).select("doc_id", "fp")
+
+    seeds = list(range(_BLOOM_K))
+
+    def bitpos(col):
+        # k positions from the shared md5 family, mod m
+        return [
+            md5_hash31(F.concat(F.lit(f"bloom{s}:"), col)) % _BLOOM_BITS
+            for s in seeds
+        ]
+
+    def explode_positions(df):
+        return df.withColumn(
+            "__pos", F.explode(F.array(*bitpos(F.col("fp"))))
+        ).select(
+            *df.columns,
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            # python F.shiftleft takes only a literal count; the SQL
+            # form shifts by a column
+            F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("mask"),
+        )
+
+    bloom = (
+        explode_positions(hist)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+    probes = explode_positions(today)
+    hits = probes.join(F.broadcast(bloom), "word_idx", "left").withColumn(
+        "__hit", (F.col("bits").bitwiseAND(F.col("mask")) != 0) & F.col("bits").isNotNull()
+    )
+    candidates = (
+        hits.groupBy("doc_id", "fp")
+        .agg(F.min(F.col("__hit").cast("int")).alias("__all_hit"))
+        .where(F.col("__all_hit") == 1)
+        .select("doc_id", "fp")
+    )
+    verified = candidates.join(hist, "fp", "left_semi").select(
+        "doc_id", F.lit(1).alias("is_dup")
+    )
+    return today.join(verified, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup")
+    )
