@@ -153,3 +153,24 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Opaque-media ingest: Spark's ``binaryFile`` source — one row per
+    file with (path, modificationTime, length, content:binary). This
+    is the standard front door for image/audio/video directories at
+    scale (listing is distributed, each file is one task, column
+    pruning drops ``content`` when only metadata is touched); rows
+    feed straight into operators/multimodal.decode_media. Files larger
+    than ``spark.sql.sources.binaryFile.maxLength`` (default 2 GB)
+    are rejected rather than silently truncated."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    reader = reader.option("recursiveFileLookup", str(recursive).lower())
+    return reader.load(path)
