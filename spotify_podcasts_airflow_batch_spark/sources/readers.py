@@ -174,3 +174,24 @@ def read_binary_files(
         reader = reader.option("pathGlobFilter", glob)
     reader = reader.option("recursiveFileLookup", str(recursive).lower())
     return reader.load(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
+    """Line-oriented text ingest (`value` string per line) — the rawest
+    corpus format; ``whole_text`` reads one row per FILE instead (small
+    documents-as-files layouts). Feeds the C-series text operators
+    after a projection renames ``value`` → text."""
+    return spark.read.text(path, wholetext=whole_text)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema=None
+) -> DataFrame:
+    """XML source (built into Spark 4 — no external package): one row
+    per ``row_tag`` element, schema inferred or supplied. Rounds out
+    the format matrix (parquet/ORC/CSV/JSON/XML/binary); Avro is NOT
+    available in this environment (external module)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

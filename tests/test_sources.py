@@ -167,3 +167,39 @@ def test_sorted_layout_enables_file_skipping(spark, sf_dir, tmp_path):
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next  # disjoint (or touching) key ranges
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_read_text_lines_and_whole_files(spark, tmp_path):
+    from spotify_podcasts_airflow_batch_spark.sources.readers import read_text
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha beta\ngamma\n")
+    (p / "b.txt").write_text("delta\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r.value for r in lines.collect()) == [
+        "alpha beta",
+        "delta",
+        "gamma",
+    ]
+    whole = read_text(spark, str(p), whole_text=True)
+    assert whole.count() == 2
+    assert {r.value for r in whole.collect()} == {
+        "alpha beta\ngamma\n",
+        "delta\n",
+    }
+
+
+def test_read_xml_rows(spark, tmp_path):
+    from spotify_podcasts_airflow_batch_spark.sources.readers import read_xml
+
+    f = tmp_path / "charts.xml"
+    f.write_text(
+        "<charts>"
+        "<entry><rank>1</rank><region>us</region><name>A &amp; B</name></entry>"
+        "<entry><rank>2</rank><region>gb</region><name>C</name></entry>"
+        "</charts>"
+    )
+    df = read_xml(spark, str(f), row_tag="entry")
+    rows = sorted((r.rank, r.region, r.name) for r in df.collect())
+    assert rows == [(1, "us", "A & B"), (2, "gb", "C")]
