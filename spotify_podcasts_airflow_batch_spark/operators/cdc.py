@@ -33,13 +33,19 @@ def snapshot_diff(
     whose presence or compared values changed; unchanged keys are
     dropped (a change feed carries changes only).
     """
+    # Presence markers, not key-nullability: the join itself is
+    # null-safe, so a NULL-keyed row can legitimately exist on both
+    # sides — testing the key columns for NULL would misread it as
+    # absent and tag a value change as delete+insert.
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare],
+        F.lit(True).alias("__in_new"),
     )
     cond = reduce(
         lambda a, b: a & b,
@@ -47,12 +53,8 @@ def snapshot_diff(
     )
     joined = o.join(n, cond, "full_outer")
 
-    in_old = reduce(
-        lambda a, b: a | b, [F.col(f"__ok_{k}").isNotNull() for k in keys]
-    )
-    in_new = reduce(
-        lambda a, b: a | b, [F.col(f"__nk_{k}").isNotNull() for k in keys]
-    )
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     same_vals = reduce(
         lambda a, b: a & b,
         [
@@ -95,8 +97,12 @@ def apply_diff(
     partition on the key, so on bucketed layouts this is Exchange-free
     — the same property the diff side has.
     """
-    changed_keys = diff.select(*[F.col(k) for k in keys])
-    kept = old.join(changed_keys, keys, "left_anti")
+    changed_keys = diff.select(*[F.col(k).alias(f"__ck_{k}") for k in keys])
+    anti_cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__ck_{k}"))  # NULL keys must match
+        anti_cond = c if anti_cond is None else (anti_cond & c)
+    kept = old.join(changed_keys, anti_cond, "left_anti")
     upserts = diff.filter(F.col("op") != "delete").select(
         *[F.col(k) for k in keys],
         *[F.col(f"new_{c}").alias(c) for c in compare],

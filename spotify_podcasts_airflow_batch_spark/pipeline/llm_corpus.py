@@ -170,8 +170,10 @@ class CorpusPipeline:
         )
         self.write(final)
         got = obs.get
-        self.stats["n_after_near"] = got["n_total"]
+        # sum() over zero rows observes NULL — an empty final corpus
+        # must report 0s, not crash the comparison
+        self.stats["n_after_near"] = got["n_total"] or 0
         self.stats["splits"] = {
-            s: got[s] for s in ("train", "val", "test") if got[s] > 0
+            s: got[s] for s in ("train", "val", "test") if (got[s] or 0) > 0
         }
         return dict(self.stats)

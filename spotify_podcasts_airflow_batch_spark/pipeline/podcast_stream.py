@@ -20,15 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spotify_podcasts_airflow_batch_spark.sources.chart_api import ChartDataSource
+from spotify_podcasts_airflow_batch_spark.sources.chart_api import (
+    EPISODE_URI_PREFIX,
+    SHOW_URI_PREFIX,
+    ChartDataSource,
+)
 from spotify_podcasts_airflow_batch_spark.streaming.sinks import (
     stream_to_daily_parquet,
 )
 
-# len("spotify:episode:") == 16, len("spotify:show:") == 13 — the
-# reference slices both prefixes off (include/spotify_eps.py:83-84).
-_EP_PREFIX_LEN = len("spotify:episode:")
-_SHOW_PREFIX_LEN = len("spotify:show:")
+_EP_PREFIX_LEN = len(EPISODE_URI_PREFIX)
+_SHOW_PREFIX_LEN = len(SHOW_URI_PREFIX)
 
 
 def transform_charts(charts: DataFrame) -> DataFrame:

@@ -85,17 +85,22 @@ def chart_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``date.today()`` per row (spotify_eps.py:82-88); here the strings
     are round-tripped through the same prefixes to prove the slice
     semantics, all JVM-side (no Python per-row cost)."""
+    from spotify_podcasts_airflow_batch_spark.sources.chart_api import (
+        EPISODE_URI_PREFIX,
+        SHOW_URI_PREFIX,
+    )
+
     ev = table(spark, sf_dir, "events")
     return ev.select(
         F.lit(SNAPSHOT_DATE).cast("date").alias("date"),
         F.substring(
-            F.concat(F.lit("spotify:episode:"), F.col("event_id").cast("string")),
-            17,
+            F.concat(F.lit(EPISODE_URI_PREFIX), F.col("event_id").cast("string")),
+            len(EPISODE_URI_PREFIX) + 1,
             1_000_000,
         ).alias("episodeUri"),
         F.substring(
-            F.concat(F.lit("spotify:show:"), F.col("user_id").cast("string")),
-            14,
+            F.concat(F.lit(SHOW_URI_PREFIX), F.col("user_id").cast("string")),
+            len(SHOW_URI_PREFIX) + 1,
             1_000_000,
         ).alias("showUri"),
         F.col("event_type").alias("chartRankMove"),

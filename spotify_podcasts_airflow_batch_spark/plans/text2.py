@@ -228,7 +228,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {_TOKS} AS w FROM documents
     ), idx AS (
         SELECT doc_id, w, unnest(range((len(w) - 1) // 48 + 1)) AS i
-        FROM toks
+        FROM toks WHERE len(w) > 0
     )
     SELECT doc_id,
            CAST(i AS BIGINT)                          AS chunk_idx,
@@ -248,10 +248,17 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result stays narrow at 100 TB."""
     W, S = 64, 48
     docs = table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", tokens(F.col("text")).alias("w")
-    ).withColumn(
-        "i", F.explode(F.sequence(F.lit(0), F.floor((F.size("w") - 1) / S)))
+    # blank docs tokenize to []: guard BEFORE the sequence — Spark's
+    # sequence(0, -1) would take its implicit -1 step and emit [0, -1],
+    # and DuckDB's range((0-1)//48+1) truncates toward zero to [0];
+    # with the guard both engines agree on zero chunks.
+    staged = (
+        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") > 0)
+        .withColumn(
+            "i",
+            F.explode(F.sequence(F.lit(0), F.floor((F.size("w") - 1) / S))),
+        )
     )
     chunk = F.slice(F.col("w"), F.col("i") * S + 1, W)
     return staged.select(

@@ -26,10 +26,13 @@ def create_kaggle_metadata(
     kaggle_folder: str,
     dataset_id: str,
     title: str,
-    license_name: str = "CC1-1.0",
+    license_name: str = "CC0-1.0",
 ) -> str:
-    """Write ``dataset-metadata.json`` (kaggle.py:34-55 — same fields,
-    same default license string). Returns the metadata path."""
+    """Write ``dataset-metadata.json`` (kaggle.py:34-55 — same fields).
+    The reference's literal default is "CC1-1.0", which is not a valid
+    Kaggle license identifier (their CLI upload would reject it); the
+    intended public-domain id is "CC0-1.0", corrected here. Returns
+    the metadata path."""
     os.makedirs(kaggle_folder, exist_ok=True)
     meta = {
         "id": dataset_id,
@@ -64,7 +67,7 @@ def zip_csv_files(kaggle_folder: str, delete_originals: bool = True) -> list[str
 
 
 def package_dataset(
-    kaggle_folder: str, dataset_id: str, title: str, license_name: str = "CC1-1.0"
+    kaggle_folder: str, dataset_id: str, title: str, license_name: str = "CC0-1.0"
 ) -> dict:
     """Assemble the complete upload-ready folder: metadata + zipped
     CSVs. Returns a manifest of what the (stubbed) CLI step would

@@ -56,15 +56,22 @@ def _num(v) -> float | None:
     return float(v)
 
 
-def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+def build_manifest(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    files: list[str] | None = None,
+) -> DataFrame:
     """Per-file stats manifest: ``path, n_rows, min_<c>, max_<c>``.
 
     Footer-only reads (pyarrow ``ParquetFile.metadata``), fanned out
     over executors; row-group stats fold into one per-file envelope.
     A file missing stats for a column gets nulls there — pruning then
-    conservatively keeps it.
+    conservatively keeps it. ``files`` restricts the harvest to an
+    explicit list (how refresh keeps its cost at O(new files)).
     """
-    files = list_data_files(path)
+    if files is None:
+        files = list_data_files(path)
     schema = "path string, n_rows long, " + ", ".join(
         f"min_{c} double, max_{c} double" for c in cols
     )
@@ -177,9 +184,9 @@ def refresh_manifest(
         schema_cols = [c[4:] for c in old.columns if c.startswith("min_")]
         if set(schema_cols) != set(cols):
             raise ValueError("manifest column set changed; rebuild required")
-        tmp_manifest = build_manifest(spark, data_path, cols).filter(
-            F.col("path").isin(new_files)
-        )
+        # footer-read ONLY the new files — a post-hoc filter above the
+        # harvest would still read every footer in the dataset
+        tmp_manifest = build_manifest(spark, data_path, cols, files=new_files)
         merged = old.unionByName(tmp_manifest)
     else:
         merged = build_manifest(spark, data_path, cols)

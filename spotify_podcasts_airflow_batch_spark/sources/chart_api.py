@@ -45,6 +45,13 @@ DEFAULT_REGIONS = (
     "ar,au,at,br,ca,cl,co,fr,de,in,id,ie,it,jp,mx,nz,ph,pl,es,nl,gb,us"
 )
 
+# The URI prefixes the reference slices off (include/spotify_eps.py:
+# 83-84, `episodeUri[16:]` / `showUri[13:]`). Canonical here — both
+# the batch A2 transform and the streaming pipeline import these, so
+# the slice lengths can never drift between them.
+EPISODE_URI_PREFIX = "spotify:episode:"  # len 16
+SHOW_URI_PREFIX = "spotify:show:"  # len 13
+
 SCHEMA = (
     "date date, rank int, region string, chartRankMove string, "
     "episodeUri string, showUri string, episodeName string"
@@ -145,6 +152,11 @@ class ChartStreamReader(DataSourceStreamReader):
         return {"days": nxt}
 
     def partitions(self, start: dict, end: dict):
+        # Restart safety: a fresh reader instance starts _cursor at 0,
+        # but Spark replans from the CHECKPOINTED start — fast-forward
+        # the pacing cursor so latestOffset never runs behind committed
+        # progress (which would replan already-ingested days).
+        self._cursor = max(self._cursor, start["days"], end["days"])
         parts = []
         for d in range(start["days"], end["days"]):
             day = (self.start + timedelta(days=d)).isoformat()
@@ -157,7 +169,7 @@ class ChartStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        self._cursor = max(self._cursor, end["days"])
 
 
 class ChartDataSource(DataSource):

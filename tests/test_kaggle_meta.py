@@ -31,7 +31,7 @@ def test_package_dataset_builds_upload_ready_folder(spark, sf_dir, tmp_path):
     assert meta == {
         "id": "user/top-podcasts",
         "title": "Top Podcasts",
-        "licenses": [{"name": "CC1-1.0"}],
+        "licenses": [{"name": "CC0-1.0"}],
     }
 
     assert manifest["archives"], "no CSVs were zipped"
