@@ -527,6 +527,110 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- E15
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us, value,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), m AS (
+        SELECT user_id, us, value,
+               CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END AS brk
+        FROM o
+    ), s AS (
+        SELECT user_id, us, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           min(us)              AS session_start_us,
+           max(us) + 600000000  AS session_end_us,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 — gap-based sessions via the NATIVE ``session_window``
+    aggregation (10-minute gap): Spark merges an event into the open
+    session when its timestamp is ≤ the session's current end
+    (last event + gap) — verified empirically: a gap of EXACTLY 10
+    minutes still merges, so the oracle breaks sessions only on
+    strictly-greater gaps. Unlike B9's lag/cumsum formulation (two
+    window passes over a shuffled sort), session_window is a single
+    groupBy aggregate: partial session fragments build map-side and
+    MERGE in the reducer, and the same expression runs unchanged under
+    Structured Streaming with watermark-driven state eviction — the
+    scale path for billions of user-events/day. Ends are reported as
+    last-event + gap (the window struct's ``end``), in integer
+    microseconds on both engines."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- E16
+@register(
+    "windowed_topk",
+    oracle="""
+    SELECT window_start, event_type, n, rn AS rank
+    FROM (
+        SELECT window_start, event_type, n,
+               row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type ASC
+               ) AS rn
+        FROM (
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+    )
+    WHERE rn <= 3
+    """,
+)
+def windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 — trending detection: top-3 event types per 1-hour tumbling
+    window (count desc, lexicographic tiebreak). The count aggregate
+    partial-combines map-side down to |windows|×|types| rows BEFORE the
+    rank window touches anything, so the row_number sort runs on the
+    tiny aggregate — the raw event volume never reaches a window
+    operator. Same shape as B39 mode_per_group but keyed by time
+    bucket: the streaming form is this exact aggregate per watermarked
+    window."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        window_start(F.col("ts"), 3600).alias("window_start"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n", "rank")
+    )
+
+
 @register(
     "variant_extract",
     oracle="""

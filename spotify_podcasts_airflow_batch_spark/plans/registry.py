@@ -25,6 +25,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.reference_parity",
     "spotify_podcasts_airflow_batch_spark.plans.text",
     "spotify_podcasts_airflow_batch_spark.plans.text2",
+    "spotify_podcasts_airflow_batch_spark.plans.text3",
     "spotify_podcasts_airflow_batch_spark.plans.llm_pipeline",
     "spotify_podcasts_airflow_batch_spark.plans.similarity",
     "spotify_podcasts_airflow_batch_spark.plans.events",

@@ -739,3 +739,69 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.explode("o_orderpriority_freqItems").alias("frequent_priority")
     )
+
+
+# ---------------------------------------------------------------- B41
+@register(
+    "fuzzy_name_match",
+    oracle=r"""
+    WITH n AS (
+        SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name
+    ),
+    p AS (
+        SELECT p_name, cnt,
+               regexp_extract(p_name, '(\S+)$', 1) AS blk
+        FROM n
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.cnt AS n_a, b.cnt AS n_b
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41 — fuzzy entity matching: pairs of near-identical part names
+    (edit distance ≤ 3) with their occurrence counts — the name-
+    normalization pass of entity resolution. Scale-first shape: the
+    fact table first COLLAPSES to its distinct-name vocabulary with
+    counts (map-side-combinable aggregate — at 100 TB the name
+    vocabulary is orders of magnitude smaller than the rows), then the
+    vocabulary self-joins within blocks (last name token) so the
+    Levenshtein — quadratic and non-indexable — only ever runs on
+    block-local vocabulary pairs, never on row pairs. Spark
+    ``levenshtein`` ≡ DuckDB ``levenshtein`` (classic unweighted edit
+    distance, integer — no float drift). Blocking is part of the
+    contract: both engines generate the identical candidate set, so
+    the check is exact parity, not recall."""
+    n = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = n.select(
+        "p_name", "cnt", F.regexp_extract("p_name", r"(\S+)$", 1).alias("blk")
+    )
+    a = p.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("n_a"),
+        F.col("blk"),
+    )
+    b = p.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("n_b"),
+        F.col("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(F.levenshtein("name_a", "name_b") <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+            "n_a",
+            "n_b",
+        )
+    )

@@ -1,0 +1,294 @@
+"""Corpus-statistics operators, round 2 (SURVEY.md §2 C30-C33):
+cross-document duplication measurement, unigram language-model
+scoring with CCNet-style perplexity bucketing, and BM25 keyword
+retrieval. All built-in column expressions — tokenization and scoring
+stay inside whole-stage codegen; corpus-sized relations are never
+joined to each other (vocabulary/statistic tables broadcast back).
+
+Reference parity: the reference pipeline has no corpus analytics —
+these extend it with the LLM-training-data layer the 100 TB target
+needs (dedup diagnostics, quality scoring, retrieval), same charter
+as plans/llm_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.functions.text import (
+    tokens,
+    word_shingles,
+)
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+# ---------------------------------------------------------------- C30
+@register(
+    "cross_doc_dup",
+    oracle=f"""
+    WITH lt AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(w[k+1:k+5], ' ') AS shingle
+        FROM lt, unnest(range(len(w) - 4)) AS t(k)
+        WHERE len(w) >= 5
+    ),
+    dfc AS (SELECT shingle, count(*) AS nd FROM g GROUP BY shingle)
+    SELECT g.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
+           round(sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+               AS shared_frac
+    FROM g JOIN dfc USING (shingle)
+    GROUP BY g.doc_id
+    """,
+)
+def cross_doc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30 — inter-document duplication rate: for each doc, the
+    fraction of its DISTINCT 5-word shingles that also occur in at
+    least one other document (the MassiveText cross-document
+    dup-content diagnostic; C21 measures the intra-doc dual). Shape:
+    explode per-doc distinct shingles, count docs per shingle (the
+    per-doc distinct makes a plain count a document frequency), join
+    the df back, re-aggregate per doc. Both aggregates partial-combine
+    map-side; the join key is the shingle, so the shuffle is bounded by
+    distinct shingle volume, never O(docs²) pairing. Docs with <5
+    tokens carry no shingles and drop out (both engines). At 100 TB
+    the shingle→df table is the same relation C16's contamination
+    screen probes — one materialization serves both."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 5)).alias("shingle"),
+    )
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    shared = (F.col("nd") >= 2).cast("long")
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(shared).alias("n_shared"),
+            F.round(F.sum(shared) / F.count(F.lit(1)), 4).alias("shared_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C31
+_LM_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    uc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    nu AS (SELECT count(*) AS n FROM t)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(uc.c / nu.n)), 4) + 0 AS avg_logprob
+    FROM t JOIN uc USING (tok) CROSS JOIN nu
+    GROUP BY t.doc_id
+"""
+
+
+@register("unigram_logprob", oracle=_LM_ORACLE)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31 — unigram language-model score per document: mean
+    ln P(token) under the corpus's own unigram distribution — the
+    cheap stand-in for the KenLM perplexity signal CCNet/RefinedWeb
+    filter on (rare-token-heavy gibberish scores low, stopword soup
+    scores high). Two aggregates over one tokenization: the vocabulary
+    count table (broadcast back — never a corpus-corpus join) and the
+    scalar token total riding a broadcast cross-join. ln() may differ
+    in the last ulp between engines; round(…,4) absorbs it, and the
+    integer-count division c/n is bit-equal by identical op order."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    uc = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nu = t.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        t.join(F.broadcast(uc), "tok")
+        .crossJoin(F.broadcast(nu))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4) + F.lit(0.0)).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C32
+@register(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    uc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    nu AS (SELECT count(*) AS n FROM t),
+    lm AS (
+        SELECT t.doc_id, round(avg(ln(uc.c / nu.n)), 4) + 0 AS avg_logprob
+        FROM t JOIN uc USING (tok) CROSS JOIN nu
+        GROUP BY t.doc_id
+    ),
+    th AS (
+        SELECT quantile_cont(avg_logprob, 1.0/3.0) AS t_lo,
+               quantile_cont(avg_logprob, 2.0/3.0) AS t_hi
+        FROM lm
+    )
+    SELECT lm.doc_id, lm.avg_logprob,
+           CASE WHEN lm.avg_logprob >= th.t_hi THEN 'head'
+                WHEN lm.avg_logprob >= th.t_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm, th
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 — CCNet-style perplexity partitioning: docs split into
+    head / middle / tail terciles of the C31 unigram-LM score (head =
+    most-fluent third; CCNet trains on head+middle, inspects tail).
+    Spark-first shape: NO global sort — the per-doc score pass is the
+    C31 aggregate, the two tercile thresholds are ONE scalar exact-
+    percentile aggregate (``percentile`` ≡ DuckDB ``quantile_cont``,
+    same interpolation — the B17-proven pairing), and bucketing is a
+    broadcast-join projection. At 100 TB swap approx_percentile into
+    the threshold pass (t-digest, mergeable) — plan shape unchanged.
+    Thresholds compare against the ROUNDED score so both engines
+    bucket the identical value."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    uc = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nu = t.agg(F.count(F.lit(1)).alias("n"))
+    lm = (
+        t.join(F.broadcast(uc), "tok")
+        .crossJoin(F.broadcast(nu))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4) + F.lit(0.0)).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    th = lm.agg(
+        F.expr("percentile(avg_logprob, 1.0D/3.0D)").alias("t_lo"),
+        F.expr("percentile(avg_logprob, 2.0D/3.0D)").alias("t_hi"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("t_hi"), "head")
+        .when(F.col("avg_logprob") >= F.col("t_lo"), "middle")
+        .otherwise("tail")
+    )
+    return lm.crossJoin(F.broadcast(th)).select(
+        "doc_id", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------- C33
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # Per-term score columns summed in FIXED order — float addition is
+    # not associative, so both engines must add in the same sequence.
+    score_sum = " + ".join(f"coalesce(s_{i}, 0.0)" for i in range(len(_BM25_TERMS)))
+    score_cols = ", ".join(
+        f"""max(CASE WHEN tf.tok = '{t}' THEN
+            ln((st.n_docs - dfc.nd + 0.5) / (dfc.nd + 0.5) + 1.0)
+            * (tf.f * ({_BM25_K1} + 1.0))
+            / (tf.f + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / st.avgdl))
+            END) AS s_{i}"""
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS f FROM toks
+        WHERE tok IN ({terms_sql}) GROUP BY doc_id, tok
+    ),
+    dfc AS (SELECT tok, count(*) AS nd FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id, count(*) AS n_matched, {score_cols}
+        FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id), st
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_matched, round({score_sum}, 4) AS bm25
+    FROM scored
+    """
+
+
+@register("bm25_search", oracle=_bm25_oracle())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33 — BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed
+    conjunctive-OR query over the corpus: every doc containing ≥1
+    query term, scored with the standard Robertson idf
+    ln((N-df+0.5)/(df+0.5)+1). Shape: token explode → per-(doc,term)
+    tf for ONLY the query terms (the IN-filter prunes before the
+    shuffle, so the tf aggregate is O(matching postings) — this is
+    posting-list retrieval, not a corpus scan per query); doc lengths
+    and the (N, avgdl) scalars are tiny broadcast relations. Per-term
+    scores pivot into fixed columns and sum in declaration order —
+    float addition isn't associative, so a groupBy-sum over terms
+    would be engine-order-dependent; the pivot makes the addition
+    order part of the query. Top-k is a downstream orderBy(limit) —
+    kept out of the checked result so the gate never depends on
+    float-ordering at the cutoff."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("nd"))
+    j = (
+        tf.join(F.broadcast(dfc), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
+    )
+    per_term = (
+        idf
+        * (F.col("f") * (_BM25_K1 + 1.0))
+        / (
+            F.col("f")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        *[
+            F.max(F.when(F.col("tok") == t, per_term)).alias(f"s_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    total = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    return scored.select(
+        "doc_id", "n_matched", F.round(total, 4).alias("bm25")
+    )
