@@ -1,0 +1,219 @@
+"""Time-series / path / sketch-table analytics (SURVEY.md §2 E17-E21,
+C34) — the monitoring and exploration queries a production event
+pipeline runs beside its windowed aggregates: rolling robust
+statistics, equi-depth distribution summaries, autocorrelation
+diagnostics, entry-path mining, percentile normalization, and the
+pre-aggregated-sketch pattern that makes "distinct users over any date
+range" an O(days) query instead of an O(events) rescan.
+
+Reference parity: the reference's chart dataset is exactly this shape
+(daily observations per region, `spotify_eps_dag.py`) — these are the
+analyses its consumers run on the published dataset; here they run
+distributed instead of in a notebook over the CSV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.plans.events import window_start
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+
+@register(
+    "rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS roll_median
+    FROM events
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 — 7-row rolling exact median per user (robust smoothing; the
+    outlier-immune dual of a moving average). One shuffle on user_id;
+    the frame sort is per-key and the median is exact-interpolated, so
+    it hash-matches DuckDB's ``median`` bit-for-bit after rounding. At
+    100 TB the per-key window state is 7 rows — constant."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("roll_median"),
+    )
+
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket,
+           count(*)             AS n_rows,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 — equi-depth (equal-count) 10-bucket histogram per type: the
+    complement of E11's equi-width bins, and exactly what an optimizer
+    stores as column statistics. ntile's total order is tie-broken on
+    event_id so both engines assign identical buckets. The per-type
+    sort is the unavoidable cost of exact depth buckets; the approximate
+    scale path is B37's GK sketch."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
+    "ts_autocorr",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS hr,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, v,
+               lag(v) OVER (PARTITION BY event_type ORDER BY hr) AS v_prev
+        FROM hourly
+    )
+    SELECT event_type,
+           count(v_prev)            AS n_pairs,
+           round(corr(v, v_prev), 4) AS lag1_autocorr
+    FROM lagged GROUP BY event_type
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 — lag-1 autocorrelation of the hourly mean per event type: is
+    the series trending/mean-reverting or white noise? Aggregates to
+    hours FIRST (map-side combinable, output rows = hours × types), so
+    the window sort runs on the tiny rollup, never the raw events."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        window_start(F.col("ts"), 3600).alias("hr"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type", "v", F.lag("v").over(w).alias("v_prev")
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("v_prev").alias("n_pairs"),
+        F.round(F.corr("v", "v_prev"), 4).alias("lag1_autocorr"),
+    )
+
+
+@register(
+    "user_event_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS entry_path
+        FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT entry_path, count(*) AS n_users
+    FROM paths GROUP BY entry_path
+    """,
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 — entry-path mining: each user's first five event types as an
+    ordered path string, counted across users (the onboarding-funnel
+    exploration query). Spark has no ordered string_agg, so the path is
+    built deterministically JVM-side: collect structs keyed by rank,
+    ``sort_array`` (struct ordering = field order), project, join.
+    The per-user state is capped at 5 rows before the path groupBy, so
+    the second shuffle carries one short string per user."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("entry_path")
+    )
+    return paths.groupBy("entry_path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "doc_percentiles",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round(percent_rank() OVER w, 4) AS len_pct_rank,
+           round(cume_dist()    OVER w, 4) AS len_cume_dist
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+)
+def doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34 — within-language percentile normalization of document
+    length (percent_rank + cume_dist): the rank-based feature scaling
+    used when mixing corpora whose raw length distributions differ.
+    Ties are broken on doc_id so ranks are engine-invariant. One
+    shuffle on lang; at 100 TB the skew risk is a single dominant
+    language — the mitigation is the two-pass ECDF (per-partition
+    counts → broadcast cumulative offsets), which B37's sketch already
+    approximates."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 4).alias("len_pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("len_cume_dist"),
+    )
+
+
+@register("hll_daily_union", oracle=None)
+def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 — the pre-aggregated sketch-table pattern (*rows-only*:
+    approximate): build one Datasketches HLL sketch of distinct users
+    per (day, event_type), then answer "distinct users per type over
+    the whole range" by UNIONING the daily sketches — never rescanning
+    events. At 100 TB the sketch table is KBs/day; any date-range
+    distinct count is O(days) sketch merges. Accuracy vs the exact
+    answer is asserted in tests/test_sketches.py."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg(F.col("user_id").cast("string"), 12).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )

@@ -53,3 +53,31 @@ def test_heavy_hitters_contain_exact_answer(spark, sf_dir):
     }
     assert exact, "fixture data must have at least one true heavy hitter"
     assert exact <= got
+
+
+def test_hll_daily_union_near_exact(spark, sf_dir):
+    """The unioned daily HLL estimates per type must land within 5% of
+    the exact distinct-user counts (lgK=12 → ~1.6% RSE), and must
+    cover every day present in the data."""
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["hll_daily_union"].spark_fn(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    days = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct(F.to_date("ts")).alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for etype, row in got.items():
+        assert row["n_days"] == days[etype]
+        err = abs(row["approx_users"] - exact[etype]) / max(exact[etype], 1)
+        assert err <= 0.05, (etype, row["approx_users"], exact[etype])
