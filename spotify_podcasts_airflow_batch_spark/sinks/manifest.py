@@ -193,3 +193,110 @@ def refresh_manifest(
     merged = merged.localCheckpoint()  # cut lineage before overwrite read-from-self
     write_manifest(merged, manifest_path)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots — time travel over the manifest log
+# ---------------------------------------------------------------------------
+# A table format's log is a SEQUENCE of manifests; keeping every
+# committed manifest (one small parquet file per version) buys snapshot
+# isolation and time travel for free: "the table at version N" is
+# exactly the file list manifest N records. Commits are incremental —
+# version N+1 footer-reads only files absent from version N and drops
+# rows for files deleted since (so a commit also records removals).
+# Readers pin a version once and never see concurrent appends
+# (snapshot isolation); old versions stay readable until the
+# underlying files are physically vacuumed.
+
+_VERSION_PREFIX = "v"
+
+
+def list_versions(manifest_dir: str) -> list[int]:
+    """Committed version numbers, ascending (empty if none)."""
+    if not os.path.isdir(manifest_dir):
+        return []
+    out = []
+    for name in os.listdir(manifest_dir):
+        if name.startswith(_VERSION_PREFIX) and name[len(_VERSION_PREFIX):].isdigit():
+            out.append(int(name[len(_VERSION_PREFIX):]))
+    return sorted(out)
+
+
+def _version_path(manifest_dir: str, version: int) -> str:
+    return os.path.join(manifest_dir, f"{_VERSION_PREFIX}{version}")
+
+
+def commit_version(
+    spark: SparkSession, data_path: str, manifest_dir: str, cols: list[str]
+) -> int:
+    """Commit the data directory's current state as a new manifest
+    version; returns the version number. Cost is O(changed files):
+    footers are read only for paths new since the previous version,
+    and rows for vanished paths are dropped. A no-op state (identical
+    file set) returns the existing latest version WITHOUT creating a
+    new one — commits are idempotent."""
+    current = set(list_data_files(data_path))
+    versions = list_versions(manifest_dir)
+    if not versions:
+        manifest = build_manifest(spark, data_path, cols, files=sorted(current))
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            _version_path(manifest_dir, 1)
+        )
+        return 1
+    latest = versions[-1]
+    old = spark.read.parquet(_version_path(manifest_dir, latest))
+    known = {r.path for r in old.select("path").collect()}
+    new_files = sorted(current - known)
+    gone = known - current
+    if not new_files and not gone:
+        return latest
+    schema_cols = [c[4:] for c in old.columns if c.startswith("min_")]
+    if set(schema_cols) != set(cols):
+        raise ValueError("manifest column set changed; rebuild required")
+    kept = old.filter(~F.col("path").isin(list(gone))) if gone else old
+    merged = (
+        kept.unionByName(build_manifest(spark, data_path, cols, files=new_files))
+        if new_files
+        else kept
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        _version_path(manifest_dir, latest + 1)
+    )
+    return latest + 1
+
+
+def read_manifest_version(
+    spark: SparkSession, manifest_dir: str, version: int | None = None
+) -> DataFrame:
+    """The manifest as of ``version`` (default: latest committed)."""
+    versions = list_versions(manifest_dir)
+    if not versions:
+        raise ValueError(f"no committed versions under {manifest_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    return spark.read.parquet(_version_path(manifest_dir, version))
+
+
+def snapshot_read(
+    spark: SparkSession,
+    manifest_dir: str,
+    version: int | None = None,
+    col: str | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Time-travel scan: the table exactly as of ``version``, optionally
+    manifest-pruned by a range predicate on ``col``. Files appended
+    after the pinned version are invisible; files deleted after it
+    raise on read (vacuum semantics — history is readable until the
+    data is physically removed)."""
+    manifest = read_manifest_version(spark, manifest_dir, version)
+    if col is not None:
+        files = prune_files(manifest, col, lo, hi)
+    else:
+        files = [r.path for r in manifest.select("path").collect()]
+    if not files:
+        raise ValueError("empty snapshot")
+    return spark.read.parquet(*files)

@@ -137,3 +137,64 @@ def test_pruning_is_superset_for_arbitrary_ranges(spark, sf_dir, tmp_path):
         )
         want = full.filter(F.col("o_totalprice").between(a, b)).count()
         assert got == want
+
+
+def test_time_travel_versions(spark, sf_dir, tmp_path):
+    """Snapshot isolation over the manifest log: version N reads see
+    exactly the files committed at N — appends after the pin are
+    invisible, deletes produce a new version that excludes the file,
+    and an unchanged commit is a no-op returning the same version."""
+    from spotify_podcasts_airflow_batch_spark.sinks.manifest import (
+        commit_version,
+        list_versions,
+        read_manifest_version,
+        snapshot_read,
+    )
+
+    data = str(tmp_path / "orders_versioned")
+    mdir = str(tmp_path / "orders_manifest")
+    orders = table(spark, sf_dir, "orders")
+    batch1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    batch2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    batch1.coalesce(2).write.mode("append").parquet(data)
+    v1 = commit_version(spark, data, mdir, ["o_totalprice"])
+    assert v1 == 1
+
+    batch2.coalesce(2).write.mode("append").parquet(data)
+    v2 = commit_version(spark, data, mdir, ["o_totalprice"])
+    assert v2 == 2
+    assert list_versions(mdir) == [1, 2]
+
+    # pinned v1 read is isolated from the append
+    assert snapshot_read(spark, mdir, 1).count() == batch1.count()
+    assert snapshot_read(spark, mdir, 2).count() == orders.count()
+    assert snapshot_read(spark, mdir).count() == orders.count()  # latest
+
+    # idempotent: identical state commits nothing
+    assert commit_version(spark, data, mdir, ["o_totalprice"]) == 2
+    assert list_versions(mdir) == [1, 2]
+
+    # pruning composes with version pins
+    lo, hi = (
+        batch1.agg(
+            F.expr("percentile(o_totalprice, 0.4)"),
+            F.expr("percentile(o_totalprice, 0.6)"),
+        ).collect()[0]
+    )
+    pruned = snapshot_read(spark, mdir, 1, "o_totalprice", lo, hi).filter(
+        F.col("o_totalprice").between(lo, hi)
+    )
+    want = batch1.filter(F.col("o_totalprice").between(lo, hi))
+    assert pruned.count() == want.count()
+
+    # delete a data file → next commit records the removal
+    man1 = read_manifest_version(spark, mdir, 1)
+    victim = sorted(r.path for r in man1.select("path").collect())[0]
+    os.remove(victim)
+    v3 = commit_version(spark, data, mdir, ["o_totalprice"])
+    assert v3 == 3
+    paths3 = {r.path for r in read_manifest_version(spark, mdir, 3).collect()}
+    assert victim not in paths3
+    removed_rows = [r.n_rows for r in man1.collect() if r.path == victim][0]
+    assert snapshot_read(spark, mdir, 3).count() == orders.count() - removed_rows
