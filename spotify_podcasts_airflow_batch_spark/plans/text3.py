@@ -1,7 +1,7 @@
-"""Corpus-statistics operators, round 2 (SURVEY.md §2 C30-C33):
+"""Corpus-statistics operators, round 2 (SURVEY.md §2 C30-C35):
 cross-document duplication measurement, unigram language-model
-scoring with CCNet-style perplexity bucketing, and BM25 keyword
-retrieval. All built-in column expressions — tokenization and scoring
+scoring with CCNet-style perplexity bucketing, BM25 keyword
+retrieval, and ExactSubstr duplicated-span removal. All built-in column expressions — tokenization and scoring
 stay inside whole-stage codegen; corpus-sized relations are never
 joined to each other (vocabulary/statistic tables broadcast back).
 
@@ -292,3 +292,105 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_matched", F.round(total, 4).alias("bm25")
     )
+
+
+# ---------------------------------------------------------------- C35
+@register(
+    "dup_span_removal",
+    oracle=f"""
+    WITH lt AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    sp AS (
+        SELECT doc_id, k AS pos, array_to_string(w[k+1:k+8], ' ') AS shingle
+        FROM lt, unnest(range(len(w) - 7)) AS t(k)
+        WHERE len(w) >= 8
+    ),
+    dupsh AS (
+        SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM sp)
+        GROUP BY shingle HAVING count(*) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT sp.doc_id, t.p
+        FROM sp JOIN dupsh USING (shingle),
+             unnest(range(sp.pos, sp.pos + 8)) AS t(p)
+    ),
+    covlist AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id)
+    SELECT lt.doc_id,
+           len(w) AS n_tokens,
+           coalesce(len(ps), 0) AS n_removed,
+           coalesce(array_to_string(
+               [w[p+1] FOR p IN range(len(w))
+                IF NOT list_contains(coalesce(ps, []), p)], ' '), '')
+               AS cleaned_text
+    FROM lt LEFT JOIN covlist USING (doc_id)
+    """,
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35 — ExactSubstr-style duplicated-span REMOVAL (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    8-token span occurring in ≥2 distinct documents is excised from
+    every document it appears in; the output is the cleaned corpus
+    plus per-doc removal accounting. The paper's suffix array becomes
+    a distributed equivalent: positional spans (explode), document
+    frequency over per-doc-distinct spans (map-side-combined groupBy),
+    duplicated-span set joined back on the span text, covered token
+    positions expanded (bounded by dup volume × k, never corpus × k),
+    and the surviving tokens re-joined order-preserving with an
+    index-aware array filter — the doc body itself never shuffles with
+    the span relation, only (doc_id, position) pairs do. At 100 TB the
+    span→df table is the C30/C16 relation again — one materialization
+    serves all three."""
+    d = table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    k = 8
+    d = d.select("doc_id", tokens(F.col("text")).alias("w"))
+    n = F.size("w")
+    sp = d.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+        "w",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("w", F.col("pos") + 1, k)).alias("shingle"),
+    )
+    dupsh = (
+        sp.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    cov = (
+        sp.join(dupsh, "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    covlist = cov.groupBy("doc_id").agg(F.collect_set("p").alias("ps"))
+    empty = F.array().cast("array<int>")
+    joined = d.join(covlist, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.coalesce(F.size("ps"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.filter(
+                "w",
+                lambda x, i: ~F.array_contains(
+                    F.coalesce(F.col("ps"), empty), i
+                ),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return joined
