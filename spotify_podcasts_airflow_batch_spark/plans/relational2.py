@@ -233,3 +233,46 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "global_row_number",
+    oracle="""
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS global_id
+    FROM documents
+    """,
+)
+def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 — contiguous global sequence numbers in key order WITHOUT a
+    single-task global sort. ``row_number() OVER (ORDER BY key)`` puts
+    the whole table in one window partition — the classic scale trap.
+    Instead: range-repartition on the key (disjoint ordered ranges),
+    rank locally within each partition, and add per-partition row-count
+    offsets (a tiny aggregate, broadcast back). The result is invariant
+    to where the range boundaries land, so sampling jitter in the range
+    partitioner cannot change a single assigned id. This is the sample
+    id assignment step of a training-data pipeline — at 100 TB it runs
+    with per-task state equal to one partition's sort, never one task
+    holding the table."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    parts = docs.repartitionByRange(16, F.col("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("pid").orderBy("doc_id"))
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "off")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (F.col("off") + F.col("rn")).cast("long").alias("global_id")
+    )

@@ -301,3 +301,109 @@ def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         rerank=_RERANK_DEPTH,
     )
+
+
+# ---------------------------------------------------------------- D10
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as plain SQL (DuckDB forbids
+    nothing here — the recursion is just 10 chained CTEs)."""
+    base = """
+    WITH edges AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    outd AS (SELECT src, sum(w) AS tot FROM edges GROUP BY src),
+    en AS (
+        SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / outd.tot AS p
+        FROM edges e JOIN outd USING (src)
+    ),
+    nn AS (SELECT count(*) AS n FROM nation),
+    pr0 AS (
+        SELECT n_nationkey AS node, 1.0 / nn.n AS r FROM nation, nn
+    )"""
+    step = """,
+    pr{next} AS (
+        SELECT n.n_nationkey AS node,
+               0.15 / nn.n + 0.85 * coalesce(sum(p.r * en.p), 0.0) AS r
+        FROM nation n
+        CROSS JOIN nn
+        LEFT JOIN en ON en.dst = n.n_nationkey
+        LEFT JOIN pr{cur} p ON p.node = en.src
+        GROUP BY n.n_nationkey, nn.n
+    )"""
+    parts = [base]
+    for i in range(_PR_ITERS):
+        parts.append(step.format(cur=i, next=i + 1))
+    parts.append(
+        f"""
+    SELECT node AS nationkey, round(r, 6) + 0 AS pagerank FROM pr{_PR_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@register("nation_pagerank", oracle=_pagerank_oracle())
+def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — PageRank over the nation-to-nation trade graph (supplier
+    nation → customer nation per lineitem, edge weight = shipment
+    count), 10 damped iterations (d=0.85). The iterative-algorithm
+    class beyond D5's connected components: each round is ONE
+    contribution join (edges × current ranks, shuffled on the edge
+    key) and one map-side-combinable sum per destination; the edge
+    relation with its out-degree normalization is built once, cached,
+    and re-used every round; ``localCheckpoint`` truncates lineage so
+    the plan stays round-sized. Dangling mass is not redistributed —
+    identically on both engines, so ranks agree bit-for-bit after
+    rounding. At 100 TB the rank table shuffles on node id per round;
+    edges stay partitioned once — the Pregel layout."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    edges = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outd = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    en = (
+        edges.join(outd, "src")
+        .select("src", "dst", (F.col("w").cast("double") / F.col("tot")).alias("p"))
+        .localCheckpoint(eager=True)  # materialize once, reuse every round
+    )
+    n_nodes = n.count()
+    ranks = n.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            en.join(ranks, en.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            n.join(contrib, n.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("node").alias("nationkey"),
+        (F.round(F.col("r"), 6) + F.lit(0.0)).alias("pagerank"),
+    )

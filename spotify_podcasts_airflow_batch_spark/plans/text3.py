@@ -13,7 +13,7 @@ as plans/llm_pipeline.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_podcasts_airflow_batch_spark.functions.text import (
@@ -394,3 +394,55 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cleaned_text"),
     )
     return joined
+
+
+# ---------------------------------------------------------------- C36
+_TWO60 = 1 << 60
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    WITH kd AS (
+        SELECT doc_id, source, n_chars,
+               ln( (( ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0 )
+                    / {_TWO60 + 1}.0) ) / n_chars AS k
+        FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        FROM kd
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36 — deterministic weighted sampling without replacement, 5 docs
+    per source, weight = n_chars (Efraimidis-Spirakis A-ES: keep the k
+    largest u^(1/w) keys, u uniform per item). The uniform draw comes
+    from the engine's md5 hash family — no RNG state, so the sample is
+    reproducible across engines, runs, and partitionings, and sampling
+    by quality/length weight stays an auditable pure function of the
+    data. Ranking uses ln(u)/w (same order as u^(1/w), one libm call
+    instead of pow). A-ES keys are mergeable: at 100 TB each partition
+    keeps its local top-k and the combiner merges — here the per-group
+    top-k runs as one window pass over the pre-hashed scan."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        md5_hash60,
+    )
+
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        md5_hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+        + F.lit(1).cast("double")
+    ) / F.lit(float(_TWO60 + 1))
+    kd = d.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        kd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "source", "n_chars")
+    )
