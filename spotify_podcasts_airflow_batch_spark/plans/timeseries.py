@@ -217,3 +217,107 @@ def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         )
     )
+
+
+@register(
+    "open_orders_timeline",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderkey, o.o_orderdate AS s, max(l.l_shipdate) AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    ev AS (
+        SELECT s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM iv
+    ),
+    agg AS (SELECT t, sum(d) AS nd FROM ev GROUP BY t)
+    SELECT t, sum(nd) OVER (ORDER BY t) AS n_open FROM agg
+    """,
+)
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 — sweep-line concurrency: how many orders are OPEN (placed,
+    not yet fully shipped) at every boundary instant. Intervals become
+    +1/−1 change events, net deltas collapse per timestamp (map-side
+    combine also erases tie-ordering ambiguity), and the running total
+    is a DISTRIBUTED PREFIX SUM — range-partition by time, cumulative
+    sum within each partition, then add broadcast per-partition prefix
+    offsets. ``sum() OVER (ORDER BY t)`` with no partition key is the
+    one-task trap (the oracle can afford it; a 100 TB table cannot);
+    this plan's widest single sort is one range partition."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e"))
+    )
+    ev = iv.select(F.col("o_orderdate").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    deltas = ev.groupBy("t").agg(F.sum("d").alias("nd"))
+    parts = deltas.repartitionByRange(16, F.col("t")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "run",
+        F.sum("nd").over(
+            Window.partitionBy("pid")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = parts.groupBy("pid").agg(F.sum("nd").alias("tot"))
+    offsets = totals.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("tot").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "off")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "t", (F.col("off") + F.col("run")).alias("n_open")
+    )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, med.m, median(abs(e.value - med.m)) AS md
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type, med.m
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN mad USING (event_type)
+    WHERE abs(e.value - mad.m) > 3 * 1.4826 * mad.md
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 — robust outlier detection: |value − median| > 3·1.4826·MAD
+    per event type (the median/MAD dual of E13's mean/σ z-score — a
+    single 1000× spike cannot drag the threshold toward itself the way
+    it drags a mean). Two tiny per-type aggregates (median, then median
+    absolute deviation) broadcast back onto the scan; the fact table
+    never shuffles. At 100 TB both medians swap to approx_percentile
+    (t-digest) with the same plan shape."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.expr("percentile(abs(value - m), 0.5)").alias("md"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("m")) > 3 * 1.4826 * F.col("md"))
+        .select("event_id", "event_type", "value")
+    )

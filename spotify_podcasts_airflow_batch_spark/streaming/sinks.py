@@ -118,3 +118,39 @@ def stream_upsert_latest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_versioned_table(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    manifest_dir: str,
+    stats_cols: list[str],
+):
+    """Stream into a TIME-TRAVELABLE table: each micro-batch appends
+    parquet, then commits a new manifest version (sinks/manifest.py)
+    covering exactly the files now present. Readers pinned to version
+    N never see later batches (snapshot isolation for a live stream);
+    `snapshot_read(version=None)` follows the tip. The per-batch
+    commit cost is O(files in that batch) — footer reads only for the
+    new files, carried forward from the previous version. A replayed
+    batch (restart before checkpoint advance) appends duplicate files;
+    exactly-once delivery here comes from the checkpoint, as in every
+    foreachBatch sink.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from spotify_podcasts_airflow_batch_spark.sinks.manifest import (
+        commit_version,
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(out_path)
+        commit_version(spark, out_path, manifest_dir, stats_cols)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

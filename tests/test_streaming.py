@@ -115,3 +115,47 @@ def test_streaming_sessionize_counts(spark, sf_dir, events_dir):
     )
     want = {r.user_id: (r.n, r.s) for r in batch}
     assert got == want
+
+
+def test_stream_commits_versioned_table(spark, sf_dir, tmp_path):
+    """Each micro-batch commits a manifest version: after a 2-batch
+    run the version log holds one snapshot per batch, a reader pinned
+    to version 1 sees only the first batch's files, and the tip sees
+    everything (streaming time travel)."""
+    from spotify_podcasts_airflow_batch_spark.sinks.manifest import (
+        list_versions,
+        read_manifest_version,
+        snapshot_read,
+    )
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+    from spotify_podcasts_airflow_batch_spark.streaming.sinks import (
+        stream_to_versioned_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    src = str(tmp_path / "src")
+    for half in (0, 1):
+        ev.where(ev.event_id % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "table")
+    mdir = str(tmp_path / "mlog")
+    q = stream_to_versioned_table(
+        stream, out, str(tmp_path / "ckpt"), mdir, ["value"]
+    )
+    q.awaitTermination(120)
+
+    assert list_versions(mdir) == [1, 2]
+    total = ev.count()
+    v1_rows = sum(
+        r.n_rows for r in read_manifest_version(spark, mdir, 1).collect()
+    )
+    assert 0 < v1_rows < total
+    assert snapshot_read(spark, mdir, 1).count() == v1_rows
+    assert snapshot_read(spark, mdir).count() == total
