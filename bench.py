@@ -38,12 +38,15 @@ HEADLINE = [
     "asof_join",
     "tumbling_window",
     "range_join",
+    "rolling_median",
+    "open_orders_timeline",
     # dedup / text
     "exact_dedup",
     "minhash_lsh",
     "winnow_fingerprint",
     "text_stats",
     "token_doc_freq",
+    "dup_span_removal",
     # training-data pipeline layer
     "quality_filter",
     "dup_segments",
@@ -51,10 +54,12 @@ HEADLINE = [
     "train_split",
     "sequence_pack",
     "contamination_check",
+    "weighted_sample",
     # similarity
     "knn_brute",
     "dedup_clusters",
     "embed_dim_stats",
+    "nation_pagerank",
     # streaming-parity batch form
     "click_attribution",
 ]

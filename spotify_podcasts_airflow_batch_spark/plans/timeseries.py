@@ -321,3 +321,70 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("value") - F.col("m")) > 3 * 1.4826 * F.col("md"))
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "type_association",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n  AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    tc AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           round(p.n_both / n.nu, 4)                    AS support,
+           round((p.n_both / ca.c) / (cb.c / n.nu), 4)  AS lift
+    FROM pairs p
+    JOIN tc ca ON ca.event_type = p.type_a
+    JOIN tc cb ON cb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def type_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 — market-basket association mining over event types: for
+    every unordered type pair, co-occurrence support across users and
+    lift (observed co-rate vs independence). The basket self-join is
+    keyed on user_id, so the pair expansion per user is bounded by
+    basket size squared (≤ distinct-types², a constant) — never
+    users². Distinct-collapse runs first (map-side combinable) so the
+    join input is one row per (user, type); the type-count dimension
+    and the scalar user total broadcast back onto the pair counts."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").alias("nu"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("nu"), 4).alias("support"),
+            F.round(
+                (F.col("n_both") / F.col("ca")) / (F.col("cb") / F.col("nu")), 4
+            ).alias("lift"),
+        )
+    )

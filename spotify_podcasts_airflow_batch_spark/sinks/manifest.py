@@ -300,3 +300,27 @@ def snapshot_read(
     if not files:
         raise ValueError("empty snapshot")
     return spark.read.parquet(*files)
+
+
+def optimize_table(
+    spark: SparkSession,
+    data_path: str,
+    manifest_dir: str,
+    cols: list[str],
+    target_files: int,
+) -> int:
+    """Delta-style OPTIMIZE: rewrite the current snapshot's files into
+    ``target_files`` larger ones and commit the swap as a new version.
+    The rewrite appends first and removes the replaced files only
+    after the new ones exist, so a crash mid-way leaves a readable
+    (over-complete) directory; the version flips atomically at the
+    commit. Old versions referencing the removed files become
+    unreadable — the vacuum trade-off every table format documents.
+    Returns the new version number."""
+    manifest = read_manifest_version(spark, manifest_dir)
+    old_files = [r.path for r in manifest.select("path").collect()]
+    df = spark.read.parquet(*old_files)
+    df.repartition(target_files).write.mode("append").parquet(data_path)
+    for p in old_files:
+        os.remove(p)
+    return commit_version(spark, data_path, manifest_dir, cols)

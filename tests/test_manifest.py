@@ -198,3 +198,33 @@ def test_time_travel_versions(spark, sf_dir, tmp_path):
     assert victim not in paths3
     removed_rows = [r.n_rows for r in man1.collect() if r.path == victim][0]
     assert snapshot_read(spark, mdir, 3).count() == orders.count() - removed_rows
+
+
+def test_optimize_table_compacts_and_preserves_content(spark, sf_dir, tmp_path):
+    """OPTIMIZE rewrites the snapshot into fewer files behind a new
+    version: same rows, fewer files, version log advanced by one, and
+    an immediate re-commit is a no-op."""
+    from spotify_podcasts_airflow_batch_spark.sinks.manifest import (
+        commit_version,
+        list_versions,
+        optimize_table,
+        read_manifest_version,
+        snapshot_read,
+    )
+
+    data = str(tmp_path / "orders_opt")
+    mdir = str(tmp_path / "opt_manifest")
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(8).write.mode("append").parquet(data)
+    assert commit_version(spark, data, mdir, ["o_totalprice"]) == 1
+    n_files_before = read_manifest_version(spark, mdir, 1).count()
+    assert n_files_before == 8
+
+    v = optimize_table(spark, data, mdir, ["o_totalprice"], target_files=2)
+    assert v == 2
+    assert read_manifest_version(spark, mdir, 2).count() == 2
+    got = {r.o_orderkey for r in snapshot_read(spark, mdir).select("o_orderkey").collect()}
+    want = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    assert got == want
+    assert commit_version(spark, data, mdir, ["o_totalprice"]) == 2
+    assert list_versions(mdir) == [1, 2]
