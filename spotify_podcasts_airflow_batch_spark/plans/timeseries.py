@@ -388,3 +388,122 @@ def type_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "value_drift_psi",
+    oracle="""
+    WITH b AS (SELECT event_type, value, epoch_us(ts) AS e FROM events),
+    rng AS (SELECT min(e) AS mn, max(e) AS mx FROM b),
+    sp AS (SELECT floor((mn + mx) / 2) AS tm FROM rng),
+    pa_ AS (SELECT event_type, value FROM b, sp WHERE e <  tm),
+    pb_ AS (SELECT event_type, value FROM b, sp WHERE e >= tm),
+    vr AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        FROM pa_ GROUP BY 1 HAVING max(value) > min(value)
+    ),
+    ba AS (
+        SELECT p.event_type,
+               CAST(least(9, greatest(0,
+                   floor((p.value - vr.vmin) * 10 / (vr.vmax - vr.vmin))))
+                   AS INT) AS bin
+        FROM pa_ p JOIN vr USING (event_type)
+    ),
+    bb AS (
+        SELECT p.event_type,
+               CAST(least(9, greatest(0,
+                   floor((p.value - vr.vmin) * 10 / (vr.vmax - vr.vmin))))
+                   AS INT) AS bin
+        FROM pb_ p JOIN vr USING (event_type)
+    ),
+    grid AS (
+        SELECT vr.event_type, t.g AS bin FROM vr, range(10) AS t(g)
+    ),
+    ca AS (SELECT event_type, bin, count(*) AS c FROM ba GROUP BY 1, 2),
+    cb AS (SELECT event_type, bin, count(*) AS c FROM bb GROUP BY 1, 2),
+    na AS (SELECT event_type, count(*) AS n FROM ba GROUP BY 1),
+    nb AS (SELECT event_type, count(*) AS n FROM bb GROUP BY 1)
+    SELECT g.event_type,
+           max(na.n) AS n_ref,
+           max(nb.n) AS n_cur,
+           round(sum(
+               ((coalesce(ca.c, 0) + 1.0) / (na.n + 10)
+                - (coalesce(cb.c, 0) + 1.0) / (nb.n + 10))
+               * ln(((coalesce(ca.c, 0) + 1.0) / (na.n + 10))
+                    / ((coalesce(cb.c, 0) + 1.0) / (nb.n + 10)))
+           ), 4) + 0 AS psi
+    FROM grid g
+    JOIN na USING (event_type)
+    JOIN nb USING (event_type)
+    LEFT JOIN ca ON ca.event_type = g.event_type AND ca.bin = g.bin
+    LEFT JOIN cb ON cb.event_type = g.event_type AND cb.bin = g.bin
+    GROUP BY g.event_type
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 — distribution drift monitoring: Population Stability Index
+    of the value distribution per event type, later half of the time
+    range vs the earlier half (the train/serve skew check an ML
+    pipeline runs before trusting a feature). Reference bins are 10
+    equal-width buckets from the REFERENCE period's min/max (current
+    values clamp into the edge bins — exactly how a deployed scorecard
+    bins unseen values), counts are Laplace-smoothed over the full
+    10-bin grid so empty bins contribute, and PSI sums
+    (pa−pb)·ln(pa/pb). Every stage is a map-side-combinable aggregate
+    or a broadcast of a per-type scalar table; the fact scan shuffles
+    only as bin counts (types × 10 rows)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("e")
+    )
+    rng = ev.agg(
+        F.floor((F.min("e") + F.max("e")) / 2).alias("tm")
+    )
+    split = ev.crossJoin(F.broadcast(rng))
+    pa = split.where(F.col("e") < F.col("tm"))
+    pb = split.where(F.col("e") >= F.col("tm"))
+    vr = (
+        pa.groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .where(F.col("vmax") > F.col("vmin"))
+    )
+    def bins(side: DataFrame) -> DataFrame:
+        return side.join(F.broadcast(vr), "event_type").select(
+            "event_type",
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        * 10
+                        / (F.col("vmax") - F.col("vmin"))
+                    ),
+                ),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    ba, bb = bins(pa), bins(pb)
+    grid = vr.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    ca = ba.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("ca"))
+    cb = bb.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cb"))
+    na = ba.groupBy("event_type").agg(F.count(F.lit(1)).alias("na"))
+    nb = bb.groupBy("event_type").agg(F.count(F.lit(1)).alias("nb"))
+    p_a = (F.coalesce(F.col("ca"), F.lit(0)) + 1.0) / (F.col("na") + 10)
+    p_b = (F.coalesce(F.col("cb"), F.lit(0)) + 1.0) / (F.col("nb") + 10)
+    return (
+        grid.join(F.broadcast(na), "event_type")
+        .join(F.broadcast(nb), "event_type")
+        .join(F.broadcast(ca), ["event_type", "bin"], "left")
+        .join(F.broadcast(cb), ["event_type", "bin"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_ref"),
+            F.max("nb").alias("n_cur"),
+            (F.round(F.sum((p_a - p_b) * F.log(p_a / p_b)), 4) + F.lit(0.0)).alias(
+                "psi"
+            ),
+        )
+    )
