@@ -407,3 +407,105 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nationkey"),
         (F.round(F.col("r"), 6) + F.lit(0.0)).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------- D11
+_TRI_EDGES = """
+        SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+                        greatest(s_nationkey, c_nationkey) AS b
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE s_nationkey <> c_nationkey
+"""
+
+
+@register(
+    "trade_triangles",
+    oracle=f"""
+    WITH ed AS ({_TRI_EDGES}),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed
+        ) GROUP BY node
+    ),
+    pern AS (
+        SELECT node, count(*) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT deg.node AS nationkey, deg.degree,
+           coalesce(pern.n_triangles, 0) AS n_triangles,
+           round(CASE WHEN deg.degree >= 2
+                 THEN coalesce(pern.n_triangles, 0) * 2.0
+                      / (deg.degree * (deg.degree - 1))
+                 ELSE 0.0 END, 4) AS clustering
+    FROM deg LEFT JOIN pern USING (node)
+    """,
+)
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 — triangle counting + local clustering coefficient on the
+    undirected nation trade graph (edge = any shipment between two
+    nations). Node-iterator enumeration over canonically ordered edges
+    (a<b): each triangle {x<y<z} is found exactly once by joining
+    (x,y)⋈(y,z) and closing with (x,z). On a real (power-law) graph
+    the scale refinement is degree-ordering the edge direction first
+    (Schank-Wagner) so the two-path fan-out is bounded by the LOWER
+    degree endpoint; the join shape is identical. Per-node triangle
+    membership and degree are map-side-combinable counts; clustering
+    = 2·tri / (deg·(deg−1))."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ed = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; reused three times below
+    )
+    e1 = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    deg = (
+        ed.select(F.col("a").alias("node"))
+        .unionAll(ed.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    pern = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return deg.join(pern, "node", "left").select(
+        F.col("node").alias("nationkey"),
+        "degree",
+        n_tri.alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                n_tri * 2.0 / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0),
+            4,
+        ).alias("clustering"),
+    )
