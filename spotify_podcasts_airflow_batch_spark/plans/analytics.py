@@ -645,3 +645,198 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return emb.select("vec_id", F.round(score, 4).alias("pc1_score"))
+
+
+# ---------------------------------------------------------------- E27
+@register(
+    "covered_time",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, ts, ts + INTERVAL 5 MINUTE AS te FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, ts, te,
+               max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, ts, te,
+               sum(CASE WHEN pmax IS NULL OR ts > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, island, min(ts) AS s, max(te) AS e
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, count(*) AS n_intervals,
+           sum(epoch_us(e) - epoch_us(s)) AS covered_us
+    FROM g GROUP BY user_id
+    """,
+)
+def covered_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 — total covered time per user after merging overlapping
+    activity intervals (each event opens a 5-minute window): the
+    gaps-and-islands union-of-intervals, the dual of E22's sweep-line
+    concurrency. One shuffle on user_id serves both window passes
+    (running max of interval end → island boundaries where a start
+    clears every prior end; touching intervals merge) and the island
+    aggregate — per-key state is a single timestamp, skew-safe until
+    one user outgrows a task (then E8's two-level fold applies).
+    Microsecond arithmetic is integer-exact across engines."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    iv = ev.withColumn("te", F.col("ts") + F.expr("INTERVAL 5 MINUTE"))
+    order = [F.col("ts"), F.col("event_id")]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = Window.partitionBy("user_id").orderBy(*order)
+    isl = iv.withColumn("pmax", F.max("te").over(wprev)).withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pmax").isNull() | (F.col("ts") > F.col("pmax")), 1)
+            .otherwise(0)
+        ).over(wcum),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("ts").alias("s"), F.max("te").alias("e")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.unix_micros("e") - F.unix_micros("s")).alias("covered_us"),
+    )
+
+
+# ---------------------------------------------------------------- E28
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS daynum
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, daynum,
+               daynum - row_number() OVER (PARTITION BY user_id ORDER BY daynum)
+                 AS anchor
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, anchor, count(*) AS streak_len
+        FROM r GROUP BY user_id, anchor
+    )
+    SELECT user_id, max(streak_len) AS best_streak,
+           sum(streak_len) AS n_active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 — longest consecutive-day activity streak per user: the
+    classic gaps-and-islands date trick (daynum − row_number is
+    constant exactly along a run of consecutive days), on integer day
+    numbers so the island key is arithmetic-exact on both engines.
+    The fact first collapses to distinct (user, day) — map-side
+    combinable, so the window input is bounded by users × days, never
+    raw events."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "daynum"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("daynum")
+    r = d.withColumn("anchor", F.col("daynum") - F.row_number().over(w))
+    s = r.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("streak_len"))
+    return s.groupBy("user_id").agg(
+        F.max("streak_len").alias("best_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+    )
+
+
+# ---------------------------------------------------------------- E29
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type, count(*) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, sum(n_trans) AS n_from FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.event_type, t.n_trans,
+           round(t.n_trans / tot.n_from, 4) AS prob
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29 — first-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the user-behavior model
+    behind next-action prediction and funnel anomaly detection. One
+    shuffle on user_id for the lag window; the transition counts then
+    collapse map-side to a |types|² matrix, and the row-normalizing
+    totals join back broadcast-sized. Integer-count division →
+    bit-equal probabilities."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n_trans",
+            F.round(F.col("n_trans") / F.col("n_from"), 4).alias("prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- E30
+@register(
+    "hourly_seasonality",
+    oracle="""
+    SELECT event_type, hour(ts) AS hour_of_day, count(*) AS n_events,
+           floor((2 * round(sum(value) * 1000000, 0) + 100 * count(*))
+                 / (2 * 100 * count(*))) / 10000.0 AS avg_value
+    FROM events
+    GROUP BY event_type, hour(ts)
+    """,
+)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30 — hour-of-day seasonality profile per event type: the
+    diurnal load curve capacity planning and anomaly baselines read
+    from. A pure map-side-combinable rollup — the shuffle carries
+    |types|×24 partial states regardless of event volume. The average
+    uses the integer micro-unit HALF_UP formula (see E1
+    tumbling_window) so both engines round the identical
+    integer-valued double."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.floor(
+                (2 * F.round(F.sum("value") * 1000000, 0) + 100 * F.count(F.lit(1)))
+                / (2 * 100 * F.count(F.lit(1)))
+            )
+            / 10000.0
+        ).alias("avg_value"),
+    )
