@@ -1,0 +1,193 @@
+"""LLM-training-data pipeline operators, part 4 (SURVEY.md §2 C39-C41):
+per-domain quota capping, language-rebalancing sampling, and linear
+quality-model inference as columnar math.
+
+All three are corpus-curation passes a 100 TB crawl pipeline runs
+between ingest and tokenization (the reference's single-day pandas
+transform generalized to corpus scale; cf.
+``/root/reference/dags/spotify/include/spotify_eps.py:78-103`` for the
+per-group cap/rank idiom these distribute). Every query is mirrored
+bit-for-bit by a DuckDB oracle: hashes come from the shared md5
+family, ratios stay rational (no transcendentals), and floats are
+rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+    md5_hash31,
+    oracle_hash31,
+)
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+# ---------------------------------------------------------------- C39
+_QUOTA = 6  # max docs kept per (source, lang) group
+_QUOTA_SALTS = 4  # first-stage fan-out for hot groups
+
+
+@register(
+    "domain_quota_cap",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars
+    FROM (
+        SELECT doc_id, source, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY source, lang
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_QUOTA}
+    """,
+)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39 — cap each (source, lang) group at the {quota} best documents
+    (longest first, doc_id tiebreak): the per-domain quota every crawl
+    pipeline applies so one hot domain can't dominate the corpus.
+
+    Scale design: a naive row_number window sorts EVERY group, and at
+    100 TB the hot domain's group lands on one task. Here only
+    over-quota groups (found by a cheap count-aggregate, broadcast
+    back) enter the window at all — within-quota groups pass through
+    untouched — and the over-quota rows are first cut to a per-salt
+    top-Q (salt = doc_id mod {salts}), so the final per-group sort sees
+    at most {salts}×Q rows per group no matter how hot the domain is.
+    The global top-Q is always contained in the union of per-salt
+    top-Qs, so the two-stage cut is exact.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    over = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+        .where(F.col("grp_n") > _QUOTA)
+        .select("source", "lang")
+    )
+    under_rows = d.join(F.broadcast(over), ["source", "lang"], "left_anti")
+    over_rows = d.join(F.broadcast(over), ["source", "lang"], "left_semi")
+
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    salted = Window.partitionBy(
+        "source", "lang", F.pmod(F.col("doc_id"), F.lit(_QUOTA_SALTS))
+    ).orderBy(*order)
+    survivors = (
+        over_rows.withColumn("srn", F.row_number().over(salted))
+        .where(F.col("srn") <= _QUOTA)
+        .drop("srn")
+    )
+    final = Window.partitionBy("source", "lang").orderBy(*order)
+    capped = (
+        survivors.withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") <= _QUOTA)
+        .drop("rn")
+    )
+    return under_rows.unionByName(capped).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------- C40
+_REBAL_HASH = oracle_hash31("'rebal:' || CAST(doc_id AS VARCHAR)")
+_EN_KEEP, _OTHER_KEEP = 200, 600  # per-mille keep rates
+
+
+@register(
+    "rebalance_sample",
+    oracle=f"""
+    SELECT doc_id, lang, {_REBAL_HASH} % 1000 AS bucket
+    FROM documents
+    WHERE {_REBAL_HASH} % 1000 <
+          CASE WHEN lang = 'en' THEN {_EN_KEEP} ELSE {_OTHER_KEEP} END
+    """,
+)
+def rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40 — language-rebalancing downsample: keep 20% of the dominant
+    language and 60% of the rest (the CC-100 / CCNet move that stops
+    English from drowning the mixture). Membership is a pure function
+    of doc_id via the shared md5 hash family, so the sample is
+    reproducible across engines, runs, and repartitionings — unlike a
+    seeded ``sample()``, which changes with file order. One codegen
+    projection + pushed filter; no shuffle at any scale."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        md5_hash31(F.concat(F.lit("rebal:"), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    keep = F.when(F.col("lang") == "en", _EN_KEEP).otherwise(_OTHER_KEEP)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), keep.alias("k"))
+        .where(F.col("bucket") < F.col("k"))
+        .drop("k")
+    )
+
+
+# ---------------------------------------------------------------- C41
+# Offline-trained linear quality model: score = w·x over rational
+# features (counts / counts), so Spark and DuckDB agree bit-for-bit —
+# no exp/ln in the expression.
+_W_BIAS, _W_LEN, _W_DIGIT, _W_PUNCT, _W_UPPER = -1.0, 0.8, -3.0, 1.5, -2.0
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) / 100.0 AS f_len,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS f_digit,
+               (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS f_punct,
+               (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS f_upper
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           round({_W_BIAS} + {_W_LEN} * f_len + {_W_DIGIT} * f_digit
+                 + {_W_PUNCT} * f_punct + {_W_UPPER} * f_upper, 4) AS score,
+           ({_W_BIAS} + {_W_LEN} * f_len + {_W_DIGIT} * f_digit
+                 + {_W_PUNCT} * f_punct + {_W_UPPER} * f_upper) >= 0
+               AS keep_doc
+    FROM f
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41 — quality-classifier inference as columnar math: a linear
+    model (trained offline, weights frozen here) over cheap rational
+    features — token count, digit/punct/uppercase character ratios.
+    This is how a fastText-style quality filter runs at 100 TB: the
+    model is a handful of multiply-adds per row inside whole-stage
+    codegen, not a Python UDF. Features are ratios of integer counts
+    (no ln/exp), so both engines compute identical doubles; regex char
+    counts come from length-after-strip, one regexp_replace per class.
+    Filter+projection only — no shuffle."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n = F.length("text").cast("double")
+
+    def _class_count(pattern: str):
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), pattern, "")
+        )
+
+    f_len = F.size(F.split(F.trim(F.col("text")), r"\s+")) / F.lit(100.0)
+    f_digit = _class_count("[0-9]") / n
+    f_punct = _class_count("[.,;:!?]") / n
+    f_upper = _class_count("[A-Z]") / n
+    z = (
+        F.lit(_W_BIAS)
+        + F.lit(_W_LEN) * f_len
+        + F.lit(_W_DIGIT) * f_digit
+        + F.lit(_W_PUNCT) * f_punct
+        + F.lit(_W_UPPER) * f_upper
+    )
+    return d.select(
+        "doc_id",
+        F.round(z, 4).alias("score"),
+        (z >= 0).alias("keep_doc"),
+    )

@@ -27,6 +27,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.text2",
     "spotify_podcasts_airflow_batch_spark.plans.text3",
     "spotify_podcasts_airflow_batch_spark.plans.llm_pipeline",
+    "spotify_podcasts_airflow_batch_spark.plans.llm_pipeline2",
     "spotify_podcasts_airflow_batch_spark.plans.analytics",
     "spotify_podcasts_airflow_batch_spark.plans.similarity",
     "spotify_podcasts_airflow_batch_spark.plans.events",
