@@ -191,3 +191,59 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("score"),
         (z >= 0).alias("keep_doc"),
     )
+
+
+# ---------------------------------------------------------------- C42
+_TOKEN_BUDGET = 1_000_000  # total training tokens to draw
+_MAX_EPOCHS = 4.0  # repetition ceiling per source
+
+
+@register(
+    "token_budget_epochs",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS n_sources FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           round(least({_TOKEN_BUDGET} / n_sources / n_tokens,
+                       {_MAX_EPOCHS}), 4) AS epochs,
+           round(least({_TOKEN_BUDGET} / n_sources,
+                       {_MAX_EPOCHS} * n_tokens), 2) AS planned_tokens
+    FROM per_src, tot
+    """,
+)
+def token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 — data-mixture epoch planning: given a total token budget
+    split equally across sources, how many epochs of each source are
+    drawn (capped at {max_epochs} repeats, the 'don't over-epoch small
+    sources' rule from data-constrained scaling work). One shuffle to
+    the per-source rollup (map-side combined token sums), then the
+    budget arithmetic is a projection against the broadcast
+    source-count scalar — the planning table stays |sources| rows no
+    matter the corpus size. All math is rational (int counts and
+    divisions), so both engines emit identical doubles."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+    share = F.lit(_TOKEN_BUDGET) / F.col("n_sources") / F.col("n_tokens")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.least(share, F.lit(_MAX_EPOCHS)), 4).alias("epochs"),
+        F.round(
+            F.least(
+                F.lit(_TOKEN_BUDGET) / F.col("n_sources"),
+                F.lit(_MAX_EPOCHS) * F.col("n_tokens"),
+            ),
+            2,
+        ).alias("planned_tokens"),
+    )

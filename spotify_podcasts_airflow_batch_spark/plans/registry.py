@@ -30,6 +30,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.llm_pipeline2",
     "spotify_podcasts_airflow_batch_spark.plans.analytics",
     "spotify_podcasts_airflow_batch_spark.plans.similarity",
+    "spotify_podcasts_airflow_batch_spark.plans.similarity2",
     "spotify_podcasts_airflow_batch_spark.plans.events",
     "spotify_podcasts_airflow_batch_spark.plans.timeseries",
     "spotify_podcasts_airflow_batch_spark.plans.multimodal",

@@ -1,0 +1,90 @@
+"""Similarity / embedding-quality operators, part 2 (SURVEY.md §2
+D14-D15): SemDeDup-style semantic dedup output and a first-class
+ANN-recall evaluation query.
+
+D14 turns the near-dup PAIR diagnostic (D-series `embed_near_dup`)
+into the artifact a training pipeline actually ships — the kept
+corpus; D15 turns the test-only recall assertion into a queryable
+evaluation table, because at 100 TB you tune LSH plane counts from a
+recall dashboard, not a unit test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+    blocked_allpairs_cosine,
+    knn_brute_force,
+    knn_lsh,
+)
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+_SEMDEDUP_TAU = 0.3
+_EMBED_DIMS = 64
+
+
+@register(
+    "semdedup_keep",
+    oracle=f"""
+    SELECT a.vec_id, a.label
+    FROM embeddings a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings b
+        WHERE b.label = a.label
+          AND b.vec_id < a.vec_id
+          AND list_cosine_similarity(
+                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+              ) >= {_SEMDEDUP_TAU}
+    )
+    """,
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 — SemDeDup (Abbas et al. 2023) cleaned-corpus output: a
+    vector is dropped when ANY earlier vector (smaller id) in its
+    cluster is cosine-similar ≥ τ. The rule is a pure function of the
+    pair set — no sequential greedy pass — so it parallelizes: compute
+    blocked all-pairs once (numpy GEMM per cluster block, cost bounded
+    by Σ block², never corpus²), distinct the later-id side, anti-join
+    the corpus against it. The oracle keeps the quadratic NOT EXISTS
+    form. At 100 TB the cluster blocks come from k-means cells
+    (D7/D3); here the pre-assigned ``label`` stands in."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = blocked_allpairs_cosine(
+        e, block_col="label", id_col="vec_id", vec_col="embedding",
+        tau=_SEMDEDUP_TAU, round_dp=4,
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@register("ann_recall", oracle=None)  # rows-only: grades an approximate index
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 — recall@10 of the LSH index (D2) against exact brute force
+    (D1), per query: |approx ∩ exact| / |exact|. The join is on
+    (query, neighbor) between two top-k tables that are tiny by
+    construction (queries × k rows) — the expensive parts are the
+    underlying scans, each of which runs exactly once. Rows-only by
+    nature (it GRADES an approximate structure); the metric itself is
+    cross-checked value-for-value against an independent numpy
+    recomputation in tests/test_similarity.py."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = knn_brute_force(corpus=e, queries=q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_lsh(corpus=e, queries=q, dims=_EMBED_DIMS, k=10).select(
+        "query_id", F.col("neighbor_id").alias("approx_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.approx_id),
+        "left",
+    ).select(exact.query_id, F.col("approx_id").isNotNull().alias("hit"))
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.round(F.avg(F.col("hit").cast("double")), 4).alias("recall_at_k"),
+    )

@@ -102,3 +102,46 @@ def test_hamming_rerank_planted_duplicate(spark):
     top = [r for r in res if r.rank == 1]
     assert [r.neighbor_id for r in top] == [100]
     assert top[0].hamming == 0 and top[0].cos_sim == 1.0
+
+
+def test_ann_recall_metric_exact(spark, sf_dir):
+    """D15: the recall table is cross-checked value-for-value against an
+    independent numpy recomputation — exact top-10 and bucket-restricted
+    LSH top-10 from the same deterministic hyperplanes. (No quality
+    floor: on isotropic synthetic vectors single-probe 8-plane LSH is
+    LEGITIMATELY poor — surfacing that is the point of the op.)"""
+    import numpy as np
+
+    from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+        NUM_PLANES,
+        hyperplanes,
+    )
+    from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+    rows = all_queries()["ann_recall"].spark_fn(spark, sf_dir).collect()
+    got = {r.query_id: r.recall_at_k for r in rows}
+    assert all(r.k == 10 for r in rows)
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in e])
+    X = np.array([list(r.embedding) for r in e], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    H = np.array(hyperplanes(X.shape[1], NUM_PLANES))
+    buckets = ((X @ H.T) >= 0) @ (1 << np.arange(NUM_PLANES))
+
+    def topk(q_idx, cand_mask, k=10):
+        cos = Xn[cand_mask] @ Xn[q_idx]
+        cand_ids = ids[cand_mask]
+        order = sorted(
+            range(len(cand_ids)), key=lambda i: (-round(cos[i], 6), cand_ids[i])
+        )
+        return [cand_ids[i] for i in order[:k]]
+
+    for qi in range(len(ids)):
+        if ids[qi] >= 5:
+            continue
+        exact = topk(qi, ids != ids[qi])
+        approx = set(topk(qi, (buckets == buckets[qi]) & (ids != ids[qi])))
+        want = round(len([n for n in exact if n in approx]) / len(exact), 4)
+        assert got[ids[qi]] == want, (ids[qi], got[ids[qi]], want)
