@@ -55,6 +55,9 @@ HEADLINE = [
     "sequence_pack",
     "contamination_check",
     "weighted_sample",
+    "domain_quota_cap",
+    "doc_quality_score",
+    "semdedup_keep",
     # similarity
     "knn_brute",
     "dedup_clusters",

@@ -362,8 +362,13 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-used every round; ``localCheckpoint`` truncates lineage so
     the plan stays round-sized. Dangling mass is not redistributed —
     identically on both engines, so ranks agree bit-for-bit after
-    rounding. At 100 TB the rank table shuffles on node id per round;
-    edges stay partitioned once — the Pregel layout."""
+    rounding. The node set here is BOUNDED (nations), so after the
+    fact contracts to the nation graph the rank/contrib relations are
+    ≤|nations| rows: both ride broadcast joins and the only per-round
+    shuffle is the dst aggregation. On an unbounded node set (users,
+    pages) the same loop degrades gracefully: drop the broadcast hints
+    and ranks shuffle on node id per round while edges stay
+    partitioned once — the Pregel layout."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -388,12 +393,12 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = n.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            en.join(ranks, en.src == ranks.node)
+            en.join(F.broadcast(ranks), en.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
         )
         ranks = (
-            n.join(contrib, n.node == contrib.dst, "left")
+            n.join(F.broadcast(contrib), n.node == contrib.dst, "left")
             .select(
                 "node",
                 (
