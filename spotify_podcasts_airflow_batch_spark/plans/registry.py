@@ -32,6 +32,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.similarity",
     "spotify_podcasts_airflow_batch_spark.plans.similarity2",
     "spotify_podcasts_airflow_batch_spark.plans.events",
+    "spotify_podcasts_airflow_batch_spark.plans.events2",
     "spotify_podcasts_airflow_batch_spark.plans.timeseries",
     "spotify_podcasts_airflow_batch_spark.plans.multimodal",
 )

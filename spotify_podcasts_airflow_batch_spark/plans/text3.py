@@ -140,8 +140,8 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.doc_id
     ),
     th AS (
-        SELECT quantile_cont(avg_logprob, 1.0/3.0) AS t_lo,
-               quantile_cont(avg_logprob, 2.0/3.0) AS t_hi
+        SELECT round(quantile_cont(avg_logprob, 1.0/3.0), 4) AS t_lo,
+               round(quantile_cont(avg_logprob, 2.0/3.0), 4) AS t_hi
         FROM lm
     )
     SELECT lm.doc_id, lm.avg_logprob,
@@ -177,9 +177,16 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Thresholds are rounded to the scores' own 4-dp resolution: the two
+    # engines' linear interpolations differ in the last ulp when adjacent
+    # order statistics are EQUAL (DuckDB's (1-f)·a + f·b double-rounds;
+    # Spark's a + f·(b-a) is exact), and an ulp-off threshold flips every
+    # tied doc's bucket. Interpolated values sit ≥ 1.6e-5 from any 4-dp
+    # rounding boundary (f ∈ {⅓,⅔} over 1e-4-quantized scores), so
+    # rounding absorbs ulp noise without ever being boundary-ambiguous.
     th = lm.agg(
-        F.expr("percentile(avg_logprob, 1.0D/3.0D)").alias("t_lo"),
-        F.expr("percentile(avg_logprob, 2.0D/3.0D)").alias("t_hi"),
+        F.round(F.expr("percentile(avg_logprob, 1.0D/3.0D)"), 4).alias("t_lo"),
+        F.round(F.expr("percentile(avg_logprob, 2.0D/3.0D)"), 4).alias("t_hi"),
     )
     bucket = (
         F.when(F.col("avg_logprob") >= F.col("t_hi"), "head")
