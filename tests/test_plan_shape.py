@@ -149,3 +149,36 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rebalance_sample_is_single_stage(spark, sf_dir):
+    """C40: hash-gated sampling is a projection + filter — zero
+    exchanges at any scale."""
+    plan = plan_of(spark, sf_dir, "rebalance_sample")
+    assert "Exchange" not in plan
+
+
+def test_doc_quality_score_no_shuffle_no_python(spark, sf_dir):
+    """C41: model inference stays inside codegen — no exchange, no
+    Python worker in the plan."""
+    plan = plan_of(spark, sf_dir, "doc_quality_score")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "*(1)" in plan  # whole-stage codegen span
+
+
+def test_domain_quota_cap_broadcasts_group_list(spark, sf_dir):
+    """C39: the over-quota group list rides broadcast joins (semi +
+    anti) — the fact is never shuffled to find its group's size."""
+    plan = plan_of(spark, sf_dir, "domain_quota_cap")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_anti_join_broadcast_pairs(spark, sf_dir):
+    """D14: pair finding runs as grouped-pandas GEMM; the dropped-id
+    anti join broadcasts the (small) dropped set, never shuffling the
+    corpus relation."""
+    plan = plan_of(spark, sf_dir, "semdedup_keep")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
