@@ -507,3 +507,58 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- E32
+@register(
+    "value_drawdown",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               round(sum(value) OVER w, 6) AS cum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT user_id,
+               max(cum) OVER w - cum AS dd
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, round(max(dd), 6) + 0 AS max_drawdown
+    FROM d GROUP BY user_id
+    """,
+)
+def value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E32 — maximum drawdown of each user's cumulative value series
+    (largest peak-to-trough decline): the risk/health metric for any
+    running total — revenue, engagement score, account balance. Two
+    stacked windows on ONE per-user sort: cumulative sum in time
+    order, then running-peak-minus-current, then a plain max. The
+    cumulative sum is rounded to 6 dp BEFORE the peak pass so both
+    engines difference identical doubles (running float sums agree to
+    the ulp only in identical order — the (ts, event_id) tiebreak
+    pins it). Per-user window state is O(1); no global sort anywhere,
+    and both window passes reuse ONE per-user sort (same partition
+    key and ordering — a single exchange + sort in the physical plan).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w_time = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.sum("value").over(w_time), 6).alias("cum"),
+    )
+    dd = F.max("cum").over(w_time) - F.col("cum")
+    return (
+        c.select("user_id", dd.alias("dd"))
+        .groupBy("user_id")
+        .agg((F.round(F.max("dd"), 6) + F.lit(0.0)).alias("max_drawdown"))
+    )

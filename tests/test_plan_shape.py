@@ -182,3 +182,11 @@ def test_semdedup_anti_join_broadcast_pairs(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "semdedup_keep")
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_drawdown_windows_share_one_sort(spark, sf_dir):
+    """E32: cumsum and running-peak windows have identical partitioning
+    and ordering — the plan must contain exactly one exchange (the
+    per-user hash partition) and no second sort between the windows."""
+    plan = plan_of(spark, sf_dir, "value_drawdown")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
