@@ -29,6 +29,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.llm_pipeline",
     "spotify_podcasts_airflow_batch_spark.plans.llm_pipeline2",
     "spotify_podcasts_airflow_batch_spark.plans.analytics",
+    "spotify_podcasts_airflow_batch_spark.plans.analytics2",
     "spotify_podcasts_airflow_batch_spark.plans.similarity",
     "spotify_podcasts_airflow_batch_spark.plans.similarity2",
     "spotify_podcasts_airflow_batch_spark.plans.events",
