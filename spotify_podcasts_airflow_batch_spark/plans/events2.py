@@ -84,3 +84,93 @@ def dtw_behavior_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(buys.groupBy("user_id"))
         .applyInPandas(align, schema=_DTW_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------- E34
+@register(
+    "touch_attribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               epoch_us(c.ts) AS click_ts_us,
+               epoch_us(p.ts) AS purchase_ts_us,
+               p.value AS amount
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) > epoch_us(c.ts)
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+    ),
+    agg AS (
+        SELECT user_id, purchase_id, purchase_ts_us, amount,
+               count(*) AS n_touches,
+               min(click_ts_us) AS first_ts_us,
+               max(click_ts_us) AS last_ts_us
+        FROM pairs
+        GROUP BY user_id, purchase_id, purchase_ts_us, amount
+    ),
+    f AS (
+        SELECT p.purchase_id, min(p.click_id) AS first_click_id
+        FROM pairs p JOIN agg a
+          ON p.purchase_id = a.purchase_id AND p.click_ts_us = a.first_ts_us
+        GROUP BY p.purchase_id
+    ),
+    l AS (
+        SELECT p.purchase_id, max(p.click_id) AS last_click_id
+        FROM pairs p JOIN agg a
+          ON p.purchase_id = a.purchase_id AND p.click_ts_us = a.last_ts_us
+        GROUP BY p.purchase_id
+    )
+    SELECT a.user_id, a.purchase_id, a.purchase_ts_us, a.amount,
+           a.n_touches, a.first_ts_us, f.first_click_id,
+           a.last_ts_us, l.last_click_id
+    FROM agg a JOIN f USING (purchase_id) JOIN l USING (purchase_id)
+    """,
+)
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 — first-touch vs last-touch attribution per purchase: which
+    click gets the credit under each model, plus the touch count (the
+    input to position-based/U-shaped credit). Built on E7's bounded
+    interval join, then ONE hash aggregate: first/last picks are
+    algebraic min/max over (ts, click_id) ordering structs — arg-min
+    without any per-purchase window sort (B40's max_by pattern), so
+    the shuffle carries one row per (purchase, click) pair and the
+    state per purchase is two structs. Tiebreaks (min id at the first
+    instant, max id at the last) are pinned identically in the
+    oracle's filtered picks."""
+    from spotify_podcasts_airflow_batch_spark.streaming.joins import (
+        click_purchase_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    pairs = click_purchase_attribution(ev, max_gap="30 minutes").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "amount",
+    )
+    first_pick = F.min(F.struct("click_ts_us", "click_id"))
+    last_pick = F.max(F.struct("click_ts_us", "click_id"))
+    return (
+        pairs.groupBy("user_id", "purchase_id", "purchase_ts_us", "amount")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            first_pick.alias("__f"),
+            last_pick.alias("__l"),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts_us",
+            "amount",
+            "n_touches",
+            F.col("__f.click_ts_us").alias("first_ts_us"),
+            F.col("__f.click_id").alias("first_click_id"),
+            F.col("__l.click_ts_us").alias("last_ts_us"),
+            F.col("__l.click_id").alias("last_click_id"),
+        )
+    )
