@@ -55,3 +55,49 @@ def latest_per_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def capped_top_q(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    quota: int,
+    salt_source: Column,
+    salts: int = 4,
+) -> DataFrame:
+    """Skew-safe per-group quota cap: keep each group's top ``quota``
+    rows under ``order_by`` (which must be a total order), equivalent
+    to a plain row_number window + filter for ANY input.
+
+    Shape (SURVEY §2 C39): groups within quota are identified by a
+    cheap count aggregate and pass through on a broadcast anti join —
+    they never enter a window. Over-quota groups are first cut to a
+    per-salt top-Q (salt = ``salt_source`` mod ``salts``), so the
+    final per-group sort sees ≤ salts·quota rows per group regardless
+    of how hot the group is; the global top-Q is always contained in
+    the union of per-salt top-Qs, so the two-stage cut is exact.
+    ``salt_source`` must be deterministic per row (an id column, not
+    rand()) so re-runs and retries keep the same membership."""
+    over = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__grp_n"))
+        .where(F.col("__grp_n") > quota)
+        .select(*group_cols)
+    )
+    under_rows = df.join(F.broadcast(over), list(group_cols), "left_anti")
+    over_rows = df.join(F.broadcast(over), list(group_cols), "left_semi")
+    salted = Window.partitionBy(
+        *group_cols, F.pmod(salt_source, F.lit(salts))
+    ).orderBy(*order_by)
+    survivors = (
+        over_rows.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= quota)
+        .drop("__srn")
+    )
+    final = Window.partitionBy(*group_cols).orderBy(*order_by)
+    capped = (
+        survivors.withColumn("__rn", F.row_number().over(final))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+    return under_rows.unionByName(capped)

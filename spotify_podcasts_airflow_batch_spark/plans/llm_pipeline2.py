@@ -14,7 +14,7 @@ rounded before comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_podcasts_airflow_batch_spark.functions.hashing import (
@@ -59,36 +59,21 @@ def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global top-Q is always contained in the union of per-salt
     top-Qs, so the two-stage cut is exact.
     """
+    from spotify_podcasts_airflow_batch_spark.operators.ranking import (
+        capped_top_q,
+    )
+
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "n_chars"
     )
-    over = (
-        d.groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).alias("grp_n"))
-        .where(F.col("grp_n") > _QUOTA)
-        .select("source", "lang")
-    )
-    under_rows = d.join(F.broadcast(over), ["source", "lang"], "left_anti")
-    over_rows = d.join(F.broadcast(over), ["source", "lang"], "left_semi")
-
-    order = [F.col("n_chars").desc(), F.col("doc_id")]
-    salted = Window.partitionBy(
-        "source", "lang", F.pmod(F.col("doc_id"), F.lit(_QUOTA_SALTS))
-    ).orderBy(*order)
-    survivors = (
-        over_rows.withColumn("srn", F.row_number().over(salted))
-        .where(F.col("srn") <= _QUOTA)
-        .drop("srn")
-    )
-    final = Window.partitionBy("source", "lang").orderBy(*order)
-    capped = (
-        survivors.withColumn("rn", F.row_number().over(final))
-        .where(F.col("rn") <= _QUOTA)
-        .drop("rn")
-    )
-    return under_rows.unionByName(capped).select(
-        "doc_id", "source", "lang", "n_chars"
-    )
+    return capped_top_q(
+        d,
+        group_cols=("source", "lang"),
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        quota=_QUOTA,
+        salt_source=F.col("doc_id"),
+        salts=_QUOTA_SALTS,
+    ).select("doc_id", "source", "lang", "n_chars")
 
 
 # ---------------------------------------------------------------- C40

@@ -105,3 +105,47 @@ def test_sessionize_counts_gap_crossings(spark, gaps):
     out = sessionize(df, gap_minutes=30).collect()
     want = 1 + sum(1 for g in gaps[1:] if g > 1800)
     assert max(r.session_id for r in out) == want
+
+_grp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # group
+        st.integers(min_value=0, max_value=9),   # score (dense → ties)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_grp_rows, quota=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_capped_top_q_equals_plain_window(spark, rows, quota):
+    """C39's salted two-stage quota cap is exactly a row_number window
+    + filter for ANY input: groups at/below/above quota, heavy ties in
+    the score, single-group skew, empty input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.operators.ranking import (
+        capped_top_q,
+    )
+
+    df = spark.createDataFrame(
+        [(g, s, i) for i, (g, s) in enumerate(rows)], "g long, s long, id long"
+    )
+    order = [F.col("s").desc(), F.col("id")]
+    got = sorted(
+        (r.g, r.s, r.id)
+        for r in capped_top_q(
+            df, group_cols=("g",), order_by=order, quota=quota,
+            salt_source=F.col("id"), salts=3,
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        (r.g, r.s, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= quota)
+        .drop("rn")
+        .collect()
+    )
+    assert got == want
