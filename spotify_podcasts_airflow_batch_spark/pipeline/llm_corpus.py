@@ -8,7 +8,8 @@ corpus:
 
     scan → PII scrub → quality gate → exact dedup → MinHash-LSH
     near-dup (pairs → connected components → one representative per
-    cluster) → deterministic train/val/test split → partitioned write
+    cluster) → optional per-domain quota cap → deterministic
+    train/val/test split → partitioned write
 
 Stage order is the cost order: the cheap map-only gates (scrub,
 quality) run first and shed the bulk of the data before anything
@@ -54,6 +55,7 @@ class CorpusPipeline:
     max_tokens: int = 1000
     min_distinct_ratio: float = 0.3
     near_dup_jaccard: float = 0.8
+    domain_quota: int | None = None  # per-(source, lang) doc cap
     split_pcts: tuple[int, int] = (80, 90)  # train < 80 ≤ val < 90 ≤ test
     stats: dict = field(default_factory=dict)
 
@@ -114,6 +116,26 @@ class CorpusPipeline:
         )
         return docs.join(losers, "doc_id", "left_anti")
 
+    def domain_cap(self, docs: DataFrame) -> DataFrame:
+        """Optional per-(source, lang) quota (SURVEY §2 C39): keep the
+        ``domain_quota`` longest survivors per group so no domain
+        dominates the corpus. Skew-safe via capped_top_q — within-quota
+        groups never sort, hot groups are cut per-salt first. No-op
+        when ``domain_quota`` is None."""
+        if self.domain_quota is None:
+            return docs
+        from spotify_podcasts_airflow_batch_spark.operators.ranking import (
+            capped_top_q,
+        )
+
+        return capped_top_q(
+            docs,
+            group_cols=("source", "lang"),
+            order_by=[F.length("text").desc(), F.col("doc_id")],
+            quota=self.domain_quota,
+            salt_source=F.col("doc_id"),
+        )
+
     def split(self, docs: DataFrame) -> DataFrame:
         """Deterministic hash split — membership is a pure function of
         doc_id (stable under re-partitioning, engine-portable)."""
@@ -152,7 +174,8 @@ class CorpusPipeline:
         exact = self.exact_dedup(gated)
         self.stats["n_after_exact"] = exact.count()
         near = self.near_dedup(exact)
-        final = self.split(near)
+        capped = self.domain_cap(near)
+        final = self.split(capped)
         # Final-stage metrics ride the write action itself (observe ≍
         # accumulators on the CollectMetrics node): total + per-split
         # counts cost ZERO extra jobs — no post-write read-back scan.

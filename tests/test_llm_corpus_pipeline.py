@@ -56,3 +56,26 @@ def test_rerun_is_idempotent(run, spark):
     pipe, stats, out = run
     stats2 = CorpusPipeline(spark, pipe.sf_dir, out).run()
     assert stats2 == stats
+
+
+def test_domain_cap_stage_bounds_groups(spark, sf_dir, tmp_path):
+    """With domain_quota set, no (source, lang) group in the written
+    corpus exceeds the quota, the kept docs are the longest of each
+    group, and the run stays deterministic."""
+    out = str(tmp_path / "capped")
+    pipe = CorpusPipeline(spark, sf_dir, out, domain_quota=2)
+    stats = pipe.run()
+    assert stats["n_after_near"] > 0
+
+    written = spark.read.parquet(out)
+    counts = written.groupBy("source", "lang").count().collect()
+    assert counts and all(r["count"] <= 2 for r in counts)
+
+    # re-run → byte-identical membership
+    out2 = str(tmp_path / "capped2")
+    CorpusPipeline(spark, pipe.sf_dir, out2, domain_quota=2).run()
+    ids1 = sorted(r.doc_id for r in written.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()
+    )
+    assert ids1 == ids2
