@@ -1,7 +1,8 @@
-"""Analytics catalog, part 2 (SURVEY.md §2 C43, E33): characteristic-
-term extraction and Benford first-digit conformance — the corpus-
-exploration and data-forensics queries that run beside the curation
-layer. Both are declarative DataFrame plans with exact DuckDB mirrors.
+"""Analytics catalog, part 2 (SURVEY.md §2 C43-C44, E33):
+characteristic-term extraction, cross-source duplication matrices, and
+Benford first-digit conformance — the corpus-exploration and
+data-forensics queries that run beside the curation layer. All are
+declarative DataFrame plans with exact DuckDB mirrors.
 """
 
 from __future__ import annotations
@@ -155,4 +156,48 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             expected.alias("benford_freq"),
             F.round(F.pow(obs - expected, 2) / expected, 6).alias("chi2_term"),
         )
+    )
+
+
+# ---------------------------------------------------------------- C44
+@register(
+    "cross_source_dup_matrix",
+    oracle=r"""
+    WITH f AS (
+        SELECT DISTINCT
+               md5(array_to_string(
+                   string_split_regex(trim(text), '\s+')[1:10], ' ')) AS fp,
+               source
+        FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS shared_prefixes
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44 — which sources copy from each other: a source×source matrix
+    of shared 10-token document prefixes (template/boilerplate overlap —
+    the mirror-site and syndication signal that tells a crawl pipeline
+    which source pairs need joint dedup). The join runs on the DISTINCT
+    (fingerprint, source) relation — already collapsed to ≤ |docs| rows
+    with per-fingerprint fan-out bounded by |sources|, never corpus² —
+    and the output is at most |sources|² rows. One md5 per doc, one
+    fp-keyed shuffle."""
+    d = table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10)
+        )
+    )
+    f = d.select(fp.alias("fp"), "source").distinct()
+    g = f.select(F.col("fp").alias("fp2"), F.col("source").alias("src_b"))
+    return (
+        f.join(g, (F.col("fp") == F.col("fp2")) & (F.col("source") < F.col("src_b")))
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_prefixes"))
     )
