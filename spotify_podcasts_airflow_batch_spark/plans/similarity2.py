@@ -88,3 +88,54 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
         F.round(F.avg(F.col("hit").cast("double")), 4).alias("recall_at_k"),
     )
+
+
+@register(
+    "embed_norms_arrow",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_aggregate(
+               list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+               AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def embed_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 — per-vector L2 norms via ``mapInArrow``: the zero-copy
+    Arrow-batch escape hatch below even Pandas (no Series boxing — the
+    fixed-size-list column is viewed as one flat numpy buffer and
+    reshaped, one BLAS reduction per batch). The norm table is what a
+    vector pipeline materializes before cosine work so downstream dots
+    skip the sqrt. Embarrassingly parallel: no shuffle, cost linear in
+    rows, constant memory per batch. Float parity: the squared terms
+    sum in array order in both engines (numpy row reduction ≡ DuckDB
+    list_aggregate fold), round(6) absorbs the last ulp."""
+    import pyarrow as pa
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("vec_id").to_numpy()
+            lst = batch.column("embedding")
+            # list<float> → flat values buffer (no per-row boxing),
+            # reshaped on the uniform vector length
+            X = lst.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ).reshape(len(ids), -1)
+            l2 = np.sqrt(np.einsum("ij,ij->i", X, X))
+            yield pa.record_batch(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(np.round(l2, 6), type=pa.float64()),
+                    pa.array(np.full(len(ids), X.shape[1]), type=pa.int64()),
+                ],
+                names=["vec_id", "l2_norm", "dim"],
+            )
+
+    return emb.mapInArrow(norms, "vec_id long, l2_norm double, dim long")
