@@ -840,3 +840,100 @@ def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------- D17
+_BF_ROUNDS = 6
+_BF_EDGES_SQL = """
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+               CAST(floor(1000000.0 / count(*)) AS BIGINT) AS w
+        FROM lineitem, orders, customer, supplier
+        WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND s_nationkey <> c_nationkey
+        GROUP BY s_nationkey, c_nationkey
+"""
+
+
+def _bellman_ford_oracle() -> str:
+    base = f"""
+    WITH e AS MATERIALIZED ({_BF_EDGES_SQL}),
+    d0 AS MATERIALIZED (
+        SELECT n_nationkey AS node,
+               CASE WHEN n_nationkey = 0 THEN 0 END::BIGINT AS cost
+        FROM nation
+    )"""
+    step = """,
+    d{nxt} AS MATERIALIZED (
+        SELECT d.node,
+               least(d.cost, r.relaxed) AS cost
+        FROM d{cur} d LEFT JOIN (
+            SELECT e.dst AS node, min(d{cur}.cost + e.w) AS relaxed
+            FROM d{cur} JOIN e ON e.src = d{cur}.node
+            WHERE d{cur}.cost IS NOT NULL
+            GROUP BY e.dst
+        ) r ON r.node = d.node
+    )"""
+    parts = [base]
+    for i in range(_BF_ROUNDS):
+        parts.append(step.format(cur=i, nxt=i + 1))
+    parts.append(
+        f"""
+    SELECT node, coalesce(cost, -1) AS min_cost FROM d{_BF_ROUNDS}
+    """
+    )
+    return "".join(parts)
+
+
+@register("cheapest_trade_route", oracle=_bellman_ford_oracle())
+def cheapest_trade_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17 — WEIGHTED shortest path (Bellman-Ford, 6 relaxation
+    rounds) from nation 0 over the trade graph; edge cost =
+    ⌊10⁶/shipments⌋, so heavily-traded lanes are cheap. Completes the
+    iterative-graph family: D5 components, D10 PageRank, D12 unweighted
+    BFS, and now weighted relaxation — per round ONE frontier⋈edges
+    join and a min-combine per destination, edge relation built once.
+    Costs stay BIGINT end-to-end (the floor-divided weight is exact in
+    both engines), so cross-engine agreement is exact, no rounding.
+    The oracle unrolls the recursion into chained MATERIALIZED CTEs
+    (DuckDB inlines plain CTEs — six chained self-referencing rounds
+    would re-evaluate the base join 2⁶ times; a recursive
+    CTE carrying cost in its state would enumerate PATHS — exponential;
+    the unrolled min-fold is O(E) per round, exactly like the
+    dataflow). Unreachable within 6 hops → -1."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.floor(F.lit(1000000.0) / F.count(F.lit(1))).cast("long").alias("w")
+        )
+        .localCheckpoint(eager=True)  # build once, reuse every round
+    )
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    dist = n.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0)).cast("long").alias("cost"),
+    )
+    for _ in range(_BF_ROUNDS):
+        frontier = dist.where(F.col("cost").isNotNull())
+        relaxed = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .groupBy("dst")
+            .agg(F.min(F.col("cost") + F.col("w")).alias("relaxed"))
+        )
+        dist = (
+            dist.join(F.broadcast(relaxed), dist.node == relaxed.dst, "left")
+            .select("node", F.least("cost", "relaxed").alias("cost"))
+            .localCheckpoint(eager=False)  # truncate per-round lineage
+        )
+    return dist.select("node", F.coalesce("cost", F.lit(-1)).alias("min_cost"))
