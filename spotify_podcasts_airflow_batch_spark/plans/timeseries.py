@@ -562,3 +562,46 @@ def value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg((F.round(F.max("dd"), 6) + F.lit(0.0)).alias("max_drawdown"))
     )
+
+
+# ---------------------------------------------------------------- E35
+@register(
+    "winsorize_values",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.01), 6) AS p01,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, th.p01), th.p99) AS winsorized,
+           (e.value < th.p01 OR e.value > th.p99) AS was_clipped
+    FROM events e JOIN th USING (event_type)
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35 — per-type winsorization: clip values to the [p1, p99] band
+    (the standard outlier-robust preprocessing before z-scoring or
+    model features — the complement of E13/E23's row-DROPPING gates).
+    One tiny per-type exact-percentile aggregate broadcasts back onto
+    the scan; the fact never shuffles. Thresholds are rounded to 6 dp
+    on BOTH engines before clipping (the quantile-interpolation ulp
+    trap); clipped output is either the untouched input value or a
+    threshold — both bit-identical across engines. At 100 TB swap
+    approx_percentile into the threshold pass; plan shape unchanged."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    th = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01D)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return ev.join(F.broadcast(th), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        clipped.alias("winsorized"),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "was_clipped"
+        ),
+    )
