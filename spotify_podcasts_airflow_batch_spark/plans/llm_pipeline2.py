@@ -232,3 +232,75 @@ def token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("planned_tokens"),
     )
+
+
+# ---------------------------------------------------------------- C45
+@register(
+    "quantile_normalize_length",
+    oracle="""
+    WITH g AS (
+        SELECT list(n_chars ORDER BY n_chars, doc_id) AS vals,
+               count(*) AS n
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, n_chars,
+               percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS p
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.n_chars,
+           round(
+               CAST(g.vals[CAST(floor((g.n - 1) * r.p) AS INT) + 1] AS DOUBLE)
+               + ((g.n - 1) * r.p - floor((g.n - 1) * r.p))
+                 * (CAST(g.vals[least(CAST(floor((g.n - 1) * r.p) AS INT) + 2,
+                                      CAST(g.n AS INT))] AS DOUBLE)
+                    - CAST(g.vals[CAST(floor((g.n - 1) * r.p) AS INT) + 1]
+                           AS DOUBLE)),
+               4) AS normalized_len
+    FROM r, g
+    """,
+)
+def quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45 — quantile normalization (batch-effect correction): each
+    document's length is replaced by the GLOBAL length distribution's
+    value at the document's within-source percentile, so sources with
+    systematically long/short docs become comparable — the
+    genomics-style rank-map applied to corpus mixing.
+
+    Shape: one per-source window for percent_rank (tie-broken on
+    doc_id), the global sorted value array built once and broadcast,
+    then a pure projection interpolating a + f·(b−a) — written with
+    the IDENTICAL operation order in the oracle so both engines emit
+    the same doubles (the interpolation-formula ulp trap). Exact
+    global order statistics are driver-sized here; at 100 TB the
+    array becomes an approx-percentile grid (t-digest, mergeable) and
+    the lookup an interpolation over grid points — plan unchanged."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = d.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("n_chars", "doc_id"))),
+            lambda s: s["n_chars"],
+        ).alias("vals"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    from pyspark.sql import Window
+
+    p = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    )
+    r = d.select("doc_id", "source", "n_chars", p.alias("p"))
+    pos = (F.col("n") - 1) * F.col("p")
+    idx = F.floor(pos).cast("int")
+    f = pos - F.floor(pos)
+    lo = F.element_at(F.col("vals"), idx + 1).cast("double")
+    hi = F.element_at(
+        F.col("vals"), F.least(idx + 2, F.col("n").cast("int"))
+    ).cast("double")
+    return r.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(lo + f * (hi - lo), 4).alias("normalized_len"),
+    )
