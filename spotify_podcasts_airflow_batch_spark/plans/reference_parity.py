@@ -699,3 +699,89 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "scd2_lookup",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev
+        FROM events
+    ), s AS (
+        SELECT user_id, event_type, us, event_id
+        FROM o WHERE prev IS NULL OR prev <> event_type
+    ), iv AS (
+        SELECT user_id, event_type,
+               us AS valid_from_us,
+               lead(us) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+               ) AS valid_to_us
+        FROM s
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           iv.event_type AS state_at_purchase
+    FROM events p JOIN iv
+      ON p.user_id = iv.user_id
+     AND epoch_us(p.ts) >= iv.valid_from_us
+     AND (iv.valid_to_us IS NULL OR epoch_us(p.ts) < iv.valid_to_us)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — point-in-time lookup against SCD2 history: for every
+    purchase, the state (A11 interval) the user was in AT that moment —
+    the temporal dimension join behind every "as it was then" report.
+
+    Spark-first shape: NOT the interval-containment join the oracle
+    runs (|facts|×|intervals| pair work) but an AS-OF join against the
+    state-CHANGE stream (operators/joins.asof_join): union both sides,
+    one shuffle on user_id, carry the last state forward — linear in
+    |facts|+|changes|, the plan that survives 100 TB. The oracle keeps
+    the containment form, so the test also proves as-of ≡ containment
+    on half-open intervals (same-instant ties: change rows sort before
+    probes at equal ts, max-event_id change wins — exactly matching
+    containment's empty [t, t) intervals)."""
+    from pyspark.sql import Window
+
+    from spotify_podcasts_airflow_batch_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            us.alias("us"),
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("us").alias("change_us"),
+            "event_id",
+            F.col("event_type").alias("state_at_purchase"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("ts_us"),
+    )
+    return asof_join(
+        left=purchases,
+        right=changes,
+        key="user_id",
+        right_key="user_id",
+        left_ts="ts_us",
+        right_ts="change_us",
+        # event_id rides payload so the tiebreak can reference it
+        # post-select inside the operator
+        payload_cols=["state_at_purchase", "event_id"],
+        right_tiebreak=F.col("event_id"),
+    ).select("purchase_id", "user_id", "ts_us", "state_at_purchase")
