@@ -1,8 +1,9 @@
-"""LLM-training-data pipeline operators, part 4 (SURVEY.md §2 C39-C41):
-per-domain quota capping, language-rebalancing sampling, and linear
-quality-model inference as columnar math.
+"""LLM-training-data pipeline operators, part 4 (SURVEY.md §2
+C39-C42, C45): per-domain quota capping, language-rebalancing
+sampling, linear quality-model inference as columnar math, token-
+budget epoch planning, and quantile normalization.
 
-All three are corpus-curation passes a 100 TB crawl pipeline runs
+All are corpus-curation passes a 100 TB crawl pipeline runs
 between ingest and tokenization (the reference's single-day pandas
 transform generalized to corpus scale; cf.
 ``/root/reference/dags/spotify/include/spotify_eps.py:78-103`` for the
