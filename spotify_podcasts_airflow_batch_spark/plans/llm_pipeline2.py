@@ -305,3 +305,86 @@ def quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(lo + f * (hi - lo), 4).alias("normalized_len"),
     )
+
+
+# ---------------------------------------------------------------- C46
+_HELDOUT_HASH = oracle_hash31("'split:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "heldout_logprob",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, {_HELDOUT_HASH} % 100 AS bucket
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tr AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM d WHERE bucket < 80
+    ),
+    uc AS (SELECT tok, count(*) AS c FROM tr GROUP BY tok),
+    nv AS (
+        SELECT count(*) AS n_train,
+               count(DISTINCT tok) AS vocab
+        FROM tr
+    ),
+    val_toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM d WHERE bucket >= 80 AND bucket < 90
+    )
+    SELECT v.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln((coalesce(uc.c, 0) + 1.0)
+                        / (nv.n_train + nv.vocab))), 4) + 0 AS avg_logprob
+    FROM val_toks v
+    LEFT JOIN uc USING (tok)
+    CROSS JOIN nv
+    GROUP BY v.doc_id
+    """,
+)
+def heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46 — PROPER held-out LM evaluation: the unigram model is fit on
+    the TRAIN split only (C13's hash buckets < 80) and scores the VAL
+    split (80-89) with add-1 smoothing over the train vocabulary —
+    unseen tokens get ln(1/(N+V)), not a free pass. The methodological
+    upgrade of C31 (which scores the corpus under its own
+    distribution — optimistic by construction); the spread between the
+    two is a leakage meter. Plan: train-token rollup (map-side
+    combined) + scalar (N, V) broadcast, LEFT join from val tokens so
+    OOV survives, one shuffle per aggregate. Split membership is the
+    same engine-portable hash as C13 — no data moves to form the
+    split."""
+    d = table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    bucket = (
+        md5_hash31(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    from spotify_podcasts_airflow_batch_spark.functions.text import tokens
+
+    d = d.select("doc_id", "text", bucket.alias("bucket"))
+    tr = d.where(F.col("bucket") < 80).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    uc = tr.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nv = tr.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count_distinct("tok").alias("vocab"),
+    )
+    val_toks = d.where((F.col("bucket") >= 80) & (F.col("bucket") < 90)).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+        / (F.col("n_train") + F.col("vocab"))
+    )
+    return (
+        val_toks.join(F.broadcast(uc), "tok", "left")
+        .crossJoin(F.broadcast(nv))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.avg(lp), 4) + F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

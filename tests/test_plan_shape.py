@@ -190,3 +190,20 @@ def test_drawdown_windows_share_one_sort(spark, sf_dir):
     per-user hash partition) and no second sort between the windows."""
     plan = plan_of(spark, sf_dir, "value_drawdown")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_winsorize_fact_never_shuffles(spark, sf_dir):
+    """E35: the only exchange is building the tiny per-type threshold
+    relation — the fact side rides a broadcast join."""
+    plan = plan_of(spark, sf_dir, "winsorize_values")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_lookup_single_key_shuffle(spark, sf_dir):
+    """A15: the as-of union plan shuffles on user_id for the window —
+    there must be NO join operator at all (the containment join is the
+    oracle's formulation, not ours)."""
+    plan = plan_of(spark, sf_dir, "scd2_lookup")
+    assert "Join" not in plan
+    assert "Window" in plan
