@@ -805,3 +805,44 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+# ---------------------------------------------------------------- B50
+@register(
+    "join_size_estimate",
+    oracle="""
+    WITH lo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+    ll AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+    SELECT count(*) AS n_join_keys,
+           sum(lo.c * ll.c) AS exact_join_rows,
+           max(lo.c * ll.c) AS max_key_contribution
+    FROM lo JOIN ll USING (k)
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50 — join-cardinality statistics WITHOUT executing the join:
+    |A⋈B| = Σ_k cnt_A(k)·cnt_B(k) over the per-key count rollups. This
+    is the statistic a cost-based optimizer (and a capacity planner)
+    wants before committing to a shuffle plan: the rollups are
+    map-side-combined and key-sized, so the stats join moves |keys|
+    rows where the real join would move |rows| — at 100 TB that is the
+    difference between a dry-run and the job itself.
+    ``max_key_contribution`` is the skew headline: one hot key's share
+    of the output, the number that decides salting. Integer arithmetic
+    throughout — exact cross-engine."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c_o"))
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c_l"))
+    )
+    contrib = F.col("c_o") * F.col("c_l")
+    return o.join(li, "k").agg(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum(contrib).alias("exact_join_rows"),
+        F.max(contrib).alias("max_key_contribution"),
+    )
