@@ -605,3 +605,71 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+# ---------------------------------------------------------------- E36
+@register(
+    "type_value_mi",
+    oracle="""
+    WITH mm AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               least(CAST(floor((value - mm.lo) / ((mm.hi - mm.lo) / 10.0))
+                          AS INT), 9) AS bin
+        FROM events, mm
+    ),
+    jt AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    mt AS (SELECT event_type, sum(n) AS n_t FROM jt GROUP BY 1),
+    mb AS (SELECT bin, sum(n) AS n_b FROM jt GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_all FROM jt)
+    SELECT CAST(tot.n_all AS BIGINT) AS n_rows,
+           round(sum((jt.n / CAST(tot.n_all AS DOUBLE))
+                     * ln(CAST(tot.n_all AS DOUBLE) * jt.n
+                          / (mt.n_t * CAST(mb.n_b AS DOUBLE)))), 4)
+               AS mi_nats
+    FROM jt
+    JOIN mt USING (event_type)
+    JOIN mb USING (bin)
+    CROSS JOIN tot
+    GROUP BY tot.n_all
+    """,
+)
+def type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — mutual information between event type and value decile
+    (equi-width bins): the feature-relevance statistic behind feature
+    selection and leakage screens — "does knowing the category tell
+    you anything about the magnitude?". Zero sorts: bins come from a
+    broadcast global (min, max) (E11's shape, not a global ntile),
+    then everything reduces to one (type, bin) rollup whose marginals
+    and total are tiny re-aggregations. MI sums ≤ |types|·10 ln-terms —
+    ulp noise absorbed by round(4). At 100 TB the fact contributes
+    only map-side partial counts to a ≤50-row state."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    jt = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    mt = jt.groupBy("event_type").agg(F.sum("n").alias("n_t"))
+    mb = jt.groupBy("bin").agg(F.sum("n").alias("n_b"))
+    tot = jt.agg(F.sum("n").alias("n_all"))
+    term = (F.col("n") / F.col("n_all").cast("double")) * F.log(
+        F.col("n_all").cast("double")
+        * F.col("n")
+        / (F.col("n_t") * F.col("n_b").cast("double"))
+    )
+    return (
+        jt.join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(mb), "bin")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_all")
+        .agg(F.round(F.sum(term), 4).alias("mi_nats"))
+        .select(F.col("n_all").cast("long").alias("n_rows"), "mi_nats")
+    )
