@@ -673,3 +673,249 @@ def type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 4).alias("mi_nats"))
         .select(F.col("n_all").cast("long").alias("n_rows"), "mi_nats")
     )
+
+
+# ---------------------------------------------------------------- E37
+@register(
+    "ab_welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY event_type
+    ),
+    a AS (SELECT * FROM s WHERE event_type = 'view'),
+    b AS (SELECT * FROM s WHERE event_type = 'purchase')
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.m - b.m, 4) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 2) AS welch_df
+    FROM a, b
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 — Welch's unequal-variance t-test between two event
+    populations (view vs purchase values): the experimentation
+    primitive — is the difference in means real? Everything reduces to
+    TWO algebraic aggregates (n, mean, sample variance — all map-side
+    combinable single-pass state) joined as one-row broadcasts; the
+    t-statistic and Welch–Satterthwaite df are pure scalar math on
+    top. At 100 TB each arm contributes constant-size partial state
+    per task — the test costs one scan regardless of arm sizes.
+    Identical formula text in both engines; round absorbs ulps."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = s.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        F.round(
+            (F.col("m_a") - F.col("m_b")) / F.sqrt(se2_a + se2_b), 4
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------- E38
+@register(
+    "ols_trend",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(covar_samp(epoch_us(ts) / 86400000000.0, value)
+                 / var_samp(epoch_us(ts) / 86400000000.0), 6) AS slope_per_day,
+           round(avg(value)
+                 - (covar_samp(epoch_us(ts) / 86400000000.0, value)
+                    / var_samp(epoch_us(ts) / 86400000000.0))
+                   * avg(epoch_us(ts) / 86400000000.0), 4) AS intercept,
+           round(pow(corr(epoch_us(ts) / 86400000000.0, value), 2), 4) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — closed-form OLS per event type: value regressed on time
+    (days), slope/intercept/R² from the normal equations — in-engine
+    model TRAINING where the sufficient statistics are the model.
+    Everything is algebraic one-pass aggregate state (co-moments:
+    covar_samp, var_samp, corr — numerically-stable streaming forms in
+    both engines), so the whole regression is ONE map-side-combinable
+    aggregate per type: no iteration, no solver, no second scan. The
+    pattern extends to any small-d linear model (d² co-moment matrix
+    per group) — at 100 TB the shuffle carries d² doubles per type."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    x = F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
+    slope = F.covar_samp(x, F.col("value")) / F.var_samp(x)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(F.avg("value") - slope * F.avg(x), 4).alias("intercept"),
+        F.round(F.pow(F.corr(x, F.col("value")), 2), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------- E39
+@register(
+    "km_survival",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, min(epoch_us(ts)) AS mv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fb AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS mb
+        FROM events e JOIN fv USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.mv
+        GROUP BY e.user_id
+    ),
+    obs_end AS (SELECT max(epoch_us(ts)) AS fin FROM events),
+    durs AS (
+        SELECT fv.user_id,
+               CAST(floor((coalesce(fb.mb, obs_end.fin) - fv.mv)
+                          / 86400000000.0) AS BIGINT) AS dur,
+               CASE WHEN fb.mb IS NULL THEN 0 ELSE 1 END AS observed
+        FROM fv LEFT JOIN fb USING (user_id) CROSS JOIN obs_end
+    ),
+    per_t AS (
+        SELECT dur,
+               sum(observed) AS d_i,
+               count(*) - sum(observed) AS c_i
+        FROM durs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d_i,
+               (SELECT count(*) FROM durs)
+               - coalesce(sum(d_i + c_i) OVER (
+                     ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_i
+        FROM per_t
+    )
+    SELECT dur AS duration_days,
+           CAST(n_i AS BIGINT) AS n_at_risk,
+           CAST(d_i AS BIGINT) AS n_events,
+           CASE WHEN max(CASE WHEN d_i = n_i THEN 1 ELSE 0 END) OVER w = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d_i = n_i THEN 0.0
+                                        ELSE ln(1.0 - d_i / CAST(n_i AS DOUBLE))
+                                   END) OVER w), 6)
+           END AS survival
+    FROM risk
+    WHERE d_i > 0
+    WINDOW w AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39 — Kaplan-Meier survival curve for view→purchase conversion
+    (time-to-event in days, users who never purchase are right-censored
+    at the observation end): the survival-analysis primitive behind
+    churn, conversion-lag, and retention-decay questions.
+
+    Shape: per-user firsts collapse the fact to one row per user; the
+    KM table then lives on DISTINCT durations (≤ observation span in
+    days — tiny), so the at-risk cumulative window and the cumulative
+    product both run on that collapsed relation. The product is
+    exp(Σ ln(1−dᵢ/nᵢ)) over a time-ordered frame — written identically
+    in the oracle, so term order matches and round(6) absorbs ulps.
+    The unpartitioned windows are safe BECAUSE they run on the
+    duration-grid relation, never the fact (the E22 principle)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("mv"))
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("bus")
+    )
+    fb = (
+        buys.join(fv, "user_id")
+        .where(F.col("bus") > F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("bus").alias("mb"))
+    )
+    obs_end = ev.agg(F.max(us).alias("fin"))
+    durs = (
+        fv.join(fb, "user_id", "left")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.floor(
+                (F.coalesce(F.col("mb"), F.col("fin")) - F.col("mv"))
+            ).cast("long").alias("gap_us"),
+            F.when(F.col("mb").isNull(), 0).otherwise(1).alias("observed"),
+        )
+        .select(
+            (F.col("gap_us") / 86400000000).cast("long").alias("dur"),
+            "observed",
+        )
+    )
+    per_t = durs.groupBy("dur").agg(
+        F.sum("observed").alias("d_i"),
+        (F.count(F.lit(1)) - F.sum("observed")).alias("c_i"),
+    )
+    total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "d_i",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d_i") + F.col("c_i")).over(w_prev), F.lit(0))
+        ).alias("n_i"),
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    # the duration where every remaining subject fails has factor 0 —
+    # an absorbing state handled explicitly (ln(0) ERRORS in DuckDB
+    # and silently NULLs in Spark, where sum() skips nulls)
+    is_zero = F.when(F.col("d_i") == F.col("n_i"), 1).otherwise(0)
+    ln_term = F.when(F.col("d_i") == F.col("n_i"), F.lit(0.0)).otherwise(
+        F.log(1.0 - F.col("d_i") / F.col("n_i").cast("double"))
+    )
+    surv = F.when(F.max(is_zero).over(w_cum) == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_cum)), 6)
+    )
+    return (
+        risk.withColumn("survival", surv)
+        .where(F.col("d_i") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            F.col("n_i").cast("long").alias("n_at_risk"),
+            F.col("d_i").cast("long").alias("n_events"),
+            "survival",
+        )
+    )
