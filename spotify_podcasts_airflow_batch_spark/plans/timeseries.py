@@ -919,3 +919,100 @@ def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+# ---------------------------------------------------------------- E40
+@register(
+    "seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
+               CAST(floor((2 * round(sum(value) * 1000000, 0) + 100 * count(*))
+                          / (2 * 100 * count(*))) AS BIGINT) AS vu
+        FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT event_type, hr, vu,
+               CASE WHEN count(*) OVER w = 25
+                    THEN CAST(floor(sum(vu) OVER w / 25.0) AS BIGINT) END AS tu
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    detr AS (
+        SELECT event_type, hr, vu, tu, vu - tu AS du,
+               CAST(hr % 24 AS INT) AS hod
+        FROM tr WHERE tu IS NOT NULL
+    ),
+    seas AS (
+        SELECT event_type, hod,
+               CAST(floor(sum(du) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS su
+        FROM detr GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hr,
+           d.vu / 10000.0 AS v,
+           d.tu / 10000.0 AS trend,
+           s.su / 10000.0 AS seasonal,
+           (d.du - s.su) / 10000.0 AS residual
+    FROM detr d JOIN seas s
+      ON d.event_type = s.event_type AND d.hod = s.hod
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40 — additive seasonal decomposition (STL-lite) of the hourly
+    mean per type: trend = 25-hour centered moving average (full
+    windows only), seasonal = floor-mean detrended value by
+    hour-of-day, residual = the rest — the anomaly-detection prior
+    that separates "3am is always quiet" from "something broke at
+    3am". The fact collapses to the hours×types rollup FIRST
+    (map-side combined), so the centered window, the hour-of-day
+    profile, and the residual all run on a relation whose size is the
+    observation span — the E19/E22 principle.
+
+    Numerics: every stage stays in INTEGER micro-units (the
+    tumbling_window HALF_UP formula for the hourly mean, floor
+    divisions for trend and seasonal) — engine round() disagreements
+    on half-boundary doubles (hit at sf0.1 with round(avg, 6)) cannot
+    occur because no intermediate is ever a non-integral double; the
+    final /1e4 maps identical integers to identical doubles."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hr = F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0)).cast("long")
+    vu = F.floor(
+        (2 * F.round(F.sum("value") * 1000000, 0) + 100 * F.count(F.lit(1)))
+        / (2 * 100 * F.count(F.lit(1)))
+    ).cast("long")
+    hourly = ev.groupBy("event_type", hr.alias("hr")).agg(vu.alias("vu"))
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "event_type",
+        "hr",
+        "vu",
+        F.when(
+            F.count(F.lit(1)).over(w) == 25,
+            F.floor(F.sum("vu").over(w) / F.lit(25.0)).cast("long"),
+        ).alias("tu"),
+    )
+    detr = tr.where(F.col("tu").isNotNull()).select(
+        "event_type",
+        "hr",
+        "vu",
+        "tu",
+        (F.col("vu") - F.col("tu")).alias("du"),
+        (F.col("hr") % 24).cast("int").alias("hod"),
+    )
+    seas = detr.groupBy("event_type", "hod").agg(
+        F.floor(F.sum("du") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("su")
+    )
+    return detr.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        "hr",
+        (F.col("vu") / 10000.0).alias("v"),
+        (F.col("tu") / 10000.0).alias("trend"),
+        (F.col("su") / 10000.0).alias("seasonal"),
+        ((F.col("du") - F.col("su")) / 10000.0).alias("residual"),
+    )
