@@ -103,7 +103,7 @@ _BENFORD = {d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 1
     ),
     tot AS (SELECT event_type, sum(n) AS tot_n FROM counts GROUP BY event_type),
     ben(digit, expected) AS (
-        VALUES {", ".join(f"({d}, {f})" for d, f in _BENFORD.items())}
+        VALUES {", ".join(f"({d}, {f}::DOUBLE)" for d, f in _BENFORD.items())}
     )
     SELECT c.event_type, c.digit, c.n,
            round(c.n / CAST(t.tot_n AS DOUBLE), 6) AS obs_freq,
