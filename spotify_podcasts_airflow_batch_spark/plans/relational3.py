@@ -846,3 +846,64 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(contrib).alias("exact_join_rows"),
         F.max(contrib).alias("max_key_contribution"),
     )
+
+
+# ---------------------------------------------------------------- B51
+@register(
+    "revenue_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT c_nationkey AS nation, o_custkey,
+               CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, o_custkey
+    ),
+    ranked AS (
+        SELECT nation, cents,
+               row_number() OVER (
+                   PARTITION BY nation ORDER BY cents, o_custkey
+               ) AS i
+        FROM spend
+    )
+    SELECT nation,
+           count(*) AS n_customers,
+           round((2.0 * sum(i * cents) / (count(*) * CAST(sum(cents) AS DOUBLE))
+                  - (count(*) + 1.0) / count(*)), 6) AS gini
+    FROM ranked
+    GROUP BY nation
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51 — revenue concentration per nation as a Gini coefficient
+    (0 = everyone spends alike, →1 = one whale): the inequality lens on
+    customer value that drives whale-risk and diversification reports.
+    Gini = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n over per-customer spend ranked
+    ascending within nation. Spend is cast to INTEGER cents first, so
+    Σi·xᵢ and Σxᵢ are exact in both engines (integer-valued doubles
+    < 2⁵³) and the one final division is the only float op — round(6)
+    is then decorative. The rank window runs on the customer-spend
+    ROLLUP (|customers| rows), never the order fact; ties pinned on
+    custkey."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), F.col("o_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    ranked = spend.select("nation", "cents", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("nation").agg(
+        n.alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents"))
+            / (n * F.sum("cents").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
