@@ -1016,3 +1016,95 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("su") / 10000.0).alias("seasonal"),
         ((F.col("du") - F.col("su")) / 10000.0).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------- E41
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
+               CAST(floor((2 * round(sum(value) * 1000000, 0) + 100 * count(*))
+                          / (2 * 100 * count(*))) AS BIGINT) AS vu
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(floor(sum(vu) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mu
+        FROM hourly GROUP BY event_type
+    ),
+    cs AS (
+        SELECT h.event_type, h.hr,
+               sum(h.vu - m.mu) OVER (
+                   PARTITION BY h.event_type ORDER BY h.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM hourly h JOIN m USING (event_type)
+    ),
+    best AS (
+        SELECT event_type, hr, c,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY abs(c) DESC, hr
+               ) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_hours
+        FROM cs
+    )
+    SELECT event_type, n_hours, hr AS changepoint_hr,
+           round(abs(c) / 10000.0, 4) AS max_abs_cusum
+    FROM best WHERE rk = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41 — CUSUM changepoint detection per type: cumulative sum of
+    hourly deviations from the per-type mean; the hour where |CUSUM|
+    peaks is the most likely level-shift point (Page's test statistic,
+    the monitoring upgrade of E25's PSI — WHERE did the drift start,
+    not just whether). All arithmetic in integer micro-units (E40's
+    discipline) so the running sums are exact; the windows run on the
+    hours×types rollup, never the fact. One rollup shuffle + two tiny
+    window passes."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hr = F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0)).cast("long")
+    vu = F.floor(
+        (2 * F.round(F.sum("value") * 1000000, 0) + 100 * F.count(F.lit(1)))
+        / (2 * 100 * F.count(F.lit(1)))
+    ).cast("long")
+    hourly = ev.groupBy("event_type", hr.alias("hr")).agg(vu.alias("vu"))
+    m = hourly.groupBy("event_type").agg(
+        F.floor(F.sum("vu") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("mu")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = (
+        hourly.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            F.sum(F.col("vu") - F.col("mu")).over(w_cum).alias("c"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.col("hr")
+    )
+    w_all = Window.partitionBy("event_type")
+    best = cs.select(
+        "event_type",
+        "hr",
+        "c",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_hours"),
+    )
+    return best.where(F.col("rk") == 1).select(
+        "event_type",
+        "n_hours",
+        F.col("hr").alias("changepoint_hr"),
+        F.round(F.abs(F.col("c")) / 10000.0, 4).alias("max_abs_cusum"),
+    )
