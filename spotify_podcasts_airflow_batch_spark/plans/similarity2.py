@@ -139,3 +139,80 @@ def embed_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(norms, "vec_id long, l2_norm double, dim long")
+
+
+_OUTLIER_RADIUS = 1.2
+
+
+@register(
+    "embed_centroid_outliers",
+    oracle=f"""
+    WITH c AS (
+        SELECT label, i AS dim,
+               round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS cv
+        FROM embeddings, unnest(range(64)) AS t(i)
+        GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label, list(cv ORDER BY dim) AS cvec FROM c GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(sqrt(list_aggregate(
+               list_transform(range(1, 65),
+                   i -> pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                            - cent.cvec[CAST(i AS INT)], 2)),
+               'sum')), 4) AS centroid_dist,
+           round(sqrt(list_aggregate(
+               list_transform(range(1, 65),
+                   i -> pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                            - cent.cvec[CAST(i AS INT)], 2)),
+               'sum')), 4) > {_OUTLIER_RADIUS} AS is_outlier
+    FROM embeddings e JOIN cent USING (label)
+    """,
+)
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18 — mislabel/outlier screening: each vector's Euclidean
+    distance to its OWN label's centroid, flagged beyond a fixed
+    radius (the SSL-Prototypes / cleanlab-style signal — a point far
+    from its class center is suspect). Centroids are per-dim averages
+    ROUNDED to 4 dp before differencing — the sum-order ulp wobble of
+    a distributed mean must not leak into the distance — and the
+    squared-difference fold runs in dim order in both engines. One
+    (label, dim) rollup (map-side combined, D8's shape), centroids
+    broadcast back, distance inside a JVM-side fold; the fixed radius
+    avoids the percentile-threshold boundary trap entirely. At 100 TB
+    swap the fixed radius for a per-label MAD gate computed the E23
+    way."""
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("cvec"),
+                    lambda x, c: F.pow(x.cast("double") - c, 2),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ),
+        4,
+    )
+    return e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        dist.alias("centroid_dist"),
+        (dist > _OUTLIER_RADIUS).alias("is_outlier"),
+    )
