@@ -1,6 +1,7 @@
 """Similarity / embedding-quality operators, part 2 (SURVEY.md §2
-D14-D15): SemDeDup-style semantic dedup output and a first-class
-ANN-recall evaluation query.
+D14-D16, D18): SemDeDup-style semantic dedup, a first-class ANN-recall
+evaluation query, zero-copy Arrow vector norms, and centroid-distance
+outlier screening.
 
 D14 turns the near-dup PAIR diagnostic (D-series `embed_near_dup`)
 into the artifact a training pipeline actually ships — the kept

@@ -462,3 +462,54 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dupes"),
         )
     )
+
+
+# ---------------------------------------------------------------- C47
+@register(
+    "lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS declared_lang, len(w) AS n_tokens,
+               {", ".join(f"{_hits(LANG_STOPWORDS[lang])} AS h_{lang}" for lang in LANGS)}
+        FROM (SELECT doc_id, lang, {_TOKS} AS w FROM documents)
+    ),
+    pred AS (
+        SELECT declared_lang, {_LANG_CASE_SQL} AS pred_lang FROM scored
+    ),
+    cells AS (
+        SELECT declared_lang, pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT declared_lang, pred_lang, n_docs,
+           CAST(floor((2 * 10000 * n_docs
+                       + sum(n_docs) OVER (PARTITION BY declared_lang))
+                      / (2.0 * sum(n_docs) OVER (PARTITION BY declared_lang)))
+                AS BIGINT) AS share_bp
+    FROM cells
+    """,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47 — language-ID confusion matrix: declared vs C2-predicted
+    language, cell counts plus each cell's share of its declared-lang
+    row in integer BASIS POINTS (the micro-unit HALF_UP form — a
+    ratio of small counts is exactly where engine round() half-boundary
+    divergence bites). The classifier-evaluation harness as a query:
+    reuses C2's scoring verbatim, collapses to the |langs|² matrix
+    before any window, so evaluation cost is the classifier pass
+    itself. At 100 TB the matrix is still ≤ (|langs|+1)² rows."""
+    from pyspark.sql import Window
+
+    cells = (
+        lang_id(spark, sf_dir)
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("declared_lang"))
+    return cells.select(
+        "declared_lang",
+        "pred_lang",
+        "n_docs",
+        F.floor(
+            (2 * 10000 * F.col("n_docs") + tot) / (2.0 * tot)
+        ).cast("long").alias("share_bp"),
+    )
