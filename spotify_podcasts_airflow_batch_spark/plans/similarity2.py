@@ -80,7 +80,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("neighbor_id").alias("approx_id")
     )
     hits = exact.join(
-        approx,
+        F.broadcast(approx),  # queries×k rows — never a sort-merge join
         (exact.query_id == approx.query_id)
         & (exact.neighbor_id == approx.approx_id),
         "left",

@@ -460,37 +460,48 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = ev.crossJoin(F.broadcast(rng))
     pa = split.where(F.col("e") < F.col("tm"))
-    pb = split.where(F.col("e") >= F.col("tm"))
     vr = (
         pa.groupBy("event_type")
         .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
         .where(F.col("vmax") > F.col("vmin"))
     )
-    def bins(side: DataFrame) -> DataFrame:
-        return side.join(F.broadcast(vr), "event_type").select(
-            "event_type",
-            F.least(
-                F.lit(9),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col("value") - F.col("vmin"))
-                        * 10
-                        / (F.col("vmax") - F.col("vmin"))
-                    ),
+    # ONE combined fact pass: both halves bin in the same aggregation
+    # (side is just another grouping key), and the per-side totals are
+    # re-aggregated from the tiny (type, side, bin) counts — the fact
+    # is scanned twice total (reference ranges + binning), not five
+    # times (ca/cb/na/nb each re-deriving from the scan).
+    sided = split.join(F.broadcast(vr), "event_type").select(
+        "event_type",
+        (F.col("e") >= F.col("tm")).cast("int").alias("__side"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 10
+                    / (F.col("vmax") - F.col("vmin"))
                 ),
-            )
-            .cast("int")
-            .alias("bin"),
+            ),
         )
-    ba, bb = bins(pa), bins(pb)
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = (
+        sided.groupBy("event_type", "__side", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = counts.where(F.col("__side") == 0).select(
+        "event_type", "bin", F.col("c").alias("ca")
+    )
+    cb = counts.where(F.col("__side") == 1).select(
+        "event_type", "bin", F.col("c").alias("cb")
+    )
+    na = ca.groupBy("event_type").agg(F.sum("ca").alias("na"))
+    nb = cb.groupBy("event_type").agg(F.sum("cb").alias("nb"))
     grid = vr.select(
         "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
     )
-    ca = ba.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("ca"))
-    cb = bb.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cb"))
-    na = ba.groupBy("event_type").agg(F.count(F.lit(1)).alias("na"))
-    nb = bb.groupBy("event_type").agg(F.count(F.lit(1)).alias("nb"))
     p_a = (F.coalesce(F.col("ca"), F.lit(0)) + 1.0) / (F.col("na") + 10)
     p_b = (F.coalesce(F.col("cb"), F.lit(0)) + 1.0) / (F.col("nb") + 10)
     return (
