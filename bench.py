@@ -58,6 +58,12 @@ HEADLINE = [
     "domain_quota_cap",
     "doc_quality_score",
     "semdedup_keep",
+    # statistics / evaluation layer
+    "winsorize_values",
+    "scd2_lookup",
+    "seasonal_decompose",
+    "revenue_gini",
+    "join_size_estimate",
     # similarity
     "knn_brute",
     "dedup_clusters",

@@ -149,3 +149,53 @@ def test_capped_top_q_equals_plain_window(spark, rows, quota):
         .collect()
     )
     assert got == want
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=20),   # ts (dense → ties)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(probes=_events, builds=_events)
+@settings(**SETTINGS)
+def test_asof_join_equals_naive_lookup(spark, probes, builds):
+    """B12's as-of union+window trick is EXACTLY the naive 'latest
+    right row with ts ≤ probe ts (max-id tiebreak at equal ts)' lookup
+    for any inputs: duplicate timestamps on both sides, keys missing
+    on either side, empty relations."""
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probes)],
+        "k long, lt long, probe_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, i, i * 10) for i, (k, t) in enumerate(builds)],
+        "rk long, rt long, rid long, payload long",
+    )
+    got = {
+        r.probe_id: r.payload
+        for r in asof_join(
+            left=left, right=right, key="k", right_key="rk",
+            left_ts="lt", right_ts="rt",
+            payload_cols=["payload", "rid"],
+            right_tiebreak=F.col("rid"),
+        ).collect()
+    }
+
+    by_key: dict = {}
+    for i, (k, t) in enumerate(builds):
+        by_key.setdefault(k, []).append((t, i, i * 10))
+    want = {}
+    for i, (k, t) in enumerate(probes):
+        cands = [(rt, rid, p) for (rt, rid, p) in by_key.get(k, []) if rt <= t]
+        want[i] = max(cands)[2] if cands else None
+
+    assert got == want
