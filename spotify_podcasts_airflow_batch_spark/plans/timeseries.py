@@ -1119,3 +1119,121 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hr").alias("changepoint_hr"),
         F.round(F.abs(F.col("c")) / 10000.0, 4).alias("max_abs_cusum"),
     )
+
+
+# ---------------------------------------------------------------- E42
+@register(
+    "gap_fill_interp",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+               CAST(floor((2 * round(sum(value) * 1000000, 0) + 100 * count(*))
+                          / (2 * 100 * count(*))) AS BIGINT) AS vu
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(b) AS mn, max(b) AS mx FROM agg GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, mn + k AS b
+        FROM bounds, unnest(range(CAST(mx - mn + 1 AS BIGINT))) AS t(k)
+    ),
+    j AS (
+        SELECT g.event_type, g.b, a.vu
+        FROM grid g LEFT JOIN agg a
+          ON a.event_type = g.event_type AND a.b = g.b
+    ),
+    ctx AS (
+        SELECT event_type, b, vu,
+               last_value(vu IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN vu IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER wp AS pb,
+               first_value(vu IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN vu IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER wn AS nb
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, b AS bucket_hr,
+           vu IS NOT NULL AS observed,
+           round(CASE
+               WHEN vu IS NOT NULL THEN vu / 10000.0
+               WHEN pv IS NULL THEN nv / 10000.0
+               WHEN nv IS NULL THEN pv / 10000.0
+               ELSE (pv + (nv - pv) * CAST(b - pb AS DOUBLE) / (nb - pb))
+                    / 10000.0
+           END, 6) AS filled_value
+    FROM ctx
+    """,
+)
+def gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42 — gap filling by LINEAR INTERPOLATION between the nearest
+    known hourly means (the upgrade of E9's step-function LOCF — right
+    for continuous signals like temperature or rate counters). Dense
+    grid from sequence+explode, then two ignore-nulls windows over the
+    grid (carry last known back and first known forward, with their
+    bucket positions) and one interpolation projection. Hourly means
+    are INTEGER micro-units (E40's discipline); the single float op —
+    the interpolation ratio — is written identically in both engines
+    over exact-integer inputs. Edge buckets before the first / after
+    the last observation clamp to the nearest known value. Windows run
+    on the bucket grid, never the fact."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    b = F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0)).cast("long")
+    vu = F.floor(
+        (2 * F.round(F.sum("value") * 1000000, 0) + 100 * F.count(F.lit(1)))
+        / (2 * 100 * F.count(F.lit(1)))
+    ).cast("long")
+    agg = ev.groupBy("event_type", b.alias("b")).agg(vu.alias("vu"))
+    bounds = agg.groupBy("event_type").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("b"),
+    )
+    j = grid.join(agg, ["event_type", "b"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_b = F.when(F.col("vu").isNotNull(), F.col("b"))
+    ctx = j.select(
+        "event_type",
+        "b",
+        "vu",
+        F.last("vu", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_b, ignorenulls=True).over(wp).alias("pb"),
+        F.first("vu", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_b, ignorenulls=True).over(wn).alias("nb"),
+    )
+    interp = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("b") - F.col("pb")).cast("double")
+        / (F.col("nb") - F.col("pb"))
+    )
+    filled = (
+        F.when(F.col("vu").isNotNull(), F.col("vu") / 10000.0)
+        .when(F.col("pv").isNull(), F.col("nv") / 10000.0)
+        .when(F.col("nv").isNull(), F.col("pv") / 10000.0)
+        .otherwise(interp / 10000.0)
+    )
+    return ctx.select(
+        "event_type",
+        F.col("b").alias("bucket_hr"),
+        F.col("vu").isNotNull().alias("observed"),
+        F.round(filled, 6).alias("filled_value"),
+    )
