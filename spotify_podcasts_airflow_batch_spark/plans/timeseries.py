@@ -1,8 +1,12 @@
-"""Time-series / path / sketch-table analytics (SURVEY.md §2 E17-E21,
-C34) — the monitoring and exploration queries a production event
-pipeline runs beside its windowed aggregates: rolling robust
-statistics, equi-depth distribution summaries, autocorrelation
-diagnostics, entry-path mining, percentile normalization, and the
+"""Time-series / path / sketch-table / statistics analytics
+(SURVEY.md §2 E17-E25, E32, E35-E42, C34) — the monitoring,
+exploration, and experimentation queries a production event pipeline
+runs beside its windowed aggregates: rolling robust statistics,
+equi-depth distribution summaries, autocorrelation diagnostics,
+entry-path mining, percentile normalization, drift (PSI) and
+changepoint (CUSUM) monitors, winsorization, drawdown, mutual
+information, Welch t-tests, closed-form OLS, Kaplan-Meier survival,
+seasonal decomposition, interpolating gap fill, and the
 pre-aggregated-sketch pattern that makes "distinct users over any date
 range" an O(days) query instead of an O(events) rescan.
 
