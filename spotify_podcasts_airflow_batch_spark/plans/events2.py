@@ -198,3 +198,58 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__l.click_id").alias("last_click_id"),
         )
     )
+
+
+# ---------------------------------------------------------------- E43
+_EF_WINDOW_US = 30 * 60 * 1000000
+
+
+@register(
+    "eventually_follows",
+    oracle=f"""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(DISTINCT a.event_id) AS n_activations,
+           count(DISTINCT a.user_id) AS n_users
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= {_EF_WINDOW_US}
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43 — the process-mining eventually-follows matrix: for every
+    ordered type pair (a, b), how many a-events are followed by at
+    least one b within 30 minutes (counted as DISTINCT activations, so
+    a burst of b's doesn't inflate the relation), and how many users
+    exhibit it. E29's Markov matrix sees only ADJACENT transitions;
+    this is the discovery view that finds indirect flows (view →…→
+    purchase with anything between). Same bounded interval join as E7
+    — one user-keyed shuffle per side, per-user fan-out capped by
+    30-minute activity — feeding a distinct-count rollup of at most
+    |types|² rows. In streaming form this is exactly the E7
+    watermark-bounded join with a distinct aggregation on top."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("type_a"),
+        F.col("us").alias("ta"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("tb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("tb") > F.col("ta"))
+        & (F.col("tb") - F.col("ta") <= _EF_WINDOW_US),
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count_distinct("a_id").alias("n_activations"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
