@@ -1,8 +1,9 @@
-"""Events analytics, part 2 (SURVEY.md §2 E31): per-user dynamic-time-
-warping alignment between two event streams via COGROUPED
-``applyInPandas`` — the per-key two-sided imperative escape hatch the
-built-in operators genuinely can't express (the DP recurrence is
-inherently sequential per pair).
+"""Events analytics, part 2 (SURVEY.md §2 E31, E34, E43): per-user
+dynamic-time-warping alignment between two event streams via COGROUPED
+``applyInPandas`` (the per-key two-sided imperative escape hatch the
+built-in operators genuinely can't express — the DP recurrence is
+inherently sequential per pair), first/last-touch attribution, and the
+process-mining eventually-follows matrix.
 """
 
 from __future__ import annotations
