@@ -1,4 +1,4 @@
-"""Events analytics, part 2 (SURVEY.md §2 E31, E34, E43): per-user
+"""Events analytics, part 2 (SURVEY.md §2 E31, E34, E43, E44): per-user
 dynamic-time-warping alignment between two event streams via COGROUPED
 ``applyInPandas`` (the per-key two-sided imperative escape hatch the
 built-in operators genuinely can't express — the DP recurrence is
@@ -253,4 +253,50 @@ def eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("type_a", "type_b").agg(
         F.count_distinct("a_id").alias("n_activations"),
         F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------- E44
+_DECAY_TAU_US = 86400000000.0  # 1-day e-folding time
+
+
+@register(
+    "trending_decay",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(exp(-(mx.tmax - epoch_us(ts)) / {_DECAY_TAU_US})), 4)
+               AS decayed_score
+    FROM events, mx
+    GROUP BY event_type, mx.tmax
+    """,
+)
+def trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44 — exponentially time-decayed activity score per type
+    (1-day e-folding): the trending metric where yesterday's burst
+    counts e-times less than today's — what a "hot right now" ranking
+    actually uses instead of raw window counts (E16). One scalar
+    broadcast (corpus max time) and one map-side-combinable aggregate:
+    the decayed sum is a plain SUM of per-row exp terms, so it
+    partial-aggregates exactly like a count — and it is MERGEABLE
+    across time (old scores re-decay by a constant factor), which is
+    what makes incremental refresh O(new data) at 100 TB. Sum order
+    differs between engines by design; round(4) absorbs the ulps."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("tmax"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.exp(-(F.col("tmax") - F.col("us")) / F.lit(_DECAY_TAU_US))
+                ),
+                4,
+            ).alias("decayed_score"),
+        )
     )
