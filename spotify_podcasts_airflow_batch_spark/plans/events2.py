@@ -1,4 +1,4 @@
-"""Events analytics, part 2 (SURVEY.md §2 E31, E34, E43, E44): per-user
+"""Events analytics, part 2 (SURVEY.md §2 E31, E34, E43-E45): per-user
 dynamic-time-warping alignment between two event streams via COGROUPED
 ``applyInPandas`` (the per-key two-sided imperative escape hatch the
 built-in operators genuinely can't express — the DP recurrence is
@@ -299,4 +299,99 @@ def trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("decayed_score"),
         )
+    )
+
+
+# ---------------------------------------------------------------- E45
+@register(
+    "conversion_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               (('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                & 2147483647) % 2 AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    s AS (
+        SELECT arm, count(*) AS n, sum(converted) AS c FROM u GROUP BY arm
+    ),
+    a AS (SELECT n, c FROM s WHERE arm = 0),
+    b AS (SELECT n, c FROM s WHERE arm = 1)
+    SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+           round(a.c / CAST(a.n AS DOUBLE) - b.c / CAST(b.n AS DOUBLE), 4)
+               AS rate_diff,
+           CASE WHEN a.c + b.c = 0 OR a.c + b.c = a.n + b.n THEN NULL
+                ELSE round((a.c / CAST(a.n AS DOUBLE) - b.c / CAST(b.n AS DOUBLE))
+                     / sqrt(((a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                            * (1.0 - (a.c + b.c) / CAST(a.n + b.n AS DOUBLE))
+                            * (1.0 / a.n + 1.0 / b.n)), 4)
+           END AS z_stat
+    FROM a, b
+    """,
+)
+def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E45 — two-proportion z-test on conversion (did the user ever
+    purchase?) between two hash-assigned arms: the BINARY-outcome
+    experimentation primitive beside E37's continuous t-test. Arm
+    membership is the engine-portable md5 split (C13's discipline —
+    reproducible under repartitioning, unlike rand()), the per-user
+    outcome is one max-aggregate, and the test statistic is scalar
+    math over two one-row relations with the pooled-variance formula
+    written identically in both engines. Cost: one user rollup,
+    regardless of arm sizes."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        md5_hash31,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (
+            md5_hash31(F.concat(F.lit("arm:"), F.col("user_id").cast("string")))
+            % 2
+        ).alias("arm"),
+        "converted",
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
+    )
+    a = s.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = s.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    p_a = F.col("conv_a") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a - p_b, 4).alias("rate_diff"),
+        # degenerate arms (0% or 100% pooled conversion) have zero
+        # pooled variance — the statistic is undefined, emit NULL
+        # (ANSI Spark would otherwise raise DIVIDE_BY_ZERO)
+        F.when(
+            (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+            F.round(
+                (p_a - p_b)
+                / F.sqrt(
+                    pool
+                    * (1.0 - pool)
+                    * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                ),
+                4,
+            ),
+        ).alias("z_stat"),
     )
