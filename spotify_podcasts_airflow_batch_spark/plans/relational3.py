@@ -907,3 +907,130 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------- B52
+@register(
+    "supplier_hhi",
+    oracle="""
+    WITH s AS (
+        SELECT s_nationkey AS nation, l_suppkey,
+               CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    ),
+    t AS (SELECT nation, sum(cents) AS tot FROM s GROUP BY nation)
+    SELECT s.nation,
+           count(*) AS n_suppliers,
+           round(sum(pow(s.cents / CAST(t.tot AS DOUBLE), 2)) * 10000, 2)
+               AS hhi
+    FROM s JOIN t USING (nation)
+    GROUP BY s.nation
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52 — Herfindahl-Hirschman concentration index per nation's
+    supplier market (Σ share², ×10⁴ — the antitrust scale where >2500
+    is 'highly concentrated'): the squared-share complement of B51's
+    Gini. Supplier revenue collapses to integer cents (exact in both
+    engines), per-nation totals re-aggregate from the rollup, and the
+    only float math is share² — computed from identical integers. The
+    window-free shape: two rollups and a broadcast join, no sort
+    anywhere."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    s = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey"))
+        .agg(
+            F.round(F.sum("l_extendedprice") * 100, 0).cast("long").alias("cents")
+        )
+    )
+    t = s.groupBy("nation").agg(F.sum("cents").alias("tot"))
+    share = F.col("cents") / F.col("tot").cast("double")
+    return (
+        s.join(F.broadcast(t), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.pow(share, 2)) * 10000, 2).alias("hhi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B53
+@register(
+    "pareto_8020",
+    oracle="""
+    WITH spend AS (
+        SELECT c_nationkey AS nation, o_custkey,
+               CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, o_custkey
+    ),
+    r AS (
+        SELECT nation, cents,
+               sum(cents) OVER (
+                   PARTITION BY nation ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(cents) OVER (PARTITION BY nation) AS tot,
+               count(*) OVER (PARTITION BY nation) AS n
+        FROM spend
+    )
+    SELECT nation, CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE cum * 5 < tot * 4) + 1 AS BIGINT)
+               AS n_top_customers,
+           CAST(floor((2 * 10000 * (count(*) FILTER (WHERE cum * 5 < tot * 4) + 1)
+                       + max(n)) / (2.0 * max(n))) AS BIGINT) AS top_share_bp
+    FROM r
+    GROUP BY nation
+    """,
+)
+def pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53 — the 80/20 question answered exactly: per nation, how many
+    top customers (by spend) cover 80% of revenue, and what fraction
+    of the customer base that is (integer basis points). The
+    cumulative-share window runs on the customer ROLLUP in descending
+    spend order; 'covers 80%' is the INTEGER inequality cum·5 < tot·4
+    (counting customers strictly before the crossing, +1 for the one
+    that crosses) — no float thresholds anywhere, so both engines
+    agree exactly. At 100 TB the rollup is |customers| rows; the
+    per-nation sort is the unavoidable cost of an exact answer (the
+    approximate path is B37's quantile sketch over spend)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), F.col("o_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("cents").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("nation")
+    r = spend.select(
+        "nation",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    before_cross = F.sum(
+        (F.col("cum") * 5 < F.col("tot") * 4).cast("long")
+    )
+    n_top = before_cross + 1
+    return r.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        n_top.cast("long").alias("n_top_customers"),
+        F.floor(
+            (2 * 10000 * n_top + F.max("n")) / (2.0 * F.max("n"))
+        ).cast("long").alias("top_share_bp"),
+    )
