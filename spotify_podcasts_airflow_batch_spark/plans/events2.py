@@ -1,4 +1,4 @@
-"""Events analytics, part 2 (SURVEY.md §2 E31, E34, E43-E45): per-user
+"""Events analytics, part 2 (SURVEY.md §2 E31, E34, E43-E47): per-user
 dynamic-time-warping alignment between two event streams via COGROUPED
 ``applyInPandas`` (the per-key two-sided imperative escape hatch the
 built-in operators genuinely can't express — the DP recurrence is
@@ -394,4 +394,88 @@ def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------- E46
+@register(
+    "dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n_events,
+           CAST(floor((2 * round(sum(value) * 1000000, 0) + 100 * count(*))
+                      / (2 * 100 * count(*))) AS BIGINT) AS mean_value_u
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E46 — the calendar activity heatmap: day-of-week × hour-of-day
+    counts and mean value (integer micro-units, the HALF_UP formula) —
+    the ops-dashboard matrix behind staffing and anomaly baselines.
+    Pure map-side rollup to ≤ 7×24 cells; no window, no join, no float
+    intermediate. DuckDB's dayofweek is 0=Sunday; Spark's dayofweek is
+    1=Sunday — aligned by subtracting 1 on the Spark side."""
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    vu = F.floor(
+        (2 * F.round(F.sum("value") * 1000000, 0) + 100 * F.count(F.lit(1)))
+        / (2 * 100 * F.count(F.lit(1)))
+    ).cast("long")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        vu.alias("mean_value_u"),
+    )
+
+
+# ---------------------------------------------------------------- E47
+@register(
+    "new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, user_id
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.day,
+           count(*) AS active_users,
+           sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS new_users,
+           sum(CASE WHEN f.first_day <> d.day THEN 1 ELSE 0 END)
+               AS returning_users
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY d.day
+    """,
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47 — growth accounting: per day, active users split into NEW
+    (first-ever activity today) vs RETURNING — the DAU decomposition
+    every growth dashboard leads with (the daily dual of E10's weekly
+    cohort retention). Two rollups over one scan lineage: per-user
+    first day (map-side min) and the distinct (day, user) activity
+    set; the classification join is user-keyed and the first-day
+    relation is |users| rows. Integer/date math only — nothing to
+    round."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.distinct()
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                (F.col("first_day") == F.col("day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("first_day") != F.col("day")).cast("long")
+            ).alias("returning_users"),
+        )
     )
