@@ -1,0 +1,198 @@
+"""Recommendation / market-basket operators: association rules over
+order baskets and item-item collaborative-filtering similarity over
+the customer×part interaction matrix. The missing operator class
+between the relational suite (what sold) and the ANN suite (what's
+near in embedding space): what sells TOGETHER.
+
+Scale design: both operators collapse the fact to a distinct
+(basket, item) incidence list FIRST (map-side-combinable), and the
+quadratic pair expansion happens only WITHIN baskets via a self-join
+on the basket key — cost Σ|basket|², bounded by the max basket size,
+never |items|². Item marginals are key-sized rollups that broadcast
+back onto the pair counts. The classic scale hazards and their
+mitigations: a viral basket (one order with 10⁴ items) would blow the
+self-join — cap basket size upstream or switch to DIMSUM-style
+probabilistic pair sampling; an item vocabulary too big to broadcast
+→ shuffle join on the item key (AQE picks this automatically once the
+rollup exceeds the broadcast threshold). Support thresholds are
+INTEGER count filters, so cross-engine agreement is exact; the only
+floats (lift / confidence / cosine) are output-only, computed from
+identical integers with deterministic IEEE ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+
+# ---------------------------------------------------------------- B58
+@register(
+    "basket_pair_lift",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    ic AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY l_partkey),
+    pc AS (
+        SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+               count(*) AS c_ab
+        FROM b a JOIN b b2
+          ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+        GROUP BY a.l_partkey, b2.l_partkey
+    )
+    SELECT part_a, part_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+           round(1.0 * n_orders * c_ab / (ca.c * cb.c), 4) AS lift,
+           round(1.0 * c_ab / ca.c, 4) AS conf_a_to_b,
+           round(1.0 * c_ab / cb.c, 4) AS conf_b_to_a
+    FROM pc
+    JOIN ic ca ON part_a = ca.l_partkey
+    JOIN ic cb ON part_b = cb.l_partkey
+    CROSS JOIN n
+    WHERE c_ab >= 2
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (Apriori's pair level): for every part pair
+    co-occurring in ≥2 orders, the support count, both marginals, the
+    lift N·c_ab/(c_a·c_b) (>1 = bought together more than chance) and
+    both directional confidences c_ab/c_x. The basket incidence list
+    is the only fact-sized shuffle; the pair expansion self-joins the
+    incidence list on the ORDER key, so work is Σ|basket|²/2 (max
+    basket here ≈ 17 items — linear in practice). Marginals and the
+    scalar order count broadcast. The support cut is an integer count
+    filter (exact cross-engine); lift/confidence are output-only
+    floats from identical integers."""
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = F.broadcast(
+        b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    )
+    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    left = b.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    right = b.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
+    )
+    pc = (
+        left.join(
+            right,
+            (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    ca = F.broadcast(
+        ic.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
+    )
+    cb = F.broadcast(
+        ic.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
+    )
+    return (
+        pc.join(ca, F.col("part_a") == F.col("pa"))
+        .join(cb, F.col("part_b") == F.col("pb"))
+        .join(n)
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.lit(1.0) * F.col("n_orders") * F.col("c_ab")
+                / (F.col("c_a") * F.col("c_b")),
+                4,
+            ).alias("lift"),
+            F.round(F.lit(1.0) * F.col("c_ab") / F.col("c_a"), 4).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.lit(1.0) * F.col("c_ab") / F.col("c_b"), 4).alias(
+                "conf_b_to_a"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B59
+@register(
+    "item_item_cosine",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ic AS (SELECT i, count(*) AS c FROM ui GROUP BY i),
+    pc AS (
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+        FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT item_a, item_b, c_ab,
+           round(c_ab / sqrt(1.0 * ca.c * cb.c), 4) AS cosine
+    FROM pc JOIN ic ca ON item_a = ca.i JOIN ic cb ON item_b = cb.i
+    WHERE c_ab >= 3
+    """,
+)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the binary customer×part
+    interaction matrix: cosine(a,b) = c_ab/√(c_a·c_b) for pairs with
+    ≥3 shared customers ('customers who bought X also bought Y').
+    Same incidence-collapse → within-key self-join shape as
+    basket_pair_lift, but keyed on CUSTOMER (baskets are a customer's
+    lifetime purchases, bigger than single orders — the Σ|basket|²
+    term is why real systems cap per-user history or use DIMSUM
+    sampling above ~10³ items/user; stated here, not needed at this
+    basket scale). √ of an exact integer product is one
+    correctly-rounded IEEE op — deterministic cross-engine; the
+    support cut stays integer."""
+    ui = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+    )
+    ic = ui.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    left = ui.select(F.col("u").alias("k"), F.col("i").alias("item_a"))
+    right = ui.select(F.col("u").alias("k2"), F.col("i").alias("item_b"))
+    pc = (
+        left.join(
+            right,
+            (F.col("k") == F.col("k2")) & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    ca = F.broadcast(
+        ic.select(F.col("i").alias("ia"), F.col("c").alias("c_a"))
+    )
+    cb = F.broadcast(
+        ic.select(F.col("i").alias("ib"), F.col("c").alias("c_b"))
+    )
+    return (
+        pc.join(ca, F.col("item_a") == F.col("ia"))
+        .join(cb, F.col("item_b") == F.col("ib"))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab")
+                / F.sqrt(F.lit(1.0) * F.col("c_a") * F.col("c_b")),
+                4,
+            ).alias("cosine"),
+        )
+    )

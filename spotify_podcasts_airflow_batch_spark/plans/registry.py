@@ -23,6 +23,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.relational2",
     "spotify_podcasts_airflow_batch_spark.plans.relational3",
     "spotify_podcasts_airflow_batch_spark.plans.relational4",
+    "spotify_podcasts_airflow_batch_spark.plans.recsys",
     "spotify_podcasts_airflow_batch_spark.plans.reference_parity",
     "spotify_podcasts_airflow_batch_spark.plans.text",
     "spotify_podcasts_airflow_batch_spark.plans.text2",
