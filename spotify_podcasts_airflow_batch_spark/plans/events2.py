@@ -479,3 +479,164 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returning_users"),
         )
     )
+
+
+# ---------------------------------------------------------------- E48
+@register(
+    "spearman_corr",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value, epoch_us(ts) AS t FROM events
+    ),
+    r AS (
+        SELECT event_type,
+               rank() OVER (PARTITION BY event_type ORDER BY value)
+                 + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+                 AS rv,
+               rank() OVER (PARTITION BY event_type ORDER BY t)
+                 + (count(*) OVER (PARTITION BY event_type, t) - 1) / 2.0
+                 AS rt
+        FROM e
+    )
+    SELECT event_type, count(*) AS n, round(corr(rv, rt), 4) AS spearman_rho
+    FROM r GROUP BY event_type
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E48 — Spearman rank correlation between event value and time,
+    per type: the monotone-trend complement of E38's Pearson-based OLS
+    (Pearson sees only linear structure; Spearman = Pearson over
+    average ranks sees any monotone drift and shrugs at outliers).
+    Ties get textbook average ranks — min-rank + (tie_count−1)/2 via
+    one rank window plus a tie-count window on the SAME partition
+    ordering, so Spark runs both in a single sort per variable. The
+    two per-type sorts are the honest cost of exact ranks; the 100 TB
+    relaxation is ranking against B37's quantile-sketch CDF instead.
+    Ranks are exact half-integers in both engines; the final corr is
+    the only float accumulation, rounded to 4 dp as in stats_summary
+    (B35)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("t")
+    )
+    rv = F.rank().over(
+        Window.partitionBy("event_type").orderBy("value")
+    ) + (
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "value")) - 1
+    ) / 2.0
+    rt = F.rank().over(
+        Window.partitionBy("event_type").orderBy("t")
+    ) + (
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "t")) - 1
+    ) / 2.0
+    return (
+        ev.select("event_type", rv.alias("rv"), rt.alias("rt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("rv", "rt"), 4).alias("spearman_rho"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- E49
+@register(
+    "mann_whitney_u",
+    oracle="""
+    WITH s AS (
+        SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    v AS (SELECT value, count(*) AS c, sum(g) AS c1 FROM s GROUP BY value),
+    w AS (
+        SELECT value, c, c1,
+               coalesce(sum(c) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM v
+    ),
+    a AS (
+        SELECT CAST(sum(c1 * (2 * cum_before + c + 1)) AS BIGINT) AS r1_x2,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c - c1) AS BIGINT) AS n2,
+               CAST(sum(c * c * c - c) AS BIGINT) AS tie_cubes
+        FROM w
+    )
+    SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           round(
+               (0.5 * (r1_x2 - n1 * (n1 + 1)) - 0.5 * n1 * n2)
+               / sqrt(
+                   n1 * n2 / 12.0
+                   * ((n1 + n2 + 1.0)
+                      - tie_cubes / (1.0 * (n1 + n2) * (n1 + n2 - 1)))
+               ),
+               4
+           ) AS z
+    FROM a
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E49 — Mann-Whitney U (Wilcoxon rank-sum) test: purchase vs view
+    value distributions, the nonparametric complement of E37's Welch
+    t-test (no normality assumption — detects any location shift).
+    Scale-first ranking WITHOUT ranking rows: the pooled sample
+    collapses to its distinct-VALUE vocabulary with per-group counts,
+    and average ranks come from a cumulative-count window over that
+    vocabulary — 2·avg_rank = 2·cum_before + c + 1, an INTEGER, so
+    the doubled rank-sum R1·2 and U1·2 = R1·2 − 2·n1(n1+1)/2 are
+    exact BIGINTs in both engines (half-integer ranks never touch a
+    float). The z-score applies the standard tie correction
+    Σ(c³−c)/((n)(n−1)) and is the single float expression, rounded.
+    The vocabulary window is one small sort (|distinct values| rows),
+    not a fact sort; at 100 TB the same shape runs on a binned value
+    rollup."""
+    from pyspark.sql import Window
+
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    v = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("g").alias("c1")
+    )
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cum_before"),
+    )
+    a = w.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("r1_x2"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_cubes"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    z = F.round(
+        (0.5 * u1_x2 - 0.5 * n1 * n2)
+        / F.sqrt(
+            n1 * n2 / F.lit(12.0)
+            * (
+                (n1 + n2 + F.lit(1.0))
+                - F.col("tie_cubes") / (F.lit(1.0) * (n1 + n2) * (n1 + n2 - 1))
+            )
+        ),
+        4,
+    )
+    return a.select(
+        "n1", "n2", u1_x2.alias("u1_x2"), z.alias("z")
+    )
