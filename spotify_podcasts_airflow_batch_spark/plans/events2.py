@@ -640,3 +640,161 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "n1", "n2", u1_x2.alias("u1_x2"), z.alias("z")
     )
+
+
+# ---------------------------------------------------------------- E50
+@register(
+    "chi2_independence",
+    oracle="""
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    b AS (
+        SELECT event_type,
+               least(CAST(floor((value - mm.lo) / ((mm.hi - mm.lo) / 10.0))
+                          AS INT), 9) AS bin
+        FROM events, mm
+    ),
+    jt AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    mt AS (SELECT event_type, sum(n) AS n_t FROM jt GROUP BY 1),
+    mb AS (SELECT bin, sum(n) AS n_b FROM jt GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_all,
+                   count(DISTINCT event_type) AS r,
+                   count(DISTINCT bin) AS c
+            FROM jt)
+    SELECT CAST(tot.n_all AS BIGINT) AS n_rows,
+           CAST((tot.r - 1) * (tot.c - 1) AS BIGINT) AS df,
+           round(sum(pow(jt.n - mt.n_t * mb.n_b / CAST(tot.n_all AS DOUBLE), 2)
+                     / (mt.n_t * mb.n_b / CAST(tot.n_all AS DOUBLE))), 4)
+               AS chi2
+    FROM jt JOIN mt USING (event_type) JOIN mb USING (bin) CROSS JOIN tot
+    GROUP BY tot.n_all, tot.r, tot.c
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E50 — Pearson chi-square test of independence between event
+    type and value decile: the hypothesis-test companion of E36's
+    mutual information (same contingency table, same zero-sort
+    binning from a broadcast global (min, max)). χ² = Σ(O−E)²/E over
+    ≤ |types|·10 cells with E = row·col/N; observed counts and df =
+    (r−1)(c−1) are integers, the χ² sum is the single float reduction
+    over ≤50 identical terms, rounded. At 100 TB the fact contributes
+    only map-side partial counts to the tiny cell state — the test
+    costs one scan regardless of N."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    jt = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    mt = jt.groupBy("event_type").agg(F.sum("n").alias("n_t"))
+    mb = jt.groupBy("bin").agg(F.sum("n").alias("n_b"))
+    tot = jt.agg(
+        F.sum("n").alias("n_all"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("bin").alias("c"),
+    )
+    expected = F.col("n_t") * F.col("n_b") / F.col("n_all").cast("double")
+    term = F.pow(F.col("n") - expected, 2) / expected
+    return (
+        jt.join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(mb), "bin")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_all", "r", "c")
+        .agg(F.round(F.sum(term), 4).alias("chi2"))
+        .select(
+            F.col("n_all").cast("long").alias("n_rows"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+            "chi2",
+        )
+    )
+
+
+# ---------------------------------------------------------------- E51
+@register(
+    "ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    v AS (SELECT value, count(*) AS c, sum(g) AS c1 FROM s GROUP BY value),
+    w AS (
+        SELECT sum(c1) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+               sum(c - c1) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM v
+    ),
+    t AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM w)
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           CAST(max(abs(w.cum1 * t.n2 - w.cum2 * t.n1)) AS BIGINT)
+               AS d_scaled,
+           round(max(abs(w.cum1 * t.n2 - w.cum2 * t.n1))
+                 / (1.0 * t.n1 * t.n2), 4) AS d_stat,
+           round(max(abs(w.cum1 * t.n2 - w.cum2 * t.n1))
+                 / (1.0 * t.n1 * t.n2)
+                 * sqrt(1.0 * t.n1 * t.n2 / (t.n1 + t.n2)), 4) AS ks_z
+    FROM w CROSS JOIN t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E51 — two-sample Kolmogorov-Smirnov test (purchase vs view):
+    the distribution-SHAPE test completing the two-sample toolkit
+    (E37 Welch = means, E49 Mann-Whitney = location shift, KS = any
+    CDF difference; E34's PSI is its binned production cousin). The
+    supremum gap is computed EXACTLY in integers: over the
+    distinct-value vocabulary (E49's shape), inclusive cumulative
+    counts give D·n1·n2 = max|cum1·n2 − cum2·n1| — a BIGINT, no float
+    CDFs compared. D itself and the scaled statistic
+    D·√(n1n2/(n1+n2)) are output-only floats from identical integers.
+    One vocabulary-sized window sort, never a fact sort; at 100 TB
+    the same shape runs on a binned rollup (making it exactly PSI's
+    sup-norm variant)."""
+    from pyspark.sql import Window
+
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    v = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("g").alias("c1")
+    )
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w = v.select(
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum(F.col("c") - F.col("c1")).over(w_cum).alias("cum2"),
+    )
+    t = F.broadcast(
+        w.agg(F.max("cum1").alias("n1"), F.max("cum2").alias("n2"))
+    )
+    gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    n1n2 = F.lit(1.0) * F.col("n1") * F.col("n2")
+    return (
+        w.join(t)
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).alias("mg"))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("mg").cast("long").alias("d_scaled"),
+            F.round(F.col("mg") / n1n2, 4).alias("d_stat"),
+            F.round(
+                F.col("mg") / n1n2
+                * F.sqrt(n1n2 / (F.col("n1") + F.col("n2"))),
+                4,
+            ).alias("ks_z"),
+        )
+    )
