@@ -453,3 +453,71 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------- C48
+@register(
+    "zipf_fit",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+    r AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+        FROM v
+    ),
+    l AS (SELECT ln(rnk) AS x, ln(freq) AS y FROM r)
+    SELECT (SELECT count(*) FROM v) AS vocab_size,
+           (SELECT count(*) FROM v WHERE freq = 1) AS hapax_count,
+           round(covar_samp(x, y) / var_samp(x), 4) AS zipf_slope,
+           round(avg(y) - covar_samp(x, y) / var_samp(x) * avg(x), 4)
+               AS intercept,
+           round(corr(x, y) * corr(x, y), 4) AS r2
+    FROM l
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48 — Zipf's-law fit over the corpus vocabulary: log-log OLS of
+    token frequency on frequency rank (natural text gives slope ≈ −1;
+    a flat slope flags synthetic or templated corpora — a corpus-
+    health check next to C12's per-doc repetition). Closed-form OLS
+    from one-pass co-moment aggregates, exactly E38's pattern, over
+    the VOCABULARY (|distinct tokens| rows): the fact-sized work is
+    only the token-count rollup (map-side combined); the rank
+    window sorts the vocabulary once, ties pinned on (freq desc,
+    token). ln of exact integer counts/ranks is deterministic IEEE;
+    the co-moment reductions are the only order-sensitive float sums,
+    rounded as in E38. hapax_count (freq = 1 tokens) rides along —
+    the vocabulary-tail mass that decides subword-vs-word tokenizer
+    choices."""
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    l = v.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    totals = F.broadcast(
+        v.agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum((F.col("freq") == 1).cast("long")).alias("hapax_count"),
+        )
+    )
+    slope = F.covar_samp("x", "y") / F.var_samp("x")
+    return (
+        l.agg(
+            F.round(slope, 4).alias("zipf_slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+            F.round(F.corr("x", "y") * F.corr("x", "y"), 4).alias("r2"),
+        )
+        .join(totals)
+        .select(
+            "vocab_size", "hapax_count", "zipf_slope", "intercept", "r2"
+        )
+    )
