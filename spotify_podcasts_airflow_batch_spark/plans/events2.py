@@ -798,3 +798,92 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_z"),
         )
     )
+
+
+# ---------------------------------------------------------------- E52
+@register(
+    "forecast_backtest",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT event_type, day, n,
+               lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+                   AS naive,
+               lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS seasonal
+        FROM d
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           CAST(sum(abs(n - naive)) AS BIGINT) AS sae_naive,
+           CAST(sum(abs(n - seasonal)) AS BIGINT) AS sae_seasonal,
+           round(sqrt(sum(1.0 * (n - naive) * (n - naive)) / count(*)), 4)
+               AS rmse_naive,
+           round(sqrt(sum(1.0 * (n - seasonal) * (n - seasonal))
+                      / count(*)), 4) AS rmse_seasonal,
+           round(sum(2.0 * abs(n - naive) / (n + naive)) / count(*), 4)
+               AS smape_naive,
+           round(sum(2.0 * abs(n - seasonal) / (n + seasonal)) / count(*), 4)
+               AS smape_seasonal
+    FROM f
+    WHERE naive IS NOT NULL AND seasonal IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E52 — forecast baseline backtest per event type: naive (lag-1)
+    vs seasonal-naive (lag-7, same weekday) daily-count forecasts
+    scored with MAE / RMSE / sMAPE over the common horizon — the
+    M-competition sanity check every forecasting deployment runs
+    before anything fancier (if seasonal-naive doesn't beat naive,
+    there's no weekly seasonality to model; compare E22's
+    hourly_seasonality). The fact collapses to the (type, day) count
+    rollup (map-side combined), lag windows run on that tiny grid,
+    and the error aggregates are integer sums (SAE exact BIGINT) plus
+    per-day float ratios rounded at 4 dp. Daily counts never shuffle
+    twice: one rollup, one |types|-partition window, one agg."""
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("naive"),
+        F.lag("n", 7).over(w).alias("seasonal"),
+    ).where(F.col("naive").isNotNull() & F.col("seasonal").isNotNull())
+    e_n = F.col("n") - F.col("naive")
+    e_s = F.col("n") - F.col("seasonal")
+    cnt = F.count(F.lit(1))
+    return f.groupBy("event_type").agg(
+        cnt.alias("n_days"),
+        F.sum(F.abs(e_n)).cast("long").alias("sae_naive"),
+        F.sum(F.abs(e_s)).cast("long").alias("sae_seasonal"),
+        F.round(F.sqrt(F.sum(F.lit(1.0) * e_n * e_n) / cnt), 4).alias(
+            "rmse_naive"
+        ),
+        F.round(F.sqrt(F.sum(F.lit(1.0) * e_s * e_s) / cnt), 4).alias(
+            "rmse_seasonal"
+        ),
+        F.round(
+            F.sum(F.lit(2.0) * F.abs(e_n) / (F.col("n") + F.col("naive")))
+            / cnt,
+            4,
+        ).alias("smape_naive"),
+        F.round(
+            F.sum(
+                F.lit(2.0) * F.abs(e_s) / (F.col("n") + F.col("seasonal"))
+            )
+            / cnt,
+            4,
+        ).alias("smape_seasonal"),
+    )
