@@ -69,6 +69,8 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()  # one fact scan + one distinct shuffle feed the
+        # pair join, both marginals, and the order count
     )
     n = F.broadcast(
         b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
@@ -163,6 +165,7 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
         )
         .distinct()
+        .persist()  # single materialization feeds pairs + marginals
     )
     ic = ui.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
     left = ui.select(F.col("u").alias("k"), F.col("i").alias("item_a"))
