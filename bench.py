@@ -64,6 +64,11 @@ HEADLINE = [
     "seasonal_decompose",
     "revenue_gini",
     "join_size_estimate",
+    "mann_whitney_u",
+    "forecast_backtest",
+    # recommendation / market-basket
+    "basket_pair_lift",
+    "q2_min_cost_supplier",
     # similarity
     "knn_brute",
     "dedup_clusters",

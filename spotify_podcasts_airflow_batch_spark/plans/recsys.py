@@ -58,36 +58,41 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules (Apriori's pair level): for every part pair
     co-occurring in ≥2 orders, the support count, both marginals, the
     lift N·c_ab/(c_a·c_b) (>1 = bought together more than chance) and
-    both directional confidences c_ab/c_x. The basket incidence list
-    is the only fact-sized shuffle; the pair expansion self-joins the
-    incidence list on the ORDER key, so work is Σ|basket|²/2 (max
-    basket here ≈ 17 items — linear in practice). Marginals and the
-    scalar order count broadcast. The support cut is an integer count
+    both directional confidences c_ab/c_x. ONE fact shuffle total:
+    collect_set per order both dedups and baskets in the same
+    exchange, and pairs are generated JVM-side from the sorted item
+    array (transform × slice — no self-join, no second pass over the
+    fact); the basket table persists once and feeds pairs, marginals,
+    and the order count. Work is Σ|basket|²/2 (max basket ≈ 17 —
+    linear in practice; a viral basket would switch this to capped
+    baskets or DIMSUM sampling). The support cut is an integer count
     filter (exact cross-engine); lift/confidence are output-only
     floats from identical integers."""
-    b = (
+    baskets = (
         table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .persist()  # one fact scan + one distinct shuffle feed the
-        # pair join, both marginals, and the order count
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .persist()  # one shuffle feeds pairs, marginals, order count
     )
-    n = F.broadcast(
-        b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    n = F.broadcast(baskets.agg(F.count(F.lit(1)).alias("n_orders")))
+    ic = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    left = b.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    right = b.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
-    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS part_a, y AS part_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     pc = (
-        left.join(
-            right,
-            (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")),
-        )
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= 2)
     )
@@ -146,36 +151,42 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering over the binary customer×part
     interaction matrix: cosine(a,b) = c_ab/√(c_a·c_b) for pairs with
     ≥3 shared customers ('customers who bought X also bought Y').
-    Same incidence-collapse → within-key self-join shape as
-    basket_pair_lift, but keyed on CUSTOMER (baskets are a customer's
-    lifetime purchases, bigger than single orders — the Σ|basket|²
-    term is why real systems cap per-user history or use DIMSUM
-    sampling above ~10³ items/user; stated here, not needed at this
-    basket scale). √ of an exact integer product is one
-    correctly-rounded IEEE op — deterministic cross-engine; the
-    support cut stays integer."""
-    ui = (
+    Same basket-array shape as basket_pair_lift, keyed on CUSTOMER: a
+    customer's lifetime purchases collapse to one sorted item array
+    in the same shuffle that dedups them, and pairs explode JVM-side
+    (Σ|basket|² is why real systems cap per-user history or use
+    DIMSUM sampling above ~10³ items/user; stated, not needed here).
+    √ of an exact integer product is one correctly-rounded IEEE op —
+    deterministic cross-engine; the support cut stays integer."""
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(
             table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .select(
-            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
-        )
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("u"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .persist()  # single materialization feeds pairs + marginals
     )
-    ic = ui.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
-    left = ui.select(F.col("u").alias("k"), F.col("i").alias("item_a"))
-    right = ui.select(F.col("u").alias("k2"), F.col("i").alias("item_b"))
+    ic = (
+        baskets.select(F.explode("items").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS item_a, y AS item_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
     pc = (
-        left.join(
-            right,
-            (F.col("k") == F.col("k2")) & (F.col("item_a") < F.col("item_b")),
-        )
-        .groupBy("item_a", "item_b")
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= 3)
     )
