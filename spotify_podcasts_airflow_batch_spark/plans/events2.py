@@ -887,3 +887,92 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("smape_seasonal"),
     )
+
+
+# ---------------------------------------------------------------- E53
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH ur AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM events GROUP BY 1, 2
+    ),
+    co AS (SELECT user_id, min(wk) AS cohort_week FROM ur GROUP BY 1),
+    cell AS (
+        SELECT cohort_week, wk - cohort_week AS age_week,
+               CAST(sum(rev_c) AS BIGINT) AS rev_c
+        FROM ur JOIN co USING (user_id) GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_week, count(*) AS cohort_size FROM co GROUP BY 1)
+    SELECT cohort_week, age_week, cohort_size,
+           CAST(sum(rev_c) OVER (
+               PARTITION BY cohort_week ORDER BY age_week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_rev_cents,
+           round(sum(rev_c) OVER (
+               PARTITION BY cohort_week ORDER BY age_week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / (100.0 * cohort_size), 4) AS ltv_per_user
+    FROM cell JOIN sz USING (cohort_week)
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E53 — cohort LTV curves: cumulative revenue per user by cohort
+    age, the money complement of E10's retention counts (same
+    epoch-week cohorting) — the curve whose asymptote IS customer
+    lifetime value. Revenue quantizes to per-row integer CENTS before
+    any sum, so every aggregate up to the cumulative window is exact
+    BIGINT in both engines; the per-user division is the single float,
+    rounded. Shuffle discipline: one fact shuffle to the (user, week)
+    rollup, one user-sized shuffle for cohort assignment, then all
+    windows run on the cohort×age GRID (≤ weeks² rows). At 100 TB the
+    grid is still tiny — the curve costs two rollups regardless of
+    event volume."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    wk = F.floor(F.col("ts").cast("long") / 604800)
+    rev_c = F.round(F.col("value") * 100, 0).cast("long")
+    ur = (
+        ev.select("user_id", wk.alias("wk"), rev_c.alias("rc"))
+        .groupBy("user_id", "wk")
+        .agg(F.sum("rc").alias("rev_c"))
+    )
+    per_user = ur.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week"),
+        F.collect_list(F.struct("wk", "rev_c")).alias("cells"),
+    )
+    cell = (
+        per_user.select(
+            "cohort_week", F.explode("cells").alias("c")
+        )
+        .groupBy(
+            "cohort_week",
+            (F.col("c.wk") - F.col("cohort_week")).alias("age_week"),
+        )
+        .agg(F.sum("c.rev_c").alias("rev_c"))
+    )
+    sz = per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("rev_c").over(w)
+    return (
+        cell.join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_size",
+            cum.alias("cum_rev_cents"),
+            F.round(
+                cum / (F.lit(100.0) * F.col("cohort_size")), 4
+            ).alias("ltv_per_user"),
+        )
+    )
