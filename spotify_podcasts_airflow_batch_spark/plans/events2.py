@@ -568,11 +568,11 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            r1_x2 - n1 * (n1 + 1) AS u1_x2,
            round(
                (0.5 * (r1_x2 - n1 * (n1 + 1)) - 0.5 * n1 * n2)
-               / sqrt(
+               / nullif(sqrt(
                    n1 * n2 / 12.0
                    * ((n1 + n2 + 1.0)
                       - tie_cubes / (1.0 * (n1 + n2) * (n1 + n2 - 1)))
-               ),
+               ), 0),
                4
            ) AS z
     FROM a
@@ -626,17 +626,16 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
-    z = F.round(
-        (0.5 * u1_x2 - 0.5 * n1 * n2)
-        / F.sqrt(
-            n1 * n2 / F.lit(12.0)
-            * (
-                (n1 + n2 + F.lit(1.0))
-                - F.col("tie_cubes") / (F.lit(1.0) * (n1 + n2) * (n1 + n2 - 1))
-            )
-        ),
-        4,
+    denom = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * (
+            (n1 + n2 + F.lit(1.0))
+            - F.col("tie_cubes") / (F.lit(1.0) * (n1 + n2) * (n1 + n2 - 1))
+        )
     )
+    # all-tied degenerate sample: variance 0 -> NULL z, pinned in both
+    # engines via nullif (Spark ANSI would otherwise DIVIDE_BY_ZERO)
+    z = F.round((0.5 * u1_x2 - 0.5 * n1 * n2) / F.nullif(denom, F.lit(0.0)), 4)
     return a.select(
         "n1", "n2", u1_x2.alias("u1_x2"), z.alias("z")
     )

@@ -207,3 +207,29 @@ def test_scd2_lookup_single_key_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "scd2_lookup")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_basket_pairs_no_self_join(spark, sf_dir):
+    # pair generation is JVM-side array combinatorics over the basket
+    # rollup — no fact self-join, no sort-merge anywhere; the two
+    # marginal joins and the scalar count broadcast
+    plan = plan_of(spark, sf_dir, "basket_pair_lift")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Generate explode" in plan  # array pair explosion
+
+
+def test_mann_whitney_single_vocabulary_window(spark, sf_dir):
+    # ranks come from ONE cumulative window over the value vocabulary;
+    # the fact contributes only the vocabulary rollup
+    plan = plan_of(spark, sf_dir, "mann_whitney_u")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_ltv_windows_on_grid_not_fact(spark, sf_dir):
+    # the cumulative-LTV window partitions by cohort_week AFTER the
+    # cohort×age rollup; the events scan feeds only hash aggregates
+    plan = plan_of(spark, sf_dir, "cohort_ltv")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
