@@ -975,3 +975,91 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------- E54
+@register(
+    "jackknife_ci",
+    oracle="""
+    WITH blk AS (
+        SELECT event_id % 10 AS b,
+               count(*) AS n_b,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS s_b
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_b) AS BIGINT) AS n,
+               CAST(sum(s_b) AS BIGINT) AS s,
+               count(*) AS g
+        FROM blk
+    ),
+    loo AS (
+        SELECT (s - s_b) / (100.0 * (n - n_b)) AS theta_j, g
+        FROM blk CROSS JOIN tot
+    )
+    SELECT tot.n AS n_rows, tot.g AS n_blocks,
+           round(tot.s / (100.0 * tot.n), 4) AS mean_value,
+           round(sqrt((max(loo.g) - 1.0) / max(loo.g)
+                 * sum(pow(theta_j - (SELECT avg(theta_j) FROM loo), 2))),
+                 4) AS jackknife_se
+    FROM loo CROSS JOIN tot
+    GROUP BY tot.n, tot.g, tot.s
+    """,
+)
+def jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E54 — delete-one-block jackknife standard error of the mean
+    event value: resampling-based uncertainty WITHOUT resampling —
+    the estimator the other tests (E37/E45/E49) assume a closed-form
+    variance for, here derived empirically, and the only resampling
+    scheme that is embarrassingly distributable (bootstrap needs R
+    full passes or Poisson weights; the jackknife needs ONE pass into
+    g hash blocks). Each leave-one-block-out mean θ_(j) = (S−S_j)/
+    (n−n_j) comes from exact integer-cent block sums (one map-side-
+    combined rollup to 10 rows), SE² = (g−1)/g·Σ(θ_(j)−θ̄)². Block
+    assignment is event_id % 10, NOT an engine hash() — Spark and
+    DuckDB hash functions differ, and the modulo of the sequential id
+    is both cross-engine-identical and balanced. At 100 TB: one scan,
+    10-row state, embarrassingly parallel."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 10).alias("b"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("rc"),
+    )
+    blk = ev.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("rc").alias("s_b")
+    )
+    tot = F.broadcast(
+        blk.agg(
+            F.sum("n_b").alias("n"),
+            F.sum("s_b").alias("s"),
+            F.count(F.lit(1)).alias("g"),
+        )
+    )
+    loo = blk.join(tot).select(
+        ((F.col("s") - F.col("s_b")) / (100.0 * (F.col("n") - F.col("n_b"))))
+        .alias("theta_j"),
+        "n",
+        "g",
+        "s",
+    )
+    mean_theta = F.broadcast(loo.agg(F.avg("theta_j").alias("tbar")))
+    return (
+        loo.join(mean_theta)
+        .groupBy("n", "g", "s")
+        .agg(
+            F.round(
+                F.sqrt(
+                    (F.max("g") - 1.0)
+                    / F.max("g")
+                    * F.sum(F.pow(F.col("theta_j") - F.col("tbar"), 2))
+                ),
+                4,
+            ).alias("jackknife_se")
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("g").alias("n_blocks"),
+            F.round(F.col("s") / (100.0 * F.col("n")), 4).alias("mean_value"),
+            "jackknife_se",
+        )
+    )
