@@ -310,3 +310,52 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------- B60
+@register(
+    "recursive_bom_depth",
+    oracle="""
+    WITH RECURSIVE anc(part, anc_key, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part
+        UNION ALL
+        SELECT part, anc_key // 2, depth + 1
+        FROM anc WHERE anc_key > 1
+    )
+    SELECT depth AS root_depth, count(*) AS n_parts
+    FROM anc WHERE anc_key = 1
+    GROUP BY depth
+    """,
+)
+def recursive_bom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60 — NATIVE recursive CTE (Spark 4's WITH RECURSIVE): BOM-style
+    ancestor-chain expansion over the synthetic key-halving part
+    hierarchy (component-of: part k's parent is k//2), reporting the
+    tree-depth histogram. This is the DECLARATIVE recursion surface —
+    the same construct the graph oracles (D5/D10/D12/D17) run on
+    DuckDB — now executed by Spark itself: both engines run
+    structurally identical SQL (sole dialect difference: `div` vs
+    `//` integer division). Termination is structural (keys strictly
+    halve → ≤ log₂(maxkey) ≈ 15-20 supersteps; Spark's recursion
+    level limit of 100 never binds), and per-step state is |parts|
+    rows. Scale note: Spark materializes every recursive step, so for
+    UNBOUNDED or high-fanout recursion the iterative DataFrame forms
+    with lineage checkpointing (operators/graph.py) remain the 100 TB
+    path — this query is the declarative-parity proof, and the right
+    tool for bounded hierarchy walks (org charts, BOMs, folder
+    trees)."""
+    p = table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("__rec_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(part, anc_key, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM __rec_part
+            UNION ALL
+            SELECT part, anc_key div 2, depth + 1
+            FROM anc WHERE anc_key > 1
+        )
+        SELECT depth AS root_depth, count(*) AS n_parts
+        FROM anc WHERE anc_key = 1
+        GROUP BY depth
+        """
+    )
