@@ -217,3 +217,97 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("centroid_dist"),
         (dist > _OUTLIER_RADIUS).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------- D19
+@register(
+    "silhouette_labels",
+    oracle="""
+    WITH c AS (
+        SELECT label, i AS dim,
+               round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS cv
+        FROM embeddings, unnest(range(64)) AS t(i)
+        GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label AS clabel, list(cv ORDER BY dim) AS cvec
+        FROM c GROUP BY label
+    ),
+    d AS (
+        SELECT e.vec_id, e.label, cent.clabel,
+               sqrt(list_aggregate(
+                   list_transform(range(1, 65),
+                       i -> pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                                - cent.cvec[CAST(i AS INT)], 2)),
+                   'sum')) AS dist
+        FROM embeddings e CROSS JOIN cent
+    ),
+    s AS (
+        SELECT vec_id, label,
+               round((min(CASE WHEN clabel <> label THEN dist END)
+                      - min(CASE WHEN clabel = label THEN dist END))
+                     / greatest(min(CASE WHEN clabel <> label THEN dist END),
+                                min(CASE WHEN clabel = label THEN dist END)),
+                     4) AS sil
+        FROM d GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(avg(sil), 4) AS mean_silhouette,
+           CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM s GROUP BY label
+    """,
+)
+def silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 — simplified silhouette score per label: s = (b − a) /
+    max(a, b) with a = distance to the OWN label centroid and b =
+    distance to the nearest OTHER centroid — the clustering-quality
+    metric that grades the label geometry D3/D7/D18 assume (mean s
+    near 0 = labels are not separated in embedding space; negative s
+    = the vector sits closer to another class's center, D18's
+    outlier signal sharpened into "which class it should be").
+    Simplified (centroid-based) silhouette replaces the classic
+    all-pairs a/b with centroid distances exactly so the cost is
+    n·L folds instead of n² pair distances — THE standard large-n
+    relaxation, and the only one that distributes with a broadcast.
+    Centroids round to 4 dp before differencing and the fold runs in
+    dim order (D18's discipline); per-vector s rounds before the
+    per-label mean; the negative count is integer-exact."""
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("clabel"), "cvec")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cvec"),
+                lambda x, c: F.pow(x.cast("double") - c, 2),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    own = F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist")))
+    other = F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist")))
+    s = d.groupBy("vec_id", "label").agg(
+        F.round((other - own) / F.greatest(other, own), 4).alias("sil")
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("sil"), 4).alias("mean_silhouette"),
+        F.sum((F.col("sil") < 0).cast("long")).alias("n_negative"),
+    )
