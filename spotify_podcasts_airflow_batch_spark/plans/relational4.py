@@ -359,3 +359,68 @@ def recursive_bom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY depth
         """
     )
+
+
+# ---------------------------------------------------------------- B61
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS group_size,
+               count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                   AS l_div
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(sum(group_size) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           CAST(min(group_size) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(floor((2 * 10000
+                       * sum(CASE WHEN group_size < 5 THEN group_size
+                             ELSE 0 END)
+                       + sum(group_size))
+                      / (2.0 * sum(group_size))) AS BIGINT)
+               AS at_risk_bp,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61 — privacy-risk audit before a data release: k-anonymity and
+    l-diversity over the quasi-identifier pair (nation, market
+    segment) with account-balance bands (floor/1000) as the sensitive
+    attribute. Reports the minimum equivalence-class size (k), how
+    many rows sit in classes below k=5 (re-identifiable under linkage
+    attacks), that share in integer HALF_UP basis points, and the
+    minimum per-class count of distinct sensitive bands (l — a class
+    where everyone shares one band leaks the attribute even at high
+    k). One map-side-combined rollup to |QI-combinations| rows, then
+    a scalar audit aggregate — at 100 TB the QI rollup IS the
+    release-gating artifact, and every statistic here is integer
+    arithmetic (bit-exact cross-engine). Generalization (coarsening
+    QI columns until min k ≥ 5) reuses the same query with coarser
+    keys."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+        ).alias("l_div"),
+    )
+    risk = F.sum(
+        F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0)
+    )
+    tot = F.sum("group_size")
+    return g.agg(
+        tot.cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").cast("long").alias("min_group_size"),
+        risk.cast("long").alias("rows_at_risk"),
+        F.floor((2 * 10000 * risk + tot) / (2.0 * tot))
+        .cast("long")
+        .alias("at_risk_bp"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+    )
