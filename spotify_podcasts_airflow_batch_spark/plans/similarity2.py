@@ -311,3 +311,64 @@ def silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("sil"), 4).alias("mean_silhouette"),
         F.sum((F.col("sil") < 0).cast("long")).alias("n_negative"),
     )
+
+
+# ---------------------------------------------------------------- D20
+@register(
+    "mrl_truncation",
+    oracle="""
+    WITH d AS (SELECT unnest([8, 16, 32, 64]) AS td),
+    r AS (
+        SELECT d.td, e.vec_id,
+               round(sqrt(list_aggregate(
+                   list_transform(range(1, d.td + 1),
+                       i -> pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE),
+                                2)),
+                   'sum'))
+                 / nullif(sqrt(list_aggregate(
+                   list_transform(range(1, 65),
+                       i -> pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE),
+                                2)),
+                   'sum')), 0), 4) AS retention
+        FROM embeddings e CROSS JOIN d
+    )
+    SELECT td AS trunc_dim, count(*) AS n_vectors,
+           round(avg(retention), 4) AS avg_retention,
+           round(min(retention), 4) AS min_retention
+    FROM r GROUP BY td
+    """,
+)
+def mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 — Matryoshka (MRL) truncation quality: for each candidate
+    truncation width d ∈ {8,16,32,64}, the cosine between the full
+    vector and its d-prefix — which for a prefix collapses to the
+    norm ratio ‖x[:d]‖/‖x‖, i.e. the fraction of the vector's energy
+    the prefix retains. This is the curve that decides how small the
+    ANN index (D2/D4/D9) can store vectors: MRL-trained embeddings
+    hold ~1.0 at small d; these synthetic embeddings spread energy
+    uniformly (retention ≈ √(d/64)) — exactly what the metric should
+    report for a non-Matryoshka space. Per-vector folds run in dim
+    order (D18's discipline), retention rounds before the avg/min
+    reduction, zero-norm vectors pin to NULL via nullif in both
+    engines. One scan, 4 folds per vector, no shuffle beyond the
+    4-row aggregate."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("td")
+    )
+    sq_sum = lambda col: F.aggregate(
+        col, F.lit(0.0), lambda acc, x: acc + F.pow(x.cast("double"), 2)
+    )
+    retention = F.round(
+        F.sqrt(sq_sum(F.slice(F.col("embedding"), 1, F.col("td"))))
+        / F.nullif(F.sqrt(sq_sum(F.col("embedding"))), F.lit(0.0)),
+        4,
+    )
+    r = e.crossJoin(F.broadcast(dims)).select(
+        "td", retention.alias("retention")
+    )
+    return r.groupBy(F.col("td").alias("trunc_dim")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("retention"), 4).alias("avg_retention"),
+        F.round(F.min("retention"), 4).alias("min_retention"),
+    )
