@@ -1063,3 +1063,67 @@ def jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jackknife_se",
         )
     )
+
+
+# ---------------------------------------------------------------- E55
+@register(
+    "interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           CAST(floor((2 * sum(gap_us) + count(gap_us))
+                      / (2 * count(gap_us))) AS BIGINT) AS mean_gap_us,
+           CAST(round(median(gap_us), 0) AS BIGINT) AS median_gap_us,
+           round(stddev_samp(gap_us) / (sum(gap_us) * 1.0 / count(gap_us)),
+                 4) AS cv
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E55 — arrival-process characterization: per-user inter-event
+    gaps grouped by the arriving event's type — mean / median gap and
+    the coefficient of variation, the burstiness dial (CV ≈ 1 =
+    Poisson arrivals, CV > 1 = bursty sessions then silence, CV < 1 =
+    regular/robotic — a bot signal next to E29's transition matrix).
+    Gaps are exact integer MICROSECONDS from one lag window per user
+    (the sessionize sort, reused shape; ties pinned on event_id);
+    the mean is the integer HALF_UP micro formula, the median an
+    exact percentile on integers (round(…,0) writes the same .5
+    convention in both engines), and CV is the one float, from
+    algebraic (n, Σ, Σ²) state — map-side combinable, so the only
+    sort is the per-user window."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    n = F.count("gap_us")
+    return g.groupBy("event_type").agg(
+        n.alias("n_gaps"),
+        F.floor((2 * F.sum("gap_us") + n) / (2 * n))
+        .cast("long")
+        .alias("mean_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5D)"), 0)
+        .cast("long")
+        .alias("median_gap_us"),
+        F.round(
+            F.stddev_samp("gap_us")
+            / (F.sum("gap_us") * F.lit(1.0) / n),
+            4,
+        ).alias("cv"),
+    )
