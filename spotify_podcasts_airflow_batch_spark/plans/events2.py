@@ -1127,3 +1127,50 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cv"),
     )
+
+
+# ---------------------------------------------------------------- E56
+@register(
+    "path_trigrams",
+    oracle="""
+    WITH t AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        FROM events
+    )
+    SELECT t1, t2, t3, count(*) AS n
+    FROM t
+    WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    HAVING count(*) >= 5
+    """,
+)
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E56 — third-order sequential patterns: consecutive event-type
+    trigrams across user journeys with support ≥ 5 — one order deeper
+    than E29's transition matrix (bigrams), the level where funnels
+    with a detour (view→error→view) become visible and a 2nd-order
+    Markov model gets its training counts. Two lead windows share ONE
+    per-user sort (same partition ordering ⇒ Spark plans a single
+    Window node), the trigram rollup is map-side combined, and the
+    support cut is an integer count — exact cross-engine. |types|³
+    bounds the result regardless of event volume."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("t1")
+    )
+    t = ev.select(
+        "t1",
+        F.lead("t1", 1).over(w).alias("t2"),
+        F.lead("t1", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        t.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
