@@ -424,3 +424,77 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("at_risk_bp"),
         F.min("l_div").cast("long").alias("min_l_diversity"),
     )
+
+
+# ---------------------------------------------------------------- B62
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               l_extendedprice / l_quantity AS price,
+               CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, price, w,
+               sum(w) OVER (
+                   PARTITION BY flag ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(w) OVER (PARTITION BY flag) AS tot
+        FROM v
+    )
+    SELECT flag,
+           CAST(max(tot) AS BIGINT) AS total_weight_c,
+           min(CASE WHEN 2 * cum >= tot THEN price END)
+               AS weighted_median_price
+    FROM c
+    GROUP BY flag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62 — WEIGHTED median: the unit price at which half the shipped
+    QUANTITY (not half the rows) sits below — the volume-weighted
+    answer every pricing/fairness report actually wants (plain median
+    over-weights small orders; B17's percentile can't take weights).
+    Exact integer crossing, the pareto_8020 discipline: quantities
+    collapse to BIGINT centi-units on the (flag, price) vocabulary,
+    the cumulative-weight window orders by price, and the median is
+    the least price with 2·cum ≥ total — an integer inequality, no
+    interpolation, so the output is a RAW input double (bit-identical
+    cross-engine, nothing to round). The window runs on the price
+    vocabulary, not the fact; at 100 TB the same shape runs on a
+    binned price rollup (t-digest being the sketch relaxation)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    v = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("wc"),
+        )
+        .groupBy("flag", "price")
+        .agg(F.sum("wc").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    c = v.select(
+        "flag",
+        "price",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("tot").cast("long").alias("total_weight_c"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))
+        ).alias("weighted_median_price"),
+    )
