@@ -1174,3 +1174,75 @@ def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 5)
     )
+
+
+# ---------------------------------------------------------------- E57
+@register(
+    "diff_in_diff",
+    oracle="""
+    WITH cell AS (
+        SELECT user_id % 2 AS treat,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END AS period,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS s_c,
+               var_samp(CAST(round(value * 100, 0) AS BIGINT) / 100.0)
+                   AS v
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           round(  sum(CASE WHEN treat = 1 AND period = 1
+                       THEN s_c / (100.0 * n) END)
+                 - sum(CASE WHEN treat = 1 AND period = 0
+                       THEN s_c / (100.0 * n) END)
+                 - sum(CASE WHEN treat = 0 AND period = 1
+                       THEN s_c / (100.0 * n) END)
+                 + sum(CASE WHEN treat = 0 AND period = 0
+                       THEN s_c / (100.0 * n) END), 4) AS did_estimate,
+           round(sqrt(sum(v / n)), 4) AS did_se
+    FROM cell
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E57 — difference-in-differences: the causal-inference estimator
+    for "did the thing we shipped mid-month move the metric", robust
+    to level differences between arms AND to time trends hitting both
+    arms (the two confounders E37/E45's single-period tests can't
+    separate). Arms are id-parity (E54's cross-engine-safe
+    assignment), the period cut is the fixed mid-range timestamp, and
+    DiD = (T₁−T₀) − (C₁−C₀) over the four cell means. One map-side-
+    combined rollup to FOUR cells carries everything: cell sums in
+    exact integer cents (means divide identical integers), cell
+    variances as algebraic state for the standard error
+    √Σ(σ²ᵢ/nᵢ). A 2×2 aggregate regardless of data volume — the
+    cheapest causal estimate there is."""
+    ev = table(spark, sf_dir, "events")
+    rc = F.round(F.col("value") * 100, 0).cast("long")
+    cell = ev.select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("period"),
+        rc.alias("rc"),
+    ).groupBy("treat", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s_c"),
+        F.var_samp(F.col("rc") / 100.0).alias("v"),
+    )
+    mean_of = lambda t, p: F.sum(
+        F.when(
+            (F.col("treat") == t) & (F.col("period") == p),
+            F.col("s_c") / (100.0 * F.col("n")),
+        )
+    )
+    return cell.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(
+            mean_of(1, 1) - mean_of(1, 0) - mean_of(0, 1) + mean_of(0, 0), 4
+        ).alias("did_estimate"),
+        F.round(F.sqrt(F.sum(F.col("v") / F.col("n"))), 4).alias("did_se"),
+    )
