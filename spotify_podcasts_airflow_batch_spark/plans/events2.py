@@ -1246,3 +1246,68 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_estimate"),
         F.round(F.sqrt(F.sum(F.col("v") / F.col("n"))), 4).alias("did_se"),
     )
+
+
+# ---------------------------------------------------------------- E58
+@register(
+    "cross_correlation",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events
+        WHERE event_type IN ('error', 'purchase')
+        GROUP BY 1
+    ),
+    l AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag)
+    SELECT l.lag,
+           count(*) AS n_hours,
+           round(corr(a.x, b.y), 4) AS ccf
+    FROM l
+    JOIN h a ON TRUE
+    JOIN h b ON b.hr = a.hr + l.lag
+    GROUP BY l.lag
+    """,
+)
+def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E58 — lead-lag cross-correlation between the hourly error and
+    purchase count series at lags −3..+3 h: the discovery query for
+    "which metric moves FIRST" (a peak at positive lag = errors lead
+    purchase drops; E30's autocorrelation is the self-paired special
+    case). The fact collapses to ONE hourly two-column rollup (the
+    CASE pivot shares the scan); each lag is an integer-shifted
+    self-equi-join of that tiny grid — |hours|·|lags| pairs, never
+    the fact. Counts are integers, so corr is the single float
+    reduction per lag, rounded as everywhere. At 100 TB: same grid,
+    same cost — the rollup is the only fact-sized stage."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("error", "purchase"))
+        .select(
+            F.floor(F.col("ts").cast("long") / 3600).alias("hr"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("ex"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("py"),
+        )
+    )
+    h = ev.groupBy("hr").agg(
+        F.sum("ex").alias("x"), F.sum("py").alias("y")
+    ).persist()  # tiny grid feeds all 7 lag joins
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (-3, -2, -1, 0, 1, 2, 3)])).alias(
+            "lag"
+        )
+    )
+    a = h.select(F.col("hr").alias("ha"), "x")
+    b = h.select(F.col("hr").alias("hb"), "y")
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.corr("x", "y"), 4).alias("ccf"),
+        )
+    )
