@@ -498,3 +498,38 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))
         ).alias("weighted_median_price"),
     )
+
+
+# ---------------------------------------------------------------- B63
+@register(
+    "corr_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+           round(corr(l_quantity, l_discount), 4)      AS qty_disc,
+           round(corr(l_quantity, l_tax), 4)           AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 4)      AS price_tax,
+           round(corr(l_discount, l_tax), 4)           AS disc_tax,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B63 — the full pairwise Pearson correlation matrix over the
+    fact's numeric columns (the profiling staple behind feature
+    selection and multicollinearity checks; B35 computes one pair,
+    this computes all 6) in ONE aggregate over ONE scan: every corr
+    is algebraic co-moment state (n, Σx, Σx², Σxy per pair), so the
+    whole matrix partial-aggregates map-side and the shuffle carries
+    a single ~25-number state row — at 100 TB the matrix costs
+    exactly one pass, the same as a count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("qty_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 4).alias("qty_tax"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 4).alias("price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
