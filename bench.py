@@ -130,19 +130,35 @@ def main() -> None:
             run(q.spark_fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         times[name] = round(min(samples), 3)
+        # Bound executor memory across the sweep: a few plans persist()
+        # an intermediate; a blocking clearCache between queries frees
+        # it deterministically instead of waiting on the ContextCleaner.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_num,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_num,
+    }
+    # Delta vs the committed round-1 floor so every round is diffable.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf") == sf_num and base.get("total_sec"):
+            out["baseline_total"] = base["total_sec"]
+            out["vs_baseline"] = round(total / base["total_sec"], 3)
+            out["queries_vs_baseline"] = {
+                k: round(v / base["queries"][k], 2)
+                for k, v in times.items()
+                if base["queries"].get(k)
+            }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -104,6 +104,10 @@ def blocked_allpairs_cosine(
     )
 
 
+# Upper bound on a driver-collected query set (see knn_brute_force).
+KNN_MAX_QUERIES = 10_000
+
+
 def knn_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,6 +131,20 @@ def knn_brute_force(
     oracle."""
     import numpy as np
     import pandas as pd
+
+    # Hard cap on the driver-side collect: the contract is a SMALL
+    # query set (probe vectors), and misuse with a corpus-sized query
+    # relation must fail loudly instead of OOMing the driver. Large
+    # query sets belong on knn_lsh / ivf_ann, whose candidate
+    # generation is a distributed bucket join.
+    cap = KNN_MAX_QUERIES
+    qn = queries.limit(cap + 1).count()
+    if qn > cap:
+        raise ValueError(
+            f"knn_brute_force collects the query set to the driver and "
+            f"caps it at {cap} rows (got >{cap}); use "
+            f"knn_lsh or ivf_ann for corpus-scale query sets"
+        )
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])

@@ -219,7 +219,7 @@ def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders, th
     ),
     tot AS (SELECT count(*) AS tn, sum(resp) AS tr FROM b)
-    SELECT decile, count(*) AS n_orders, sum(resp) AS n_resp,
+    SELECT decile, count(*) AS n_orders, CAST(sum(resp) AS BIGINT) AS n_resp,
            round(CAST(sum(resp) * tn AS DOUBLE) / (count(*) * tr), 4) AS lift
     FROM b, tot
     GROUP BY decile, tn, tr
@@ -425,7 +425,8 @@ _VOCAB_K = 500
         ) r WHERE rn <= {_VOCAB_K}
     )
     SELECT t.doc_id, count(*) AS n_tokens,
-           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
            round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
                  / count(*), 4) AS oov_rate
     FROM t LEFT JOIN v ON t.tok = v.tok
@@ -672,7 +673,7 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM isl GROUP BY user_id, island
     )
     SELECT user_id, count(*) AS n_intervals,
-           sum(epoch_us(e) - epoch_us(s)) AS covered_us
+           CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_us
     FROM g GROUP BY user_id
     """,
 )
@@ -731,7 +732,7 @@ def covered_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY user_id, anchor
     )
     SELECT user_id, max(streak_len) AS best_streak,
-           sum(streak_len) AS n_active_days
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days
     FROM s GROUP BY user_id
     """,
 )

@@ -320,7 +320,8 @@ def trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (SELECT n, c FROM s WHERE arm = 0),
     b AS (SELECT n, c FROM s WHERE arm = 1)
-    SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+    SELECT a.n AS n_a, CAST(a.c AS BIGINT) AS conv_a,
+           b.n AS n_b, CAST(b.c AS BIGINT) AS conv_b,
            round(a.c / CAST(a.n AS DOUBLE) - b.c / CAST(b.n AS DOUBLE), 4)
                AS rate_diff,
            CASE WHEN a.c + b.c = 0 OR a.c + b.c = a.n + b.n THEN NULL
@@ -436,18 +437,19 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "new_vs_returning",
     oracle="""
     WITH firsts AS (
-        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS first_day
         FROM events GROUP BY user_id
     ),
     daily AS (
-        SELECT CAST(ts AS DATE) AS day, user_id
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
         FROM events GROUP BY 1, 2
     )
     SELECT d.day,
            count(*) AS active_users,
-           sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS new_users,
-           sum(CASE WHEN f.first_day <> d.day THEN 1 ELSE 0 END)
-               AS returning_users
+           CAST(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END)
+               AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN f.first_day <> d.day THEN 1 ELSE 0 END)
+               AS BIGINT) AS returning_users
     FROM daily d JOIN firsts f USING (user_id)
     GROUP BY d.day
     """,
@@ -462,7 +464,7 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is |users| rows. Integer/date math only — nothing to
     round."""
     ev = table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily = ev.distinct()
@@ -651,6 +653,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                least(CAST(floor((value - mm.lo) / ((mm.hi - mm.lo) / 10.0))
                           AS INT), 9) AS bin
         FROM events, mm
+        WHERE mm.hi > mm.lo
     ),
     jt AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
     mt AS (SELECT event_type, sum(n) AS n_t FROM jt GROUP BY 1),
@@ -681,12 +684,19 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
     mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
-    b = ev.crossJoin(F.broadcast(mm)).select(
-        "event_type",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(9),
-        ).alias("bin"),
+    # hi > lo gate (value_drift_psi's discipline): a constant-valued
+    # column would make the bin width 0 → NaN bins in Spark but a
+    # CAST error in DuckDB; degenerate data yields zero rows on both.
+    b = (
+        ev.crossJoin(F.broadcast(mm))
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(9),
+            ).alias("bin"),
+        )
     )
     jt = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
     mt = jt.groupBy("event_type").agg(F.sum("n").alias("n_t"))
@@ -733,9 +743,9 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(abs(w.cum1 * t.n2 - w.cum2 * t.n1)) AS BIGINT)
                AS d_scaled,
            round(max(abs(w.cum1 * t.n2 - w.cum2 * t.n1))
-                 / (1.0 * t.n1 * t.n2), 4) AS d_stat,
+                 / nullif(1.0 * t.n1 * t.n2, 0.0), 4) AS d_stat,
            round(max(abs(w.cum1 * t.n2 - w.cum2 * t.n1))
-                 / (1.0 * t.n1 * t.n2)
+                 / nullif(1.0 * t.n1 * t.n2, 0.0)
                  * sqrt(1.0 * t.n1 * t.n2 / (t.n1 + t.n2)), 4) AS ks_z
     FROM w CROSS JOIN t
     GROUP BY t.n1, t.n2
@@ -780,7 +790,11 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.agg(F.max("cum1").alias("n1"), F.max("cum2").alias("n2"))
     )
     gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
-    n1n2 = F.lit(1.0) * F.col("n1") * F.col("n2")
+    # nullif-guarded: with an empty arm (zero purchases or views)
+    # 0/0 is NaN in Spark but divides-by-zero differently in DuckDB —
+    # both engines must emit NULL for the degenerate case (the same
+    # pin mann_whitney_u already carries).
+    n1n2 = F.nullif(F.lit(1.0) * F.col("n1") * F.col("n2"), F.lit(0.0))
     return (
         w.join(t)
         .groupBy("n1", "n2")

@@ -472,8 +472,8 @@ _PACK_HASH = oracle_hash31("'pack:' || CAST(doc_id AS VARCHAR)")
         FROM t
     )
     SELECT doc_id, lang, shard, n_tokens,
-           cum_before // {_PACK_BUDGET} AS bin,
-           cum_before % {_PACK_BUDGET} AS "offset"
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin,
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS "offset"
     FROM c
     """,
 )
@@ -618,7 +618,8 @@ _SEG_K = 8
     c AS (SELECT doc_id, count(*) OVER (PARTITION BY seg_h) AS cnt FROM s)
     SELECT doc_id,
            count(*) AS n_segs,
-           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_segs,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_segs,
            CAST(floor(10000.0 * sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
                       / count(*)) AS INT) AS dup_frac_bp
     FROM c
@@ -1007,20 +1008,21 @@ _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
     "table_profile",
     oracle="""
     SELECT 'doc_id' AS column_name, count(*) AS n_rows,
-           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
            count(DISTINCT doc_id) AS n_distinct,
            CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
     FROM documents
     UNION ALL
-    SELECT 'lang', count(*), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+    SELECT 'lang', count(*), CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
     FROM documents
     UNION ALL
-    SELECT 'source', count(*), sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+    SELECT 'source', count(*), CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT source), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
     FROM documents
     UNION ALL
-    SELECT 'n_chars', count(*), sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+    SELECT 'n_chars', count(*), CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
     FROM documents
     """,

@@ -190,7 +190,8 @@ _MAX_EPOCHS = 4.0  # repetition ceiling per source
     WITH per_src AS (
         SELECT source,
                count(*) AS n_docs,
-               sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+               CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                   AS BIGINT) AS n_tokens
         FROM documents
         GROUP BY source
     ),

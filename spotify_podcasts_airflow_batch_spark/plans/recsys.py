@@ -96,12 +96,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= 2)
     )
-    ca = F.broadcast(
-        ic.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
-    )
-    cb = F.broadcast(
-        ic.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
-    )
+    # No broadcast hint: the marginal rollup grows with the part
+    # catalog, so an explicit F.broadcast would pin a driver-OOM risk
+    # at 100× vocabulary (a hint overrides AQE). Unhinted, AQE
+    # broadcasts while it fits the threshold and degrades to a shuffle
+    # join beyond it — the right behavior at both scales.
+    ca = ic.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
+    cb = ic.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
     return (
         pc.join(ca, F.col("part_a") == F.col("pa"))
         .join(cb, F.col("part_b") == F.col("pb"))
@@ -190,12 +191,10 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= 3)
     )
-    ca = F.broadcast(
-        ic.select(F.col("i").alias("ia"), F.col("c").alias("c_a"))
-    )
-    cb = F.broadcast(
-        ic.select(F.col("i").alias("ib"), F.col("c").alias("c_b"))
-    )
+    # Unhinted (see basket_pair_lift): item marginals grow with the
+    # catalog — let AQE pick broadcast vs shuffle at runtime.
+    ca = ic.select(F.col("i").alias("ia"), F.col("c").alias("c_a"))
+    cb = ic.select(F.col("i").alias("ib"), F.col("c").alias("c_b"))
     return (
         pc.join(ca, F.col("item_a") == F.col("ia"))
         .join(cb, F.col("item_b") == F.col("ib"))

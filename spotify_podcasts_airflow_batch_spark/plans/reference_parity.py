@@ -30,12 +30,12 @@ SNAPSHOT_DATE = "2024-10-22"
     "chart_rank",
     oracle="""
     SELECT * FROM (
-        SELECT CAST(ts AS DATE) AS chart_date,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS chart_date,
                event_type       AS chart,
                event_id         AS entry_id,
                round(value, 4)  AS score,
                row_number() OVER (
-                   PARTITION BY CAST(ts AS DATE), event_type
+                   PARTITION BY date_trunc('day', ts), event_type
                    ORDER BY value DESC, event_id
                ) AS rank
         FROM events
@@ -46,11 +46,16 @@ def chart_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — chart position assignment: top-10 per (day, chart) by
     score. Replaces the reference's driver-side ``enumerate`` over one
     region at a time (spotify_eps.py:78 ``rank: i+1``) with one window
-    over all groups in parallel."""
+    over all groups in parallel.
+
+    Day keys are day-truncated TIMESTAMPs, not DATEs: pandas maps
+    Spark DATE to ``datetime.date`` but DuckDB DATE to
+    ``datetime64`` — stringified they diverge, so DATE-typed output
+    columns are banned from the catalog."""
     ev = table(spark, sf_dir, "events")
     ranked = topk_per_group(
         ev.select(
-            F.col("ts").cast("date").alias("chart_date"),
+            F.date_trunc("day", F.col("ts")).alias("chart_date"),
             F.col("event_type").alias("chart"),
             F.col("event_id").alias("entry_id"),
             F.col("value"),
@@ -71,7 +76,7 @@ def chart_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "chart_transform",
     oracle=f"""
-    SELECT DATE '{SNAPSHOT_DATE}'                                    AS date,
+    SELECT TIMESTAMP '{SNAPSHOT_DATE} 00:00:00'                      AS date,
            substring('spotify:episode:' || CAST(event_id AS VARCHAR), 17) AS episodeUri,
            substring('spotify:show:' || CAST(user_id AS VARCHAR), 14)     AS showUri,
            event_type                                                AS chartRankMove,
@@ -92,7 +97,7 @@ def chart_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return ev.select(
-        F.lit(SNAPSHOT_DATE).cast("date").alias("date"),
+        F.lit(SNAPSHOT_DATE + " 00:00:00").cast("timestamp").alias("date"),
         F.substring(
             F.concat(F.lit(EPISODE_URI_PREFIX), F.col("event_id").cast("string")),
             len(EPISODE_URI_PREFIX) + 1,
@@ -238,13 +243,13 @@ def union_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "daily_snapshot",
     oracle="""
-    SELECT CAST(ts AS DATE) AS snapshot_date,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS snapshot_date,
            event_type,
            count(*)               AS n_events,
            count(DISTINCT user_id) AS n_users,
            round(sum(value), 4)   AS total_value
     FROM events
-    GROUP BY CAST(ts AS DATE), event_type
+    GROUP BY date_trunc('day', ts), event_type
     """,
 )
 def daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +261,8 @@ def daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.col("ts").cast("date").alias("snapshot_date"), F.col("event_type")
+            F.date_trunc("day", F.col("ts")).alias("snapshot_date"),
+            F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -335,13 +341,13 @@ def latest_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_name, n.n_name, rg.r_name
     FROM (
         SELECT * FROM (
-            SELECT CAST(ts AS DATE) AS chart_date,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS chart_date,
                    event_type       AS chart,
                    event_id         AS entry_id,
                    user_id,
                    round(value, 4)  AS score,
                    row_number() OVER (
-                       PARTITION BY CAST(ts AS DATE), event_type
+                       PARTITION BY date_trunc('day', ts), event_type
                        ORDER BY value DESC, event_id
                    ) AS rank
             FROM events
@@ -361,7 +367,7 @@ def top_eps_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ranked = topk_per_group(
         ev.select(
-            F.col("ts").cast("date").alias("chart_date"),
+            F.date_trunc("day", F.col("ts")).alias("chart_date"),
             F.col("event_type").alias("chart"),
             F.col("event_id").alias("entry_id"),
             F.col("user_id"),
@@ -410,7 +416,8 @@ def top_eps_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
         WINDOW w AS (PARTITION BY chart, user_id ORDER BY chart_date)
     )
-    SELECT chart_date, chart, user_id, score, rank,
+    SELECT CAST(chart_date AS TIMESTAMP) AS chart_date,
+           chart, user_id, score, rank,
            CASE WHEN prev_date IS NULL OR prev_date <> chart_date - 1
                 THEN 'NEW'
                 WHEN prev_rank > rank THEN 'UP'
@@ -457,7 +464,12 @@ def chart_rank_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("SAME"))
     )
     return moved.where(F.col("rank") <= 10).select(
-        "chart_date", "chart", "user_id", "score", "rank", move.alias("rank_move")
+        F.col("chart_date").cast("timestamp").alias("chart_date"),
+        "chart",
+        "user_id",
+        "score",
+        "rank",
+        move.alias("rank_move"),
     )
 
 

@@ -326,31 +326,40 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               1 + sum(new_sess) OVER (
+               CAST(1 + sum(new_sess) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,
            count(*)            AS n_events,
            min(ts)             AS session_start,
            max(ts)             AS session_end,
-           round(sum(value),4) AS session_value
+           CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS session_value_micros
     FROM sessions
     GROUP BY user_id, session_id
     """,
 )
 def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30 min) + per-session rollup. See
-    operators/sessionize.py for the scalable two-window formulation."""
+    operators/sessionize.py for the scalable two-window formulation.
+
+    ``session_value_micros`` is summed in exact integer micro-units
+    (per-row ``round(value·1e6)`` before the sum) so the result is
+    independent of summation order and identical across engines —
+    ``round(sum(double), 4)`` is not, because float addition is not
+    associative and engines disagree at half boundaries."""
     ev = table(spark, sf_dir, "events")
     sess = sessionize(ev, gap_minutes=30)
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias(
+            "session_value_micros"
+        ),
     )
 
 

@@ -198,10 +198,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lines",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
     GROUP BY l_returnflag
@@ -711,15 +711,31 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; the GK sketch is mergeable, so the shuffle carries
     fixed-size summaries instead of every value). relativeError=0.001
     → rank off by ≤ 0.1% of the group. Accuracy vs the exact B17
-    values is asserted in tests/test_sketches.py."""
+    values is asserted in tests/test_sketches.py.
+
+    Long-form output (one row per (group, percentile), scalar columns
+    only): array cells are not canonicalizable by hash-comparison
+    harnesses, and the long form is also what a downstream join wants."""
     li = table(spark, sf_dir, "lineitem")
+    pcts = [0.25, 0.5, 0.75, 0.95]
     pct = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95),"
         " 10000)"
     )
-    return li.groupBy("l_returnflag").agg(
-        pct.alias("price_quantiles"),
+    agg = li.groupBy("l_returnflag").agg(
+        pct.alias("qs"),
         F.count(F.lit(1)).alias("n"),
+    )
+    pct_lit = F.array(*[F.lit(p) for p in pcts])
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.posexplode("qs").alias("pos", "approx_value"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.element_at(pct_lit, F.col("pos") + 1).alias("pct"),
+        "approx_value",
     )
 
 
@@ -814,8 +830,8 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
     ll AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
     SELECT count(*) AS n_join_keys,
-           sum(lo.c * ll.c) AS exact_join_rows,
-           max(lo.c * ll.c) AS max_key_contribution
+           CAST(sum(lo.c * ll.c) AS BIGINT) AS exact_join_rows,
+           CAST(max(lo.c * ll.c) AS BIGINT) AS max_key_contribution
     FROM lo JOIN ll USING (k)
     """,
 )

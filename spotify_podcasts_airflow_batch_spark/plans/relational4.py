@@ -99,8 +99,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
+        # `best` is |qualifying parts| rows — grows with the catalog,
+        # so no broadcast hint; AQE broadcasts only while it fits.
         regional.join(
-            F.broadcast(best),
+            best,
             (F.col("ps_partkey") == F.col("m_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )

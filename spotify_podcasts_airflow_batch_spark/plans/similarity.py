@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -401,7 +403,12 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = {
             v: 0.15 / n_nodes + _PR_DAMP * mass[v] for v in nodes
         }
-    out = [(v, round(ranks[v], 6) + 0.0) for v in nodes]
+    # Quantize HALF-UP explicitly: Python round() is half-to-even,
+    # but the DuckDB oracle's round(x, 6) (and F.round) are half-up —
+    # a rank landing exactly on a 0.5e-6 boundary must not diverge.
+    out = [
+        (v, math.floor(ranks[v] * 1e6 + 0.5) / 1e6 + 0.0) for v in nodes
+    ]
     return spark.createDataFrame(out, "nationkey int, pagerank double")
 
 

@@ -42,7 +42,8 @@ _TOKS = r"string_split_regex(trim(text), '\s+')"
     dfc AS (SELECT shingle, count(*) AS nd FROM g GROUP BY shingle)
     SELECT g.doc_id,
            count(*) AS n_shingles,
-           sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
+           CAST(sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
            round(sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END) / count(*), 4)
                AS shared_frac
     FROM g JOIN dfc USING (shingle)

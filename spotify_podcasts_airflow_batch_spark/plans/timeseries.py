@@ -237,7 +237,7 @@ def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e AS t, -1 AS d FROM iv
     ),
     agg AS (SELECT t, sum(d) AS nd FROM ev GROUP BY t)
-    SELECT t, sum(nd) OVER (ORDER BY t) AS n_open FROM agg
+    SELECT t, CAST(sum(nd) OVER (ORDER BY t) AS BIGINT) AS n_open FROM agg
     """,
 )
 def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +634,7 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                least(CAST(floor((value - mm.lo) / ((mm.hi - mm.lo) / 10.0))
                           AS INT), 9) AS bin
         FROM events, mm
+        WHERE mm.hi > mm.lo
     ),
     jt AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
     mt AS (SELECT event_type, sum(n) AS n_t FROM jt GROUP BY 1),
@@ -664,12 +665,18 @@ def type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
     mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
-    b = ev.crossJoin(F.broadcast(mm)).select(
-        "event_type",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(9),
-        ).alias("bin"),
+    # hi > lo gate: zero-width bins (constant column) → NaN in Spark
+    # vs a CAST error in DuckDB; both engines emit zero rows instead.
+    b = (
+        ev.crossJoin(F.broadcast(mm))
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(9),
+            ).alias("bin"),
+        )
     )
     jt = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
     mt = jt.groupBy("event_type").agg(F.sum("n").alias("n_t"))
