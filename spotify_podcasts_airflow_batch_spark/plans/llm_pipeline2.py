@@ -389,3 +389,59 @@ def heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg(lp), 4) + F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------- C49
+# Target output-file size for the write plan. Testdata-scaled (256 KiB)
+# so the plan is non-trivial at sf0.01; production uses 128 MiB-1 GiB —
+# the formula is scale-free.
+_FILE_TARGET_BYTES = 256 * 1024
+
+
+@register(
+    "output_file_plan",
+    oracle=f"""
+    WITH p AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS est_bytes
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, est_bytes,
+           CAST((est_bytes + {_FILE_TARGET_BYTES - 1})
+                // {_FILE_TARGET_BYTES} AS BIGINT) AS n_files,
+           CAST((n_docs + (est_bytes + {_FILE_TARGET_BYTES - 1})
+                          // {_FILE_TARGET_BYTES} - 1)
+                // ((est_bytes + {_FILE_TARGET_BYTES - 1})
+                    // {_FILE_TARGET_BYTES}) AS BIGINT) AS rows_per_file
+    FROM p
+    """,
+)
+def output_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49 — write planning: per output partition (lang), the file
+    count and rows-per-file that hit a target file size. THE
+    operational lever at 100 TB: unplanned writes produce either
+    thousands of KB-files (metadata death for every later reader) or
+    multi-GB files (no scan parallelism). The per-partition byte
+    estimate comes from the same rollup a writer's
+    ``repartitionByRange(n_files, key)`` needs, so this query IS the
+    planning step of `sinks` writes, expressed as data.
+
+    Pure integer ceiling divisions (``(b + T-1) // T``) — exact on
+    both engines, no float file counts. One map-side-combined rollup;
+    |langs| rows out."""
+    d = table(spark, sf_dir, "documents")
+    p = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("est_bytes"),
+    )
+    t = F.lit(_FILE_TARGET_BYTES)
+    n_files = F.floor((F.col("est_bytes") + t - 1) / t).cast("long")
+    return p.select(
+        "lang",
+        "n_docs",
+        "est_bytes",
+        n_files.alias("n_files"),
+        F.floor((F.col("n_docs") + n_files - 1) / n_files)
+        .cast("long")
+        .alias("rows_per_file"),
+    )

@@ -797,3 +797,95 @@ def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["state_at_purchase", "event_id"],
         right_tiebreak=F.col("event_id"),
     ).select("purchase_id", "user_id", "ts_us", "state_at_purchase")
+
+
+# ---------------------------------------------------------------- A16
+_EP_POOL = 600  # chart stub pool: top_n * 3 (sources/chart_api.py)
+
+
+@register(
+    "episode_enrich",
+    oracle="""
+    WITH charted AS (
+        SELECT event_id % 600 AS ep_num, count(*) AS n_chart_events
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT ep_num, n_chart_events,
+               'ep' || lpad(CAST(ep_num AS VARCHAR), 8, '0') AS id,
+               ep_num % 97 AS shw,
+               'sh' || lpad(CAST(ep_num % 97 AS VARCHAR), 5, '0') AS sid
+        FROM charted
+    )
+    SELECT id,
+           'Episode ' || ep_num || ' of show ' || shw AS name,
+           'Show ' || shw AS show_name,
+           'Publisher ' || (shw % 13) AS show_publisher,
+           ((('0x' || substr(md5('dur:' || id), 1, 8))::BIGINT
+             & 2147483647) % 3600000 + 60000) AS duration_ms,
+           (['en','de','es','fr','pt'])[
+               ((('0x' || substr(md5('lang:' || id), 1, 8))::BIGINT
+                 & 2147483647) % 5) + 1] AS language,
+           strftime(DATE '2023-01-01'
+                + ((('0x' || substr(md5('rel:' || id), 1, 8))::BIGINT
+                    & 2147483647) % 730) * INTERVAL 1 DAY,
+                '%Y-%m-%d') AS release_date,
+           CAST(((('0x' || substr(md5('stot:' || sid), 1, 8))::BIGINT
+                  & 2147483647) % 500 + 1) AS INT) AS show_total_episodes,
+           n_chart_events,
+           FALSE AS name_mismatch
+    FROM m
+    """,
+)
+def episode_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — the reference's second API surface, end to end: charted
+    episode ids → batched ≤50-id metadata lookups → enrichment join →
+    name-mismatch audit (include/spotify_eps.py:115-118 batching,
+    :131-156 nested show.* extraction, :210-212 validation).
+
+    The id list collected to the driver is bounded by the episode POOL
+    (600 ids — metadata scale, same class as a dimension key list),
+    never by event volume: the rollup to distinct episodes happens
+    distributed, only the distinct ids cross to the driver to form the
+    API batches. Each batch is one InputPartition of the
+    ``spotify_episodes`` DataSource, so the lookups fan out across
+    executors. The oracle recomputes the deterministic stub metadata
+    in SQL via the shared md5 hash family — the whole enrichment is
+    hash-compared, not just row counts."""
+    from spotify_podcasts_airflow_batch_spark.sources.episode_meta import (
+        EpisodeMetaDataSource,
+    )
+
+    spark.dataSource.register(EpisodeMetaDataSource)
+    ev = table(spark, sf_dir, "events")
+    charted = (
+        ev.groupBy((F.col("event_id") % _EP_POOL).alias("ep_num"))
+        .agg(F.count(F.lit(1)).alias("n_chart_events"))
+        .withColumn("id", F.format_string("ep%08d", F.col("ep_num")))
+    )
+    ids = sorted(r["id"] for r in charted.select("id").distinct().collect())
+    meta = (
+        spark.read.format("spotify_episodes")
+        .option("episode_uris", ",".join(ids))
+        .load()
+    )
+    chart_name = F.format_string(
+        "Episode %d of show %d",
+        F.col("ep_num"),
+        F.col("ep_num") % 97,
+    )
+    return (
+        charted.join(meta, "id", "left")
+        .select(
+            "id",
+            "name",
+            "show_name",
+            "show_publisher",
+            "duration_ms",
+            "language",
+            "release_date",
+            "show_total_episodes",
+            "n_chart_events",
+            (F.col("name") != chart_name).alias("name_mismatch"),
+        )
+    )

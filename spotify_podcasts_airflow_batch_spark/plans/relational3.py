@@ -757,6 +757,50 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitters_contain",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT o_orderpriority, n,
+           round(n / CAST(t.total AS DOUBLE), 4) AS share,
+           TRUE AS detected
+    FROM c CROSS JOIN t
+    WHERE n / CAST(t.total AS DOUBLE) > 0.15
+    """,
+)
+def heavy_hitters_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38b — the frequent-items guarantee as an oracle-checkable
+    result: every value whose EXACT share exceeds the support
+    threshold, with a boolean asserting the sketch detected it. The
+    sketch allows false positives but never false negatives, so the
+    oracle pins ``detected = TRUE`` for every true heavy hitter —
+    the containment property itself is now hash-compared. The sketch
+    side is one scan with mergeable counters; the exact side is a
+    priority-sized rollup."""
+    o = table(spark, sf_dir, "orders").select("o_orderpriority")
+    # Sketch result: bounded by 1/support values — a tiny driver list.
+    freq_rows = o.stat.freqItems(["o_orderpriority"], support=0.15).collect()
+    detected = set(freq_rows[0][0]) if freq_rows else set()
+    c = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    share = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .where(share > 0.15)
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round(share, 4).alias("share"),
+            F.col("o_orderpriority")
+            .isin(sorted(detected))
+            .alias("detected"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- B41
 @register(
     "fuzzy_name_match",

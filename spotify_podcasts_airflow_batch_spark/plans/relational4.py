@@ -535,3 +535,95 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------- B64
+@register(
+    "join_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+               count(*) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_mult
+        FROM c
+    ),
+    top AS (
+        SELECT k AS top_key FROM c ORDER BY c DESC, k LIMIT 1
+    ),
+    ov AS (
+        SELECT
+            CAST(sum(CASE WHEN c.c * t.n_keys > 2 * t.total_rows
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_over_2x,
+            CAST(sum(CASE WHEN c.c * t.n_keys > 10 * t.total_rows
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_over_10x
+        FROM c, t
+    )
+    SELECT t.n_keys, t.total_rows, t.max_mult, top.top_key,
+           CAST(floor(10000.0 * t.max_mult * t.n_keys / t.total_rows)
+                AS BIGINT) AS skew_ratio_bp,
+           ov.n_keys_over_2x, ov.n_keys_over_10x
+    FROM t, top, ov
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B64 — key-skew diagnosis BEFORE committing to a shuffle plan:
+    the per-key multiplicity distribution of the join key, reduced to
+    the numbers that decide salting/AQE-skew-split — max multiplicity,
+    the hottest key, the max/mean ratio in integer basis points, and
+    how many keys exceed 2x/10x the mean. Completes B50
+    (`join_size_estimate` answers "how big is the join"; this answers
+    "how UNEVEN is it").
+
+    All comparisons are integer cross-multiplications
+    (``c·n_keys > k·total``) — no float thresholds to diverge
+    cross-engine; the one float op (the bp ratio) is a single division
+    of exactly-representable integer-valued doubles. The rollup is
+    map-side combined, so at 100 TB the diagnosis shuffles |keys|
+    rows, three orders cheaper than the join it plans for."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c = c.persist()
+    t = c.agg(
+        F.sum("c").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_mult"),
+    )
+    top = c.orderBy(F.col("c").desc(), F.col("k")).limit(1).select(
+        F.col("k").alias("top_key")
+    )
+    ov = (
+        c.crossJoin(F.broadcast(t.select("total_rows", "n_keys")))
+        .agg(
+            F.sum(
+                (F.col("c") * F.col("n_keys") > 2 * F.col("total_rows"))
+                .cast("long")
+            ).alias("n_keys_over_2x"),
+            F.sum(
+                (F.col("c") * F.col("n_keys") > 10 * F.col("total_rows"))
+                .cast("long")
+            ).alias("n_keys_over_10x"),
+        )
+    )
+    return (
+        t.crossJoin(top)
+        .crossJoin(ov)
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_mult",
+            "top_key",
+            F.floor(
+                10000.0
+                * F.col("max_mult")
+                * F.col("n_keys")
+                / F.col("total_rows")
+            ).alias("skew_ratio_bp"),
+            "n_keys_over_2x",
+            "n_keys_over_10x",
+        )
+    )

@@ -316,6 +316,143 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, id_col="doc_id")
 
 
+def _minhash_accuracy_oracle() -> str:
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        oracle_hash31,
+        oracle_hash60,
+        oracle_universal_hash,
+        universal_family,
+    )
+    from spotify_podcasts_airflow_batch_spark.operators.dedup import LSH_BANDS
+
+    fam = universal_family(NUM_MINHASHES)
+    arms = " ".join(
+        f"WHEN s = {i} THEN min({oracle_universal_hash('h31', a, b)})"
+        for i, (a, b) in enumerate(fam)
+    )
+    rows = NUM_MINHASHES // LSH_BANDS
+    band_str = "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)"
+    true_j = "coalesce(i.nc / CAST(ca.n + cb.n - i.nc AS DOUBLE), 0.0)"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), shd AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+    ), hashed AS (
+        SELECT doc_id, {oracle_hash31('shingle')} AS h31 FROM shd
+    ), sig AS (
+        SELECT doc_id, s AS seed, CASE {arms} END AS mh
+        FROM hashed, UNNEST(range({NUM_MINHASHES})) AS u(s)
+        GROUP BY doc_id, s
+    ), banded AS (
+        SELECT doc_id, seed // {rows} AS band_id,
+               {oracle_hash60(band_str)} AS band_hash
+        FROM sig GROUP BY doc_id, seed // {rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band_id = b.band_id
+                     AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT c.id_a, c.id_b,
+               sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                   / {NUM_MINHASHES}.0 AS est_j
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        GROUP BY c.id_a, c.id_b
+    ), cnts AS (
+        SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS nc
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.id_a
+        JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.est_j, 4) AS est_jaccard,
+           round({true_j}, 4) AS true_jaccard,
+           CAST(abs(CAST(round(e.est_j * 10000, 0) AS INT)
+                    - CAST(round({true_j} * 10000, 0) AS INT)) AS INT)
+               AS err_bp
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    LEFT JOIN cnts ca ON ca.doc_id = e.id_a
+    LEFT JOIN cnts cb ON cb.doc_id = e.id_b
+    """
+
+
+@register("minhash_accuracy", oracle=_minhash_accuracy_oracle())
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6c — MinHash accuracy, measured not claimed: every LSH
+    candidate pair carries its signature-estimated Jaccard AND the
+    exact 3-shingle Jaccard, with the absolute error in integer basis
+    points. This is the "measure, don't guess" query for the dedup
+    sketch: the error distribution is itself a queryable table (e.g.
+    p95(err_bp) bounds how far the 16-hash estimate strays).
+
+    Scale shape: candidates come from the banded bucket join (never
+    all-pairs); the exact-Jaccard check restricts FIRST to the
+    candidate set — shd joins through cand — so the expensive truth
+    computation touches only pairs the sketch surfaced. Everything is
+    integer or single-division float; est is k/16 (a dyadic rational,
+    exactly representable) so the rounding is engine-portable."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, id_col="doc_id", text_col="text").persist()
+    cand = lsh_candidate_pairs(sig, id_col="doc_id")
+
+    from spotify_podcasts_airflow_batch_spark.functions.text import word_shingles
+
+    toks = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    arr = toks.select(
+        "doc_id", word_shingles(F.col("__toks"), k=3).alias("__sh")
+    )
+    shd = (
+        arr.select(
+            "doc_id",
+            F.size("__sh").alias("n"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    sa = shd.select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("n").alias("na")
+    )
+    sb = shd.select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("n").alias("nb")
+    )
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    true_j = F.coalesce(
+        F.col("nc") / (F.col("na") + F.col("nb") - F.col("nc")).cast("double"),
+        F.lit(0.0),
+    )
+    est_bp = F.round(F.col("est_jaccard") * 10000, 0).cast("int")
+    true_bp = F.round(true_j * 10000, 0).cast("int")
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(true_j, 4).alias("true_jaccard"),
+            F.abs(est_bp - true_bp).cast("int").alias("err_bp"),
+        )
+    )
+
+
 _SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
     for j in range(SIMHASH_BITS)

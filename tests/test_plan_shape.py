@@ -233,3 +233,26 @@ def test_cohort_ltv_windows_on_grid_not_fact(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cohort_ltv")
     assert plan.count("Window") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_catalog_sized_marginals_not_hint_pinned(spark, sf_dir):
+    # basket_pair_lift / item_item_cosine / q2_min_cost_supplier join
+    # against rollups that GROW with the part catalog. They must carry
+    # no F.broadcast hint: with the auto threshold disabled, the join
+    # must degrade to a shuffle join (a hint would pin BroadcastHash
+    # regardless — the driver-OOM shape at 100x vocabulary). AQE still
+    # picks broadcast at runtime while the rollup is actually small.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("basket_pair_lift", "item_item_cosine"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "BroadcastHashJoin" not in plan, name
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        # q2 keeps hinted broadcasts for its TRUE dims (nation/region/
+        # supplier — bounded size); only the part-catalog-sized `best`
+        # rollup must degrade, so assert a shuffle join exists too.
+        plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -15,24 +15,24 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
     """Each GK estimate must sit within ±1% of the requested rank
     (accuracy=10000 → ε=1e-4; we assert a much looser 1% rank bound
     computed against the exact sorted values)."""
-    got = {
-        r["l_returnflag"]: r["price_quantiles"]
-        for r in QUERIES["approx_quantiles"].spark_fn(spark, sf_dir).collect()
-    }
+    # long form: one row per (group, pct) with scalar approx_value
+    rows = QUERIES["approx_quantiles"].spark_fn(spark, sf_dir).collect()
     li = table(spark, sf_dir, "lineitem")
-    for flag, approx in got.items():
-        vals = sorted(
-            r["l_extendedprice"]
-            for r in li.where(F.col("l_returnflag") == flag)
-            .select("l_extendedprice")
-            .collect()
-        )
+    exact: dict[str, list[float]] = {}
+    for r in rows:
+        flag, q, est = r["l_returnflag"], r["pct"], r["approx_value"]
+        if flag not in exact:
+            exact[flag] = sorted(
+                x["l_extendedprice"]
+                for x in li.where(F.col("l_returnflag") == flag)
+                .select("l_extendedprice")
+                .collect()
+            )
+        vals = exact[flag]
         n = len(vals)
-        for q, est in zip((0.25, 0.5, 0.75, 0.95), approx):
-            # rank of the estimate in the exact ordering
-            lo = sum(1 for v in vals if v < est)
-            hi = sum(1 for v in vals if v <= est)
-            assert lo / n - 0.01 <= q <= hi / n + 0.01, (flag, q, est)
+        lo = sum(1 for v in vals if v < est)
+        hi = sum(1 for v in vals if v <= est)
+        assert lo / n - 0.01 <= q <= hi / n + 0.01, (flag, q, est)
 
 
 def test_heavy_hitters_contain_exact_answer(spark, sf_dir):

@@ -14,7 +14,7 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
 SURVEY = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
 
 # §2 table rows look like: | C21 | `dup_segments` | ... |
-ROW = re.compile(r"^\|\s*[A-G]\d+b?\s*\|\s*`([a-z0-9_]+)`\s*\|", re.M)
+ROW = re.compile(r"^\|\s*[A-G]\d+[a-z]?\s*\|\s*`([a-z0-9_]+)`\s*\|", re.M)
 
 # rows that are deliberately test-only (no catalog entry)
 TEST_ONLY = {"streaming runtime"}
