@@ -138,15 +138,15 @@ def knn_brute_force(
     # query sets belong on knn_lsh / ivf_ann, whose candidate
     # generation is a distributed bucket join.
     cap = KNN_MAX_QUERIES
-    qn = queries.limit(cap + 1).count()
-    if qn > cap:
+    # limit(cap+1) bounds the collect itself (the guard costs zero
+    # extra jobs — the overflow row proves the violation).
+    qrows = queries.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(qrows) > cap:
         raise ValueError(
             f"knn_brute_force collects the query set to the driver and "
             f"caps it at {cap} rows (got >{cap}); use "
             f"knn_lsh or ivf_ann for corpus-scale query sets"
         )
-
-    qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

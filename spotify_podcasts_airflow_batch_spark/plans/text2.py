@@ -267,3 +267,117 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------- C50
+_BP_PREFIX_K = 5  # tokens in the boilerplate prefix key
+
+
+@register(
+    "boilerplate_prefix",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, source,
+               array_to_string(w[1:{_BP_PREFIX_K}], ' ') AS prefix
+        FROM t WHERE len(w) >= {_BP_PREFIX_K}
+    ),
+    g AS (
+        SELECT source, prefix,
+               count(*) AS n_docs,
+               min(doc_id) AS example_doc
+        FROM p GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, count(*) AS n_source_docs FROM p GROUP BY source)
+    SELECT g.source, g.prefix, g.n_docs, g.example_doc,
+           CAST(floor(10000.0 * g.n_docs / tot.n_source_docs) AS BIGINT)
+               AS share_bp
+    FROM g JOIN tot USING (source)
+    WHERE g.n_docs >= 2
+    """,
+)
+def boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 — boilerplate detection by shared document prefix: within
+    each source, documents opening with the identical first-5-token
+    prefix (headers, templates, nav chrome — the stuff C4's whole-doc
+    fingerprint misses because the bodies differ). The pretraining
+    cleanup this feeds: prefixes above a share threshold get stripped
+    corpus-wide.
+
+    One tokenize + prefix projection, one map-side-combined rollup
+    keyed by (source, prefix) — shuffle volume is |distinct prefixes|,
+    not corpus tokens. share_bp is a single integer-ratio division,
+    floor'd to basis points — engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("__toks"))
+    p = toks.where(F.size("__toks") >= _BP_PREFIX_K).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("__toks", 1, _BP_PREFIX_K)).alias("prefix"),
+    )
+    g = p.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("example_doc"),
+    )
+    tot = p.groupBy("source").agg(F.count(F.lit(1)).alias("n_source_docs"))
+    return (
+        g.join(tot, "source")
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "source",
+            "prefix",
+            "n_docs",
+            "example_doc",
+            F.floor(
+                10000.0 * F.col("n_docs") / F.col("n_source_docs")
+            ).alias("share_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C51
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH g AS (
+        SELECT source, md5(lower(trim(text))) AS fp, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_unique,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+           CAST(floor(10000.0 * (sum(n) - count(*)) / sum(n)) AS BIGINT)
+               AS dup_frac_bp
+    FROM g GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51 — duplication rate per source: the corpus-health rollup of
+    C4's exact dedup (which source is feeding us copies?). Drives the
+    ingest decision a crawl pipeline makes weekly: a source whose
+    dup_frac spikes gets throttled or re-crawled.
+
+    Two nested map-side-combinable aggregates over one scan: the
+    (source, fingerprint) rollup collapses duplicates before the
+    shuffle, then the per-source stats are |sources| rows. Integer
+    counts; the one float op is a single floor'd division —
+    engine-exact at any scale."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dup_docs"),
+        F.floor(
+            10000.0
+            * (F.sum("n") - F.count(F.lit(1)))
+            / F.sum("n")
+        ).alias("dup_frac_bp"),
+    )

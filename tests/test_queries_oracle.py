@@ -88,6 +88,14 @@ def _spark_pdf(sdf) -> pd.DataFrame:
     return sdf.toPandas()
 
 
+@pytest.fixture(autouse=True)
+def _clear_cache_between_queries(spark):
+    # A few plans persist() an intermediate; clear between queries so
+    # cached relations can't accumulate across the 200+ query sweep.
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     q = QUERIES[name]
