@@ -146,3 +146,27 @@ def extract_features(decoded: DataFrame) -> DataFrame:
     return decoded.select(
         "doc_id", thumb_histogram(F.col("thumb")).alias("features")
     )
+
+
+def thumb_histogram_counts(decoded: DataFrame) -> DataFrame:
+    """Integer byte-value histogram (16 bins of width 16) of the thumb
+    via a vectorized Pandas UDF — the INTEGER form of
+    ``extract_features``'s kernel, exactly recomputable in SQL (hex
+    expansion of the same bytes), so the whole Python exchange is
+    hash-checkable end-to-end. The normalized float vector is
+    ``counts / counts.sum()`` — integers fully determine it."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def hist_counts(thumbs: pd.Series) -> pd.Series:
+        out = []
+        for t in thumbs:
+            arr = np.frombuffer(bytes(t), dtype=np.uint8)
+            counts = np.bincount(arr // 16, minlength=FEATURE_DIM)
+            out.append(counts.astype("int32"))
+        return pd.Series(out)
+
+    return decoded.select(
+        "doc_id", hist_counts(F.col("thumb")).alias("counts")
+    )

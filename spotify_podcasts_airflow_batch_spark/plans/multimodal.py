@@ -86,3 +86,82 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_media(table(spark, sf_dir, "documents"))
     return frame_sample(decode_media(d), every=2)
+
+
+@register(
+    "media_resize_plan",
+    oracle=f"""
+    WITH m AS ({_DECODE_META_SQL})
+    SELECT doc_id, width, height,
+           greatest(1, CAST(round(width
+               * least(1.0, 32 / CAST(greatest(width, height) AS DOUBLE)),
+               0) AS INT)) AS target_width,
+           greatest(1, CAST(round(height
+               * least(1.0, 32 / CAST(greatest(width, height) AS DOUBLE)),
+               0) AS INT)) AS target_height
+    FROM m
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — resize geometry planning downstream of decode: aspect-
+    preserving target dims capped at 32 on the long side, never
+    upscaled. Pure JVM arithmetic over the decode output (plan-
+    asserted in tests/test_multimodal.py) — the pixel transform is the
+    only part that would touch Python, and it would ride the SAME
+    Arrow batch as the decode. round(x, 0) half-boundaries are always
+    dyadic-exact (k + 0.5), so the rounding is engine-portable."""
+    from spotify_podcasts_airflow_batch_spark.operators.multimodal import (
+        decode_media,
+        resize_plan,
+    )
+
+    d = attach_media(table(spark, sf_dir, "documents"))
+    return resize_plan(decode_media(d), max_dim=32)
+
+
+@register(
+    "media_features",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               least(16, octet_length(encode(text))) AS tl
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT // 16
+                   AS bin
+        FROM t, unnest(range(tl)) AS u(i)
+    ),
+    c AS (SELECT doc_id, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    g AS (
+        SELECT t.doc_id, CAST(gb.g AS INT) AS bin_idx
+        FROM t, range(16) AS gb(g)
+    )
+    SELECT g.doc_id, g.bin_idx,
+           CAST(coalesce(c.n, 0) AS INT) AS n_bytes_in_bin
+    FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.bin_idx
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — feature extraction through the vectorized Pandas-UDF batch
+    interface, verified END-TO-END: the stub kernel's byte histogram
+    (16 bins over the 16-byte thumb) is recomputed by the oracle from
+    a hex expansion of the same bytes, so the hash-match proves the
+    Arrow batch shape (pd.Series of bytes in → fixed-width vector
+    out — exactly what an ONNX/torch batch-infer consumes) is
+    lossless. Integer counts fully determine the L1-normalized float
+    vector (`extract_features`), keeping the compared surface scalar
+    and exact. One Python exchange per ~10k-row Arrow batch; the
+    explode to long form is JVM-side."""
+    from spotify_podcasts_airflow_batch_spark.operators.multimodal import (
+        decode_media,
+        thumb_histogram_counts,
+    )
+
+    d = attach_media(table(spark, sf_dir, "documents"))
+    counts = thumb_histogram_counts(decode_media(d))
+    return counts.select(
+        "doc_id",
+        F.posexplode("counts").alias("bin_idx", "n_bytes_in_bin"),
+    )
