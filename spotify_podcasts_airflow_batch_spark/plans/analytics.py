@@ -150,49 +150,58 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT n_name AS nation, year(l_shipdate) AS yr,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS c
         FROM lineitem, supplier, nation
         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         GROUP BY n_name, year(l_shipdate)
     )
-    SELECT nation, yr, revenue,
-           lag(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
-           round((revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY yr))
-                 / lag(revenue) OVER (PARTITION BY nation ORDER BY yr), 4)
+    SELECT nation, yr,
+           c / 100.0 AS revenue,
+           lag(c) OVER w / 100.0 AS prev_revenue,
+           round((c - lag(c) OVER w) / CAST(lag(c) OVER w AS DOUBLE), 4)
              AS yoy_growth
     FROM rev
+    WINDOW w AS (PARTITION BY nation ORDER BY yr)
     """,
 )
 def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B46 — year-over-year revenue growth per supplier nation. The
     fact collapses to a (nation, year) rollup first (one shuffle,
     map-side combined); the lag window then runs on the rollup —
-    |nations|×|years| rows — never the fact. Growth is computed from
-    the ROUNDED revenue so the lag division is bit-identical across
-    engines."""
+    |nations|×|years| rows — never the fact.
+
+    Revenue sums in exact integer cents (per-row HALF-UP via
+    ``floor(x·100 + 0.5)`` — pure IEEE ops, no engine round()):
+    ``round(sum(double), 2)`` is summation-order dependent and a
+    last-ulp drift flips the 2-dp boundary — caught by the 10×
+    replicate sweep, where bigger sums put several (nation, year)
+    cells exactly on a boundary. The lag division runs on the exact
+    integers, so growth is bit-identical too."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     n = F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
     rev = (
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(cents).alias("c"))
     )
     w = Window.partitionBy("nation").orderBy("yr")
-    prev = F.lag("revenue").over(w)
+    prev_c = F.lag("c").over(w)
     return rev.select(
         "nation",
         "yr",
-        "revenue",
-        prev.alias("prev_revenue"),
-        F.round((F.col("revenue") - prev) / prev, 4).alias("yoy_growth"),
+        (F.col("c") / 100.0).alias("revenue"),
+        (prev_c / 100.0).alias("prev_revenue"),
+        F.round(
+            (F.col("c") - prev_c) / prev_c.cast("double"), 4
+        ).alias("yoy_growth"),
     )
 
 

@@ -532,16 +532,21 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle="""
     WITH o AS (
-        SELECT user_id, epoch_us(ts) AS us, value,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        SELECT user_id, event_id, epoch_us(ts) AS us, value,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
         FROM events
     ), m AS (
-        SELECT user_id, us, value,
+        SELECT user_id, event_id, us, value,
                CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END AS brk
         FROM o
     ), s AS (
+        -- (us, event_id) order in BOTH windows: with duplicate
+        -- timestamps an un-tiebroken ROWS cumsum is nondeterministic —
+        -- tied rows ordered before the brk row would attach to the
+        -- previous session.
         SELECT user_id, us, value,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
         FROM m
     )
@@ -549,7 +554,8 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(us)              AS session_start_us,
            max(us) + 600000000  AS session_end_us,
            count(*)             AS n_events,
-           round(sum(value), 4) AS total_value
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value_micros
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -574,14 +580,19 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact integer micro-units, per-row HALF-UP floor(x·1e6+0.5):
+            # round(sum(double), 4) is summation-order dependent (10×
+            # replicate sweep caught a boundary session diverging).
+            F.sum(
+                F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+            ).alias("total_value_micros"),
         )
         .select(
             "user_id",
             F.unix_micros("w.start").alias("session_start_us"),
             F.unix_micros("w.end").alias("session_end_us"),
             "n_events",
-            "total_value",
+            "total_value_micros",
         )
     )
 

@@ -336,7 +336,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)            AS n_events,
            min(ts)             AS session_start,
            max(ts)             AS session_end,
-           CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
                AS session_value_micros
     FROM sessions
     GROUP BY user_id, session_id
@@ -357,9 +357,13 @@ def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias(
-            "session_value_micros"
-        ),
+        # floor(x·1e6 + 0.5), not round(): engine round() disagrees on
+        # half-boundary doubles (Java rounds the shortest decimal repr,
+        # DuckDB the exact binary value); floor of the same IEEE ops is
+        # identical everywhere.
+        F.sum(
+            F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+        ).alias("session_value_micros"),
     )
 
 

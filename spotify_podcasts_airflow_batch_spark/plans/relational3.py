@@ -151,7 +151,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS sum_profit
     FROM (
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
                l_extendedprice * (1 - l_discount)
@@ -190,7 +192,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        # exact integer-cents sum (per-row HALF-UP floor(x·100+0.5)):
+        # round(sum(double), 2) is summation-order dependent — the 10×
+        # replicate sweep caught boundary cells diverging cross-engine.
+        .agg(
+            (
+                F.sum(F.floor(amount * 100 + 0.5).cast("long")) / 100.0
+            ).alias("sum_profit")
+        )
     )
 
 
@@ -1093,4 +1102,70 @@ def pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             (2 * 10000 * n_top + F.max("n")) / (2.0 * F.max("n"))
         ).cast("long").alias("top_share_bp"),
+    )
+
+
+# ---------------------------------------------------------------- B37b
+@register(
+    "approx_quantiles_audit",
+    oracle="""
+    SELECT f.l_returnflag, CAST(p.pct AS DOUBLE) AS pct,
+           TRUE AS within_rank_bound
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
+         (VALUES (0.25), (0.5), (0.75), (0.95)) AS p(pct)
+    """,
+)
+def approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37b — the Greenwald-Khanna rank guarantee made oracle-checkable
+    (the B11b pattern): each approximate percentile's TRUE rank in its
+    group must sit within ±1% of the requested rank (the sketch is run
+    at accuracy 10000 → epsilon 1e-4, so the 1% bound is deterministic
+    slack). The rank check is pure integer cross-multiplication —
+    count-below·10⁴ ≤ (q+ε)·10⁴·n and count-at-or-below·10⁴ ≥
+    (q−ε)·10⁴·n — no float thresholds. One extra conditional-count
+    pass over the group joined against the (groups × 4) estimate
+    relation; at 100 TB the audit runs on a sampled slice while
+    production trusts the sketch."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pcts = [0.25, 0.5, 0.75, 0.95]
+    pct_lit = F.array(*[F.lit(p) for p in pcts])
+    est = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice,"
+                " array(0.25, 0.5, 0.75, 0.95), 10000)"
+            ).alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.posexplode("qs").alias("pos", "est"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at(pct_lit, F.col("pos") + 1).alias("pct"),
+            "est",
+        )
+    )
+    ranks = (
+        li.join(est, "l_returnflag")
+        .groupBy("l_returnflag", "pct")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_extendedprice") < F.col("est")).cast("long"))
+            .alias("lo"),
+            F.sum((F.col("l_extendedprice") <= F.col("est")).cast("long"))
+            .alias("hi"),
+        )
+    )
+    # integer rank-bp bounds: (q ± 0.01) · 10000
+    ub = (F.col("pct") * 10000 + 100).cast("long")
+    lb = (F.col("pct") * 10000 - 100).cast("long")
+    within = (F.col("lo") * 10000 <= ub * F.col("n")) & (
+        F.col("hi") * 10000 >= lb * F.col("n")
+    )
+    return ranks.select(
+        "l_returnflag", "pct", within.alias("within_rank_bound")
     )
