@@ -213,7 +213,8 @@ def join_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n_rows,
            count(o_orderpriority) AS n_with_priority,
-           round(sum(o_totalprice), 2) AS total
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total
     FROM unioned
     GROUP BY o_orderstatus
     """,
@@ -236,7 +237,12 @@ def union_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unioned.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_orderpriority").alias("n_with_priority"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # exact integer cents (see q1): 3 status groups × whole-table
+        # sums — the boundary-ulp profile round(sum(double)) can flip.
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            / 100.0
+        ).alias("total"),
     )
 
 

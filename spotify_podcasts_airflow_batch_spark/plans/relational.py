@@ -24,9 +24,12 @@ from spotify_podcasts_airflow_batch_spark.sources.readers import table
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) / 100.0                                     AS sum_disc_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100 + 0.5) AS BIGINT)) / 100.0                  AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -39,17 +42,28 @@ from spotify_podcasts_airflow_batch_spark.sources.readers import table
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: wide scan + single hash aggregate. The filter is pushed
     to the parquet scan; partial aggregation happens map-side, so the
-    shuffle carries ≤ |groups|×|tasks| rows regardless of input size."""
+    shuffle carries ≤ |groups|×|tasks| rows regardless of input size.
+
+    Money sums are exact integer cents (per-row floor(x·100+0.5)):
+    these groups aggregate the WHOLE fact, so a round(sum(double))
+    would sit one summation-order ulp from a 2-dp boundary at scale.
+    sum_qty stays a plain sum (quantities are integer-valued doubles —
+    exact under any order); the averages are ratio-of-exact-sums whose
+    ulp is ~1e-12 of the 4-dp boundary."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def cents(col):
+        return F.sum(F.floor(col * 100 + 0.5).cast("long")) / 100.0
+
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            cents(F.col("l_extendedprice")).alias("sum_base_price"),
+            cents(disc_price).alias("sum_disc_price"),
+            cents(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -103,7 +117,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -147,9 +162,19 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
+        # exact integer cents (see q1): 5 nation groups each summing
+        # ~a fifth of the slice — the large-sum boundary-ulp profile.
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0
             ).alias("revenue")
         )
     )
@@ -209,7 +234,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -226,9 +252,14 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
+        # exact integer cents (see q1): the grand-total row sums the
+        # whole table — the large-sum boundary-ulp profile.
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+                / 100.0
+            ).alias("total_acctbal"),
         )
     )
 

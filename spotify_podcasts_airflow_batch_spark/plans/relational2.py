@@ -209,7 +209,8 @@ def rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n_lineitems,
-           round(sum(l_extendedprice), 2) AS total_price
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_price
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
@@ -231,7 +232,11 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lineitems"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        # exact integer cents (see q1): whole-fact sums per status.
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            / 100.0
+        ).alias("total_price"),
     )
 
 

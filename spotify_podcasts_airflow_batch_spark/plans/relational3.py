@@ -20,7 +20,8 @@ from spotify_podcasts_airflow_batch_spark.sources.readers import table
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           sum(CAST(floor(volume * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
@@ -69,9 +70,19 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
+        # exact integer cents (see q1): (nation-pair, year) cells sum
+        # large revenue slices — the boundary-ulp profile.
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0
             ).alias("revenue")
         )
     )
@@ -548,7 +559,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())
@@ -565,7 +577,8 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
                coalesce(o_orderpriority, 'ALL') AS orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   / CAST(100 AS DOUBLE) AS total_price
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
