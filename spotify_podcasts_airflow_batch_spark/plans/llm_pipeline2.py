@@ -445,3 +445,67 @@ def output_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_per_file"),
     )
+
+
+# ---------------------------------------------------------------- C52
+_TSPLIT_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "temporal_split_audit",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, event_id,
+               CASE WHEN ts < TIMESTAMP '{_TSPLIT_CUT}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM events
+    ),
+    per AS (
+        SELECT split, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM s GROUP BY split
+    ),
+    ov AS (
+        SELECT count(*) AS n_overlap_users FROM (
+            SELECT user_id FROM s GROUP BY user_id
+            HAVING count(DISTINCT split) = 2
+        )
+    )
+    SELECT per.split, per.n_events, per.n_users, ov.n_overlap_users
+    FROM per, ov
+    """,
+)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52 — time-based train/test split with a leakage meter: events
+    before the cutoff train, after it test, and the audit reports how
+    many users appear on BOTH sides (the entity-overlap number that
+    decides whether a temporal split leaks user-level signal — the
+    evaluation sibling of C16's n-gram contamination screen).
+
+    Two rollups over one scan lineage: per-split counts (map-side
+    combined) and a per-user distinct-split count whose shuffle is
+    |users| rows; the overlap scalar broadcast-crosses back onto the
+    2-row split table. Pure integers; the timestamp literal is parsed
+    under the UTC session the loader pins."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("ts") < F.lit(_TSPLIT_CUT).cast("timestamp"), "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    ov = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).alias("n_overlap_users"))
+    )
+    return per.crossJoin(F.broadcast(ov)).select(
+        "split", "n_events", "n_users", "n_overlap_users"
+    )

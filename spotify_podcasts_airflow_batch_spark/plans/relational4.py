@@ -627,3 +627,163 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys_over_10x",
         )
     )
+
+
+# ---------------------------------------------------------------- B65
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS relationship,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', count(*),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*),
+           CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', count(*),
+           CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B65 — referential-integrity audit across the star schema's four
+    FK edges: per relationship, total child rows and orphans (child
+    keys with no parent). The load-time gate every warehouse runs
+    before trusting a join: a nonzero orphan count means inner joins
+    silently drop rows downstream.
+
+    Each edge is one broadcast-dim left join (orders→customer) or a
+    key-shuffled join reduced to two counters map-side — the audit
+    costs the same as the cheapest join it protects. Counters are
+    BIGINT; nothing floats."""
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    ok = table(spark, sf_dir, "orders").select("o_orderkey")
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def edge(child, parent, ckey, pkey, label):
+        j = child.join(
+            F.broadcast(parent), F.col(ckey) == F.col(pkey), "left"
+        )
+        return j.agg(
+            F.lit(label).alias("relationship"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(pkey).isNull().cast("long")).alias("n_orphans"),
+        ).select("relationship", "n_rows", "n_orphans")
+
+    return (
+        edge(o, c, "o_custkey", "c_custkey", "orders.o_custkey->customer")
+        .unionAll(
+            edge(
+                li.select("l_orderkey"),
+                ok,
+                "l_orderkey",
+                "o_orderkey",
+                "lineitem.l_orderkey->orders",
+            )
+        )
+        .unionAll(
+            edge(
+                li.select("l_partkey"),
+                p,
+                "l_partkey",
+                "p_partkey",
+                "lineitem.l_partkey->part",
+            )
+        )
+        .unionAll(
+            edge(
+                li.select("l_suppkey"),
+                s,
+                "l_suppkey",
+                "s_suppkey",
+                "lineitem.l_suppkey->supplier",
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------- B66
+@register(
+    "pk_uniqueness_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS pk, count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           count(*) - count(DISTINCT o_orderkey) AS n_extra_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', count(*), count(DISTINCT c_custkey),
+           count(*) - count(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'part.p_partkey', count(*), count(DISTINCT p_partkey),
+           count(*) - count(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'events.event_id', count(*), count(DISTINCT event_id),
+           count(*) - count(DISTINCT event_id) FROM events
+    UNION ALL
+    SELECT 'documents.doc_id', count(*), count(DISTINCT doc_id),
+           count(*) - count(DISTINCT doc_id) FROM documents
+    """,
+)
+def pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66 — primary-key uniqueness audit over five tables: row count
+    vs distinct key count, surplus rows = duplicate-key evidence. The
+    dual of B65 (parents must be unique for FK joins not to fan out).
+    Each leg is one scan with a partial-distinct aggregate — Spark's
+    two-phase count(DISTINCT) keeps the shuffle at |keys|, and the
+    five legs union without any join. Pure BIGINT."""
+
+    def leg(name, df, key):
+        return df.agg(
+            F.lit(name).alias("pk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_extra_rows"),
+        ).select("pk", "n_rows", "n_keys", "n_extra_rows")
+
+    return (
+        leg(
+            "orders.o_orderkey",
+            table(spark, sf_dir, "orders").select("o_orderkey"),
+            "o_orderkey",
+        )
+        .unionAll(
+            leg(
+                "customer.c_custkey",
+                table(spark, sf_dir, "customer").select("c_custkey"),
+                "c_custkey",
+            )
+        )
+        .unionAll(
+            leg(
+                "part.p_partkey",
+                table(spark, sf_dir, "part").select("p_partkey"),
+                "p_partkey",
+            )
+        )
+        .unionAll(
+            leg(
+                "events.event_id",
+                table(spark, sf_dir, "events").select("event_id"),
+                "event_id",
+            )
+        )
+        .unionAll(
+            leg(
+                "documents.doc_id",
+                table(spark, sf_dir, "documents").select("doc_id"),
+                "doc_id",
+            )
+        )
+    )

@@ -51,9 +51,13 @@ SQL_QUERIES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                       AS sum_qty,
-               round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   / CAST(100 AS DOUBLE)                                       AS sum_base_price,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) / CAST(100 AS DOUBLE)                      AS sum_disc_price,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 100 + 0.5) AS BIGINT))
+                   / CAST(100 AS DOUBLE)                                       AS sum_charge,
                round(avg(l_quantity), 4)                                       AS avg_qty,
                round(avg(l_extendedprice), 4)                                  AS avg_price,
                round(avg(l_discount), 4)                                       AS avg_disc,
