@@ -12,6 +12,19 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
 QUERIES = all_queries()
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    # Plan-string assertions must see FRESH plans: if an earlier test
+    # materialized a query whose plan persist()s an intermediate, the
+    # CacheManager substitutes an InMemoryRelation whose *cached* plan
+    # (planned under the default broadcast threshold) is printed inside
+    # the new plan string — e.g. a BroadcastHashJoin embedded in the
+    # cached incidence list makes the no-hint shuffle assertion a false
+    # positive even though the new query's own joins are shuffles.
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(spark, sf_dir, name: str) -> str:
     df = QUERIES[name].spark_fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
