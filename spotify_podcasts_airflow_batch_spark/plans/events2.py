@@ -1325,3 +1325,62 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("x", "y"), 4).alias("ccf"),
         )
     )
+
+
+# ---------------------------------------------------------------- E59
+_RATE_WINDOW_US = 3_600_000_000  # 1 hour, microseconds
+
+
+@register(
+    "rate_limit_audit",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    r AS (
+        SELECT user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {_RATE_WINDOW_US - 1} PRECEDING
+                         AND CURRENT ROW) AS c
+        FROM e
+    ),
+    p AS (
+        SELECT user_id, CAST(max(c) AS BIGINT) AS peak_events_per_hour
+        FROM r GROUP BY user_id
+    )
+    SELECT user_id, peak_events_per_hour
+    FROM p
+    ORDER BY peak_events_per_hour DESC, user_id
+    LIMIT 20
+    """,
+)
+def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E59 — peak sliding-window request rate per user: for every
+    event, count the user's events in the trailing hour (exact sliding
+    window, not tumbling — a burst straddling a bucket edge is NOT
+    halved), keep each user's maximum, report the top 20 burstiest
+    users. The rate-limiter/capacity-sizing audit: tumbling-window
+    counts (E1) under-read the true peak by up to 2x.
+
+    One |events| shuffle to (user, time)-sorted partitions; the
+    trailing count is a RANGE-frame window over integer microseconds
+    (engine-exact, tie-safe: same-microsecond events land in one
+    frame), then a per-user max and a 20-row ordered take. Integer
+    end-to-end; ties at the cut broken by user_id."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-(_RATE_WINDOW_US - 1), 0)
+    )
+    peak = (
+        e.select("user_id", F.count(F.lit(1)).over(w).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("peak_events_per_hour"))
+    )
+    return peak.orderBy(
+        F.desc("peak_events_per_hour"), F.asc("user_id")
+    ).limit(20)

@@ -787,3 +787,88 @@ def pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------- B67
+@register(
+    "fulfillment_latency",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey AS k, max(l_shipdate) AS done
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o_orderpriority AS p,
+               CAST(date_diff('day', o_orderdate, done) AS BIGINT) AS d
+        FROM orders JOIN per_order ON o_orderkey = k
+    ),
+    c AS (SELECT p, d, count(*) AS n FROM j GROUP BY p, d),
+    cum AS (
+        SELECT p, d, n,
+               sum(n) OVER (PARTITION BY p ORDER BY d) AS cn,
+               sum(n) OVER (PARTITION BY p)            AS t,
+               sum(d * n) OVER (PARTITION BY p)        AS sd
+        FROM c
+    )
+    SELECT p AS o_orderpriority,
+           CAST(max(t) AS BIGINT)  AS n_orders,
+           CAST(min(d) AS BIGINT)  AS min_days,
+           CAST(max(d) AS BIGINT)  AS max_days,
+           CAST(min(CASE WHEN 2 * cn >= t THEN d END) AS BIGINT)
+               AS median_days,
+           CAST(min(CASE WHEN 10 * cn >= 9 * t THEN d END) AS BIGINT)
+               AS p90_days,
+           CAST(max(sd) * 100 // max(t) AS BIGINT) AS avg_days_x100
+    FROM cum GROUP BY p
+    """,
+)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67 — order-to-delivery latency distribution per order priority:
+    count, min/max, exact median and p90 days from order date to the
+    LAST line's ship date (the synthetic lineitem carries no receipt
+    column; ship date is the fulfillment proxy), plus a centi-day average. The SLA
+    dashboard query: does priority actually buy delivery speed?
+
+    Latency is an integer day count, so the percentiles use the exact
+    cum-count crossing (the B62 weighted-median discipline: least d
+    with 2*cum >= total) on a per-(priority, days) rollup — the
+    percentile shuffle is |priorities|x|distinct days| rows, NOT
+    |orders|, and nothing interpolates. The only fact-sized work is
+    the per-order max(receipt) rollup and one key-shuffled join to
+    orders; the average is integer centi-days via div."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("done")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey).select(
+        F.col("o_orderpriority").alias("p"),
+        F.datediff("done", "o_orderdate").cast("long").alias("d"),
+    )
+    c = j.groupBy("p", "d").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("p")
+    wc = wp.orderBy("d").rangeBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "p",
+        "d",
+        "n",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("n").over(wp).alias("t"),
+        F.sum(F.col("d") * F.col("n")).over(wp).alias("sd"),
+    )
+    return cum.groupBy("p").agg(
+        F.max("t").alias("n_orders"),
+        F.min("d").alias("min_days"),
+        F.max("d").alias("max_days"),
+        F.min(F.when(2 * F.col("cn") >= F.col("t"), F.col("d"))).alias(
+            "median_days"
+        ),
+        F.min(
+            F.when(10 * F.col("cn") >= 9 * F.col("t"), F.col("d"))
+        ).alias("p90_days"),
+        F.expr("max(sd) * 100 div max(t)").alias("avg_days_x100"),
+    ).withColumnRenamed("p", "o_orderpriority")

@@ -381,3 +381,61 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n")
         ).alias("dup_frac_bp"),
     )
+
+
+# ---------------------------------------------------------------- C53
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, source,
+               len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS nb,
+               len({_TOKS})                                    AS nw,
+               length(text)                                    AS nc
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT)                    AS n_docs,
+           CAST(sum(nb) AS BIGINT)                     AS total_bpe_tokens,
+           CAST(sum(nw) AS BIGINT)                     AS total_ws_tokens,
+           CAST(sum(nb) * 10000 // greatest(sum(nw), 1)
+                AS BIGINT)                             AS fertility_bp,
+           CAST(sum(nc) * 100 // greatest(sum(nb), 1)
+                AS BIGINT)                             AS chars_per_100_bpe
+    FROM per GROUP BY lang, source
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53 — tokenizer fertility by (lang, source): BPE-ish tokens per
+    whitespace word (basis points) and chars per 100 BPE tokens. THE
+    number compared when choosing a tokenizer for a multilingual
+    corpus — high fertility on a language means its text costs more
+    sequence length per word, skewing both training cost estimates and
+    the token-budget mixture (C42/C19 consume exactly these ratios).
+
+    One codegen projection (regexp token counts, no arrays survive the
+    map side) into a (lang, source)-keyed partial aggregate — the
+    shuffle carries |langs|x|sources| rows of integer counters. Ratios
+    are exact integer div on the summed counters: no float division,
+    no cross-engine rounding surface, any SF."""
+    d = table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+        ).alias("nb"),
+        F.size(tokens(F.col("text"))).alias("nw"),
+        F.length("text").alias("nc"),
+    )
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("total_bpe_tokens"),
+        F.sum("nw").alias("total_ws_tokens"),
+        F.expr("sum(nb) * 10000 div greatest(sum(nw), 1)").alias(
+            "fertility_bp"
+        ),
+        F.expr("sum(nc) * 100 div greatest(sum(nb), 1)").alias(
+            "chars_per_100_bpe"
+        ),
+    )
