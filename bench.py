@@ -76,6 +76,10 @@ HEADLINE = [
     "nation_pagerank",
     # streaming-parity batch form
     "click_attribution",
+    # round-2 additions (no round-1 floor entry; tracked from round 2 on)
+    "rate_limit_audit",
+    "fulfillment_latency",
+    "fk_integrity_audit",
 ]
 
 

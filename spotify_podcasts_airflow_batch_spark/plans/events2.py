@@ -1384,3 +1384,71 @@ def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak.orderBy(
         F.desc("peak_events_per_hour"), F.asc("user_id")
     ).limit(20)
+
+
+# ---------------------------------------------------------------- E60
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               user_id
+        FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+    wau AS (
+        SELECT d.day, count(DISTINCT p.user_id) AS wau
+        FROM dau d JOIN pairs p
+          ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau * 10000 // w.wau AS BIGINT) AS stickiness_bp
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E60 — DAU / trailing-7-day WAU / stickiness per epoch day: the
+    product-analytics engagement triple. Stickiness = DAU/WAU in basis
+    points — the "how many weekly users show up on a given day" number
+    (E10's retention cohorts answer a different question: how long
+    users last after their first week).
+
+    The fact deflates once to distinct (day, user) pairs — the only
+    events-sized shuffle. The trailing-7-day distinct count is a
+    banded join of the |days| spine against that pair relation
+    (7× |pairs| expansion, the B34 range-join discipline; a RANGE
+    window can't express a rolling DISTINCT). Integer end-to-end."""
+    ev = table(spark, sf_dir, "events")
+    pairs = (
+        ev.select(
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    p = pairs.select(F.col("day").alias("pday"), "user_id")
+    wau = (
+        dau.select("day")
+        .join(
+            p,
+            (F.col("pday") >= F.col("day") - 6)
+            & (F.col("pday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 10000 div wau").alias("stickiness_bp"),
+        )
+    )

@@ -522,3 +522,119 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size", "hapax_count", "zipf_slope", "intercept", "r2"
         )
     )
+
+
+# ---------------------------------------------------------------- C54
+@register(
+    "source_lang_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)  AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST((sum(n) * sum(n) - sum(n * n)) * 10000
+                // (sum(n) * sum(n)) AS BIGINT) AS simpson_diversity_bp,
+           CAST(max(n) * 10000 // sum(n) AS BIGINT) AS dominant_share_bp
+    FROM c GROUP BY source
+    """,
+)
+def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54 — language-mix diversity per source: Gini-Simpson index
+    (probability two random docs differ in language) and the dominant
+    language's share, both in basis points. The mixture-health gauge
+    next to C19's source weights: a source whose diversity collapses
+    release-over-release silently turns multilingual training data
+    monolingual.
+
+    Two nested map-side aggregates ((source, lang) then source) —
+    shuffle bounded by the label vocabulary. Gini-Simpson is computed
+    as the exact rational (n² − Σ n_l²)·10⁴ ÷ n² on integer counters,
+    so there's no float entropy log and nothing engine-dependent."""
+    c = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.expr(
+            "(sum(n) * sum(n) - sum(n * n)) * 10000 div (sum(n) * sum(n))"
+        ).alias("simpson_diversity_bp"),
+        F.expr("max(n) * 10000 div sum(n)").alias("dominant_share_bp"),
+    )
+
+
+# ---------------------------------------------------------------- C55
+_NOVELTY_BUCKET = 500  # docs per corpus-growth bucket
+
+
+@register(
+    "ngram_novelty_decay",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS w FROM documents
+    ), shd AS (
+        SELECT DISTINCT doc_id, doc_id // {_NOVELTY_BUCKET} AS bucket,
+               array_to_string(w[i+1:i+3], ' ') AS shingle
+        FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+    ), firsts AS (
+        SELECT shingle, min(bucket) AS fb FROM shd GROUP BY shingle
+    ), present AS (
+        SELECT bucket, count(DISTINCT shingle) AS n_present
+        FROM shd GROUP BY bucket
+    ), novel AS (
+        SELECT fb AS bucket, count(*) AS n_novel FROM firsts GROUP BY fb
+    )
+    SELECT p.bucket,
+           CAST(p.n_present AS BIGINT) AS n_present,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(n.n_novel, 0) * 10000 // p.n_present AS BIGINT)
+               AS novelty_bp
+    FROM present p LEFT JOIN novel n ON p.bucket = n.bucket
+    """,
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55 — corpus novelty curve: ingest docs in id order, bucket
+    every 500, and measure what fraction of each bucket's distinct
+    3-gram shingles was never seen in an earlier bucket. The
+    diminishing-returns meter for corpus growth — when novelty_bp
+    flattens near zero, new data is repeating the old (Heaps'-law
+    saturation), and further collection should shift sources.
+
+    The shingle relation (distinct (doc, shingle)) is built once and
+    feeds two aggregates: shingle→min-bucket (first sighting) and
+    bucket→distinct-present; both shuffle on the shingle key, nothing
+    quadratic, and the bucket join is |buckets| rows. Rates are exact
+    integer basis points."""
+    sh = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), 3)).alias(
+                "shingle"
+            ),
+        )
+        .withColumn(
+            "bucket", F.expr(f"doc_id div {_NOVELTY_BUCKET}")
+        )
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("bucket").alias("fb"))
+    present = sh.groupBy("bucket").agg(
+        F.countDistinct("shingle").alias("n_present")
+    )
+    novel = firsts.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    out = present.join(novel, "bucket", "left")
+    return out.select(
+        "bucket",
+        "n_present",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.expr("coalesce(n_novel, 0) * 10000 div n_present").alias(
+            "novelty_bp"
+        ),
+    )
