@@ -605,9 +605,12 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattens near zero, new data is repeating the old (Heaps'-law
     saturation), and further collection should shift sources.
 
-    The shingle relation (distinct (doc, shingle)) is built once and
-    feeds two aggregates: shingle→min-bucket (first sighting) and
-    bucket→distinct-present; both shuffle on the shingle key, nothing
+    The shingle relation (distinct (doc, shingle)) feeds two
+    aggregates: shingle→min-bucket (first sighting) and
+    bucket→distinct-present. The explode is deliberately recomputed
+    for each (codegen projection off the scan) rather than persisted —
+    at 100 TB the materialized pair relation costs far more than a
+    second scan. Both aggregates shuffle on the shingle key, nothing
     quadratic, and the bucket join is |buckets| rows. Rates are exact
     integer basis points."""
     sh = (
