@@ -372,3 +372,89 @@ def mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("retention"), 4).alias("avg_retention"),
         F.round(F.min("retention"), 4).alias("min_retention"),
     )
+
+
+# ---------------------------------------------------------------- D21
+_PROBE_MOD = 29  # ~1/29 of vectors serve as eval probes
+_PROBE_K = 5
+
+
+@register(
+    "knn_label_probe",
+    oracle=f"""
+    WITH nn AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id) AS r
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {_PROBE_MOD} = 0
+        ) WHERE r <= {_PROBE_K}
+    ), votes AS (
+        SELECT nn.query_id, e.label AS nlabel, count(*) AS n
+        FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+        GROUP BY nn.query_id, e.label
+    ), pred AS (
+        SELECT query_id, nlabel AS pred_label FROM (
+            SELECT query_id, nlabel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n DESC, nlabel) AS r
+            FROM votes
+        ) WHERE r = 1
+    )
+    SELECT t.label AS true_label, p.pred_label,
+           CAST(count(*) AS BIGINT) AS n_probes
+    FROM pred p JOIN embeddings t ON p.query_id = t.vec_id
+    GROUP BY t.label, p.pred_label
+    """,
+)
+def knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21 — k-NN probe accuracy as a confusion matrix: a deterministic
+    ~1/29 sample of vectors is classified by majority label of its 5
+    nearest neighbors (self excluded; vote ties break to the smaller
+    label), and predictions roll up against true labels. THE standard
+    embedding-quality eval — a label that can't be recovered from its
+    own neighborhood means the embedding doesn't encode it, caught
+    before anything trains on these vectors.
+
+    Neighbor search is D1's GEMM scan (corpus scanned once, probes
+    closed over, no corpus shuffle); everything after operates on
+    probesx5 rows, so the label join BROADCASTS the tiny vote relation
+    against the corpus labels and the confusion rollup shuffles
+    |labels|² rows at most. Rank ties pin via round(cos,6)+id — the
+    exact-reproducibility discipline of D1/D9."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % _PROBE_MOD == 0)
+    nn = knn_brute_force(corpus=e, queries=probes, k=_PROBE_K).select(
+        "query_id", "neighbor_id"
+    )
+    lab = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        lab.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n"), F.asc("nlabel")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"))
+    )
+    truth = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(F.broadcast(pred), "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_probes"))
+    )
