@@ -269,3 +269,36 @@ def test_catalog_sized_marginals_not_hint_pinned(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_rate_limit_audit_single_shuffle_window(spark, sf_dir):
+    # the sliding count must ride ONE (user, time) exchange: the
+    # per-user max reuses the window's partitioning (no second
+    # fact-sized shuffle), and the top-20 is a tiny ordered take
+    plan = plan_of(spark, sf_dir, "rate_limit_audit")
+    assert plan.count("Exchange") <= 2  # user shuffle + final single-part
+    assert "Window" in plan
+
+
+def test_tokenizer_fertility_partial_agg_one_exchange(spark, sf_dir):
+    # token counting is a codegen projection; only the (lang, source)
+    # counter rows shuffle, map-side combined
+    plan = plan_of(spark, sf_dir, "tokenizer_fertility")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_label_probe_no_corpus_shuffle_before_scoring(spark, sf_dir):
+    # scoring is D1's GEMM mapInPandas over the corpus scan; the
+    # post-kNN relations are probe-sized and must broadcast
+    plan = plan_of(spark, sf_dir, "knn_label_probe")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fulfillment_latency_percentiles_on_rollup(spark, sf_dir):
+    # the crossing windows must run on the (priority, days) rollup,
+    # never the fact: Window sorts appear after aggregation only
+    plan = plan_of(spark, sf_dir, "fulfillment_latency")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") <= 2
