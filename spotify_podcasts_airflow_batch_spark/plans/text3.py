@@ -641,3 +641,66 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------- C56
+# Stand-in lexicon: the synthetic corpus has no unsafe text, so three
+# ordinary corpus words exercise the machinery; a real deployment
+# swaps in its content-policy term list (the plan is lexicon-agnostic).
+_DENY_TERMS = ("slow", "big", "merge")
+
+
+@register(
+    "denylist_term_rate",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               len({_TOKS}) AS nt,
+               len(list_filter({_TOKS},
+                   t -> t IN ('slow', 'big', 'merge'))) AS nh
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS flagged_bp,
+           CAST(sum(nh) * 10000 // greatest(sum(nt), 1) AS BIGINT)
+               AS hits_per_10k_tokens
+    FROM per GROUP BY source
+    """,
+)
+def denylist_term_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56 — content-policy lexicon audit per source: share of docs
+    containing any denied term and denied-term occurrences per 10k
+    tokens. The screening gate that runs BEFORE humans look at a new
+    source — C15's quality gate asks "is it well-formed text", this
+    asks "is it text we may not want at all". Term-level (whitespace
+    token equality), not substring, so 'bigram' never flags 'big'.
+
+    One codegen projection (tokenize + filter-count; the array dies
+    map-side) into a per-source integer-counter aggregate — same
+    single-exchange shape as C53. Rates are exact integer basis
+    points; the lexicon is a plan constant (broadcast-free: it
+    compiles into the predicate)."""
+    d = table(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _DENY_TERMS)
+    per = d.select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("nt"),
+        F.expr(
+            f"size(filter(split(trim(text), '\\\\s+'),"
+            f" t -> t IN ({terms})))"
+        ).alias("nh"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("nh") > 0).cast("long")).alias("n_flagged"),
+        F.expr(
+            "sum(CASE WHEN nh > 0 THEN 1 ELSE 0 END) * 10000 div count(*)"
+        ).alias("flagged_bp"),
+        F.expr(
+            "sum(nh) * 10000 div greatest(sum(nt), 1)"
+        ).alias("hits_per_10k_tokens"),
+    )
