@@ -1452,3 +1452,99 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dau * 10000 div wau").alias("stickiness_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------- E61
+@register(
+    "conversion_latency",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id,
+               min(epoch_us(p.ts) - epoch_us(c.ts)) AS gap_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) > epoch_us(c.ts)
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+        GROUP BY p.event_id
+    ),
+    c AS (
+        SELECT gap_us // 1000000 AS gap_s, count(*) AS n
+        FROM pairs GROUP BY gap_us // 1000000
+    ),
+    cum AS (
+        SELECT gap_s, n,
+               sum(n) OVER (ORDER BY gap_s) AS cn,
+               sum(n) OVER ()               AS t,
+               sum(gap_s * n) OVER ()       AS sg
+        FROM c
+    )
+    SELECT CAST(max(t) AS BIGINT)  AS n_conversions,
+           CAST(min(gap_s) AS BIGINT) AS min_s,
+           CAST(min(CASE WHEN 2 * cn >= t THEN gap_s END) AS BIGINT)
+               AS median_s,
+           CAST(min(CASE WHEN 10 * cn >= 9 * t THEN gap_s END) AS BIGINT)
+               AS p90_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s,
+           CAST(max(sg) * 100 // max(t) AS BIGINT) AS avg_s_x100
+    FROM cum
+    """,
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E61 — time-to-convert distribution: each purchase's gap to its
+    NEAREST preceding click inside E7's 30-minute attribution window,
+    rolled to exact min/median/p90/max/centi-second-average. The SLA
+    half of the funnel story: E7 says WHICH click converted, this says
+    HOW FAST conversions happen (the number a latency budget or an
+    abandonment hypothesis is tested against).
+
+    The pair join is E7's user-key hash join; the per-purchase min
+    collapses it map-side, gaps quantize to integer whole seconds, and
+    the percentiles reuse the B67 cum-count crossing on a |distinct
+    gap_s| rollup — no interpolation, no fact-sized sort, one
+    single-partition window over at most 1800 rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.unix_micros("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("pts")
+    )
+    pairs = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") - F.col("cts") <= 1_800_000_000),
+        )
+        .groupBy("event_id")
+        .agg(F.min(F.col("pts") - F.col("cts")).alias("gap_us"))
+    )
+    cc = (
+        pairs.select(F.expr("gap_us div 1000000").alias("gap_s"))
+        .groupBy("gap_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("gap_s").rangeBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = cc.select(
+        "gap_s",
+        "n",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n").over(wall).alias("t"),
+        F.sum(F.col("gap_s") * F.col("n")).over(wall).alias("sg"),
+    )
+    return cum.agg(
+        F.max("t").alias("n_conversions"),
+        F.min("gap_s").alias("min_s"),
+        F.min(F.when(2 * F.col("cn") >= F.col("t"), F.col("gap_s"))).alias(
+            "median_s"
+        ),
+        F.min(
+            F.when(10 * F.col("cn") >= 9 * F.col("t"), F.col("gap_s"))
+        ).alias("p90_s"),
+        F.max("gap_s").alias("max_s"),
+        F.expr("max(sg) * 100 div max(t)").alias("avg_s_x100"),
+    )
