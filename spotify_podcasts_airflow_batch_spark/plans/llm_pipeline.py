@@ -284,16 +284,20 @@ _TFIDF_ORACLE = f"""
         SELECT doc_id, lang, tf.tok, tf * idf AS weight
         FROM tf JOIN kept USING (tok)
     ),
-    nrm AS (SELECT doc_id, sqrt(sum(weight * weight)) AS nrm
+    nrm AS (SELECT doc_id,
+                   sqrt(sum(CAST(floor(weight * weight * 100000000.0 + 0.5)
+                                 AS BIGINT)) / 100000000.0) AS nrm
             FROM w GROUP BY doc_id),
     wn AS (SELECT w.doc_id, lang, tok, weight / nrm AS wn
            FROM w JOIN nrm USING (doc_id))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(sum(a.wn * b.wn), 4) AS cos_sim
+           CAST((sum(CAST(floor(a.wn * b.wn * 100000000.0 + 0.5) AS BIGINT))
+                 + 5000) // 10000 AS BIGINT) / 10000.0 AS cos_sim
     FROM wn a JOIN wn b
       ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    HAVING sum(a.wn * b.wn) >= {_TFIDF_TAU}
+    HAVING sum(CAST(floor(a.wn * b.wn * 100000000.0 + 0.5) AS BIGINT))
+           >= {int(_TFIDF_TAU * 100000000)}
     """
 
 
@@ -331,14 +335,24 @@ def _tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     wdoc = Window.partitionBy("doc_id")
+    # The sum of squares is quantized to integer 1e-8 units per term
+    # BEFORE summing: float summation order differs between engines
+    # (and between Spark partitionings), and at 10x volume a last-ulp
+    # norm drift cascades into tau-boundary pair flips. Integer
+    # addition is exactly commutative, so the norm — and every wn —
+    # is bit-identical on any engine and any partitioning.
+    s2 = F.sum(
+        F.floor(
+            F.col("weight") * F.col("weight") * F.lit(100000000.0) + F.lit(0.5)
+        ).cast("long")
+    ).over(wdoc)
     return w.select(
         "doc_id",
         "lang",
         "tok",
         "df",
         (
-            F.col("weight")
-            / F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(wdoc))
+            F.col("weight") / F.sqrt(s2 / F.lit(100000000.0))
         ).alias("wn"),
     )
 
@@ -363,13 +377,29 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = wn.select(
         F.col("doc_id").alias("id_b"), "lang", "tok", F.col("wn").alias("wb")
     )
+    # Pair dot products accumulate as integer 1e-8 units (same cure as
+    # the norm in _tfidf_postings): the per-product quantization runs
+    # on bit-identical doubles, integer addition is order-free, the tau
+    # gate compares integers, and the 4-dp output is integer half-up —
+    # nothing anywhere depends on float summation order.
+    ci = F.sum(
+        F.floor(
+            F.col("wa") * F.col("wb") * F.lit(100000000.0) + F.lit(0.5)
+        ).cast("long")
+    )
     return (
         a.join(b, ["lang", "tok"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("__cos"))
-        .where(F.col("__cos") >= _TFIDF_TAU)
-        .select("id_a", "id_b", F.round("__cos", 4).alias("cos_sim"))
+        .agg(ci.alias("__ci"))
+        .where(F.col("__ci") >= int(_TFIDF_TAU * 100000000))
+        .select(
+            "id_a",
+            "id_b",
+            (F.expr("(__ci + 5000) div 10000") / F.lit(10000.0)).alias(
+                "cos_sim"
+            ),
+        )
     )
 
 
@@ -432,19 +462,33 @@ def tfidf_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = docmap.select(F.col("doc_id").alias("id_a"), F.col("m").alias("ma"))
     mb = docmap.select(F.col("doc_id").alias("id_b"), F.col("m").alias("mb"))
+    # Verify folds in integer 1e-8 units (C17's discipline): each
+    # shared-token product quantizes on bit-identical doubles and the
+    # fold is exact integer addition, so the map-entry iteration order
+    # can never move a pair across the tau or rounding boundary.
     dot = F.aggregate(
         F.map_entries("ma"),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, e: acc
-        + e["value"]
-        * F.coalesce(F.element_at(F.col("mb"), e["key"]), F.lit(0.0)),
+        + F.floor(
+            e["value"]
+            * F.coalesce(F.element_at(F.col("mb"), e["key"]), F.lit(0.0))
+            * F.lit(100000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
     )
     return (
         cand.join(ma, "id_a")
         .join(mb, "id_b")
-        .withColumn("__cos", dot)
-        .where(F.col("__cos") >= _TFIDF_TAU)
-        .select("id_a", "id_b", F.round("__cos", 4).alias("cos_sim"))
+        .withColumn("__ci", dot)
+        .where(F.col("__ci") >= int(_TFIDF_TAU * 100000000))
+        .select(
+            "id_a",
+            "id_b",
+            (F.expr("(__ci + 5000) div 10000") / F.lit(10000.0)).alias(
+                "cos_sim"
+            ),
+        )
     )
 
 
