@@ -672,10 +672,14 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select("p_partkey")
     s = table(spark, sf_dir, "supplier").select("s_suppkey")
 
-    def edge(child, parent, ckey, pkey, label):
-        j = child.join(
-            F.broadcast(parent), F.col(ckey) == F.col(pkey), "left"
-        )
+    def edge(child, parent, ckey, pkey, label, broadcast_parent=True):
+        # Only true dimensions get the broadcast hint; a fact-sized
+        # parent (orders, for the lineitem edge) is left unhinted so
+        # AQE decides — a hint there would pin an OOM-shaped plan at
+        # production scale.
+        if broadcast_parent:
+            parent = F.broadcast(parent)
+        j = child.join(parent, F.col(ckey) == F.col(pkey), "left")
         return j.agg(
             F.lit(label).alias("relationship"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -691,6 +695,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_orderkey",
                 "o_orderkey",
                 "lineitem.l_orderkey->orders",
+                broadcast_parent=False,
             )
         )
         .unionAll(

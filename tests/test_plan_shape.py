@@ -302,3 +302,19 @@ def test_fulfillment_latency_percentiles_on_rollup(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "fulfillment_latency")
     assert "CartesianProduct" not in plan
     assert plan.count("Window") <= 2
+
+
+def test_fk_audit_fact_edge_not_hint_pinned(spark, sf_dir):
+    # the lineitem->orders FK edge joins two fact-sized relations:
+    # with the auto threshold disabled there must be at least one
+    # shuffle join in the audit plan (an F.broadcast hint on orders
+    # would pin BroadcastHash — the OOM shape at scale). The three
+    # true-dimension edges keep their hinted broadcasts.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "fk_integrity_audit")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert plan.count("BroadcastHashJoin") == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
