@@ -49,70 +49,77 @@ class Query:
 
 
 # The correctness driver samples the FIRST 50 registry entries in
-# iteration order. Rounds 1-2 verified the relational (B) head of the
-# catalog; this explicit head rotates the window so every family gets
-# driver-verified: A reference-parity, C text/LLM-pipeline, D
-# similarity/graph, E events/statistics, F multimodal. Every key here
-# carries a full DuckDB oracle (no rows-only entries), so the window
-# is 50 hash-compared results. The remaining ~180 queries keep their
-# registration order after the head and stay covered by the local
-# driver-strict suite (tests/test_queries_oracle.py).
+# iteration order. This explicit head is ROTATED each round toward
+# never-driver-verified keys so the whole catalog eventually gets a
+# driver-checked row: rounds 1-2 verified the relational (B) head,
+# round 3 the A/C-core/D/E/F representatives, and this round-4 window
+# holds 47 first-time keys plus 3 already-green B sentinels kept as
+# cross-round regression anchors (an aggregate, a deep join tree, and
+# the skew-salting mechanic). Every key here carries a full DuckDB
+# oracle (no rows-only entries), so the window is 50 hash-compared
+# results. Queries outside the head keep their registration order and
+# stay covered by the local driver-strict suite
+# (tests/test_queries_oracle.py), which runs the same row-count /
+# schema / canonicalized-hash comparison on every registered query.
 _DRIVER_HEAD = (
-    # A — reference parity (podcast ETL re-expressed)
-    "chart_rank",
-    "chart_transform",
-    "enrich_left_join",
-    "join_mismatch_audit",
-    "union_consolidate",
-    "daily_snapshot",
-    "region_pivot",
-    "latest_per_key",
-    "top_eps_report",
-    "chart_rank_move",
-    "scd2_intervals",
-    "snapshot_diff",
-    "dq_expectations",
-    "scd2_lookup",
-    "episode_enrich",
-    # C — text / LLM-training-data pipeline core
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "exact_dedup",
-    "ngram_jaccard",
-    "minhash_signatures",
-    "minhash_accuracy",
-    "simhash",
-    "simhash_near_dup",
-    "embed_near_dup",
-    "bpe_token_count",
-    "quality_filter",
-    "contamination_check",
-    "pii_scrub",
-    "train_split",
-    "sequence_pack",
-    "token_entropy",
-    "incremental_dedup",
-    "dedup_keep_best",
-    "tfidf_cosine_pairs",
-    # D — similarity search / graph
-    "knn_brute",
-    "label_centroids",
-    "dedup_clusters",
-    "embed_dim_stats",
-    "ann_hamming_rerank",
-    "semdedup_keep",
-    "nation_pagerank",
-    # E — events / statistics
-    "tumbling_window",
-    "click_attribution",
-    "funnel_steps",
-    "retention_cohorts",
-    "session_window_agg",
-    # F — multimodal
-    "media_meta",
-    "media_decode",
-    "media_features",
+    # B sentinels — driver-green since r1; regression anchors
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "salted_join",
+    # B — relational audits / profiling (first-time)
+    "corr_matrix",
+    "join_skew_report",
+    "fk_integrity_audit",
+    "pk_uniqueness_audit",
+    "fulfillment_latency",
+    # B — recsys (first-time)
+    "basket_pair_lift",
+    "item_item_cosine",
+    # C — text analysis (first-time)
+    "lang_confusion",
+    "winnow_fingerprint",
+    "token_doc_freq",
+    "repetition_stats",
+    "doc_chunk",
+    "boilerplate_prefix",
+    "dedup_rate_by_source",
+    "tokenizer_fertility",
+    "cross_doc_dup",
+    "unigram_logprob",
+    "perplexity_buckets",
+    "bm25_search",
+    "dup_span_removal",
+    "weighted_sample",
+    "zipf_fit",
+    "source_lang_diversity",
+    "ngram_novelty_decay",
+    "denylist_term_rate",
+    # D — similarity / embeddings / graph (first-time)
+    "trade_triangles",
+    "embed_norms_arrow",
+    "embed_centroid_outliers",
+    "silhouette_labels",
+    "mrl_truncation",
+    "knn_label_probe",
+    # E — events (first-time)
+    "sliding_window",
+    "json_props_extract",
+    "gap_fill",
+    "value_histogram",
+    "mode_per_group",
+    "latest_event_argmax",
+    "zscore_outliers",
+    "windowed_topk",
+    "variant_extract",
+    # E — timeseries / statistics (first-time)
+    "hll_union_audit",
+    "open_orders_timeline",
+    "rolling_median",
+    "equi_depth_histogram",
+    "value_drift_psi",
+    # F — multimodal (first-time)
+    "media_frames",
+    "media_resize_plan",
 )
 
 
@@ -129,6 +136,12 @@ def register(name: str, oracle: str | None = None):
 def all_queries() -> dict[str, Query]:
     for mod in _PLAN_MODULES:
         importlib.import_module(mod)
+    missing = [n for n in _DRIVER_HEAD if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(
+            "_DRIVER_HEAD keys not registered by any plan module "
+            f"(renamed or removed?): {missing}"
+        )
     head = {n: _REGISTRY[n] for n in _DRIVER_HEAD}
     rest = {n: q for n, q in _REGISTRY.items() if n not in head}
     return {**head, **rest}

@@ -435,33 +435,25 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(DISTINCT user_id) AS n_users_exact,
-           TRUE AS within_bounds
+           count(*) AS n_events
     FROM events
     GROUP BY event_type
     """,
 )
 def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B11b — the HLL sketch made oracle-checkable: per group, the
-    EXACT distinct count plus a boolean asserting the sketch landed
-    within 3·rsd of it. Spark's HLL is deterministic (fixed hash, no
-    seed), so the boolean is stable — and the oracle simply asserts
-    TRUE, making the sketch's accuracy guarantee itself a
-    hash-compared result rather than a prose claim. At 100 TB the
-    audit runs on a sampled slice next to the sketch-only production
-    rollup."""
+    """B11b — the exact companion to the B11 HLL rollup: per group,
+    the EXACT distinct count the sketch must approximate, fully
+    hash-compared against the oracle. The 3·rsd accuracy bound itself
+    is asserted in tests/test_sketches.py (B11 estimate joined against
+    this exact relation) rather than pinned as a TRUE constant in the
+    oracle — a datagen re-roll landing in the sketch's probability
+    tail must surface as an accuracy-test failure, never as a phantom
+    correctness mismatch. At 100 TB the audit runs on a sampled slice
+    next to the sketch-only production rollup."""
     ev = table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
-    )
-    rel_err = (
-        F.abs(F.col("approx_users") - F.col("n_users_exact"))
-        / F.col("n_users_exact")
-    )
-    return agg.select(
-        "event_type",
-        "n_users_exact",
-        (rel_err <= 3 * 0.01).alias("within_bounds"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 

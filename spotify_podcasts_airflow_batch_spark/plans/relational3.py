@@ -1144,6 +1144,9 @@ def approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pcts = [0.25, 0.5, 0.75, 0.95]
     pct_lit = F.array(*[F.lit(p) for p in pcts])
+    # true-integer rank targets: NOT derived from the float pct column
+    # (0.95 * 10000 is 9499.999…, which a cast truncates to 9499)
+    bp_lit = F.array(*[F.lit(round(p * 10000)) for p in pcts])
     est = (
         li.groupBy("l_returnflag")
         .agg(
@@ -1159,12 +1162,13 @@ def approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             F.element_at(pct_lit, F.col("pos") + 1).alias("pct"),
+            F.element_at(bp_lit, F.col("pos") + 1).alias("pct_bp"),
             "est",
         )
     )
     ranks = (
         li.join(est, "l_returnflag")
-        .groupBy("l_returnflag", "pct")
+        .groupBy("l_returnflag", "pct", "pct_bp")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("l_extendedprice") < F.col("est")).cast("long"))
@@ -1173,9 +1177,9 @@ def approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hi"),
         )
     )
-    # integer rank-bp bounds: (q ± 0.01) · 10000
-    ub = (F.col("pct") * 10000 + 100).cast("long")
-    lb = (F.col("pct") * 10000 - 100).cast("long")
+    # integer rank-bp bounds: (q ± 0.01) · 10000, all-integer arithmetic
+    ub = (F.col("pct_bp") + 100).cast("long")
+    lb = (F.col("pct_bp") - 100).cast("long")
     within = (F.col("lo") * 10000 <= ub * F.col("n")) & (
         F.col("hi") * 10000 >= lb * F.col("n")
     )

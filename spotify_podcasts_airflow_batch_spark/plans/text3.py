@@ -552,19 +552,37 @@ def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two nested map-side aggregates ((source, lang) then source) —
     shuffle bounded by the label vocabulary. Gini-Simpson is computed
     as the exact rational (n² − Σ n_l²)·10⁴ ÷ n² on integer counters,
-    so there's no float entropy log and nothing engine-dependent."""
+    so there's no float entropy log and nothing engine-dependent. The
+    rational is evaluated in DECIMAL(38,0): in BIGINT the n²·10⁴
+    numerator overflows once a source holds ≥3·10⁷ docs — i.e. at
+    exactly the corpus sizes this gauge exists for (regression-pinned
+    by tests/test_properties.py::test_source_lang_diversity_big_counts
+    on a constructed counts relation)."""
     c = (
         table(spark, sf_dir, "documents")
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return c.groupBy("source").agg(
+    return _lang_diversity_rollup(c)
+
+
+def _lang_diversity_rollup(counts: DataFrame) -> DataFrame:
+    """Collapse a (source, lang, n) counts relation to per-source
+    diversity. Split out so the DECIMAL(38,0) overflow behavior is
+    testable against constructed billion-scale counters without
+    manufacturing a billion-row table."""
+    big = "CAST(sum(n) AS DECIMAL(38,0))"
+    return counts.groupBy("source").agg(
         F.sum("n").alias("n_docs"),
         F.count(F.lit(1)).alias("n_langs"),
         F.expr(
-            "(sum(n) * sum(n) - sum(n * n)) * 10000 div (sum(n) * sum(n))"
+            f"CAST(({big} * {big} - sum(CAST(n AS DECIMAL(38,0)) * n))"
+            f" * 10000 DIV ({big} * {big}) AS BIGINT)"
         ).alias("simpson_diversity_bp"),
-        F.expr("max(n) * 10000 div sum(n)").alias("dominant_share_bp"),
+        F.expr(
+            "CAST(CAST(max(n) AS DECIMAL(38,0)) * 10000"
+            " DIV CAST(sum(n) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("dominant_share_bp"),
     )
 
 

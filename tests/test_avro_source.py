@@ -11,10 +11,10 @@ from __future__ import annotations
 import pytest
 
 
-def _avro_available(spark) -> bool:
+def _avro_available(spark, tmp_path) -> bool:
     try:
         spark.range(1).write.format("avro").mode("overwrite").save(
-            "/tmp/_avro_probe"
+            str(tmp_path / "_avro_probe")
         )
         return True
     except Exception:  # AnalysisException: failed to find data source
@@ -22,7 +22,7 @@ def _avro_available(spark) -> bool:
 
 
 def test_avro_round_trip(spark, tmp_path):
-    if not _avro_available(spark):
+    if not _avro_available(spark, tmp_path):
         pytest.skip(
             "spark-avro external package not in this environment; "
             "the Avro connector is environment-blocked (SURVEY §2-G)"

@@ -1,27 +1,34 @@
 """The correctness driver hash-checks the FIRST 50 registry entries.
 
-Rounds 1-2 only ever sampled the relational B head, so the A/C/D/E/F
-families were never driver-verified. The registry now pins an explicit
-50-entry head that interleaves every family with oracle-bearing
-queries; this test keeps that window from silently regressing.
+Rounds 1-2 only ever sampled the relational B head; round 3 rotated in
+the A/C-core/D/E/F representatives; the round-4 head holds 47
+first-time keys plus 3 B sentinels kept as cross-round regression
+anchors. This test keeps that window oracle-bearing and
+family-covering so rotation can't silently regress. Family A
+(reference-parity) is fully driver-verified (r1-r3) and has no
+remaining oracle-bearing unverified keys, so it is deliberately absent
+from the round-4 window.
 """
 
 from __future__ import annotations
 
 import itertools
 
+import pytest
+
 from spotify_podcasts_airflow_batch_spark.plans.registry import (
     _DRIVER_HEAD,
     all_queries,
 )
 
-# family representative prefixes: key -> family letter (see SURVEY §2)
+# family representatives in the CURRENT head: key -> family letter
+# (see SURVEY §2); A intentionally absent this round (see module doc)
 _FAMILY_OF = {
-    "chart_rank": "A",
-    "text_stats": "C",
-    "knn_brute": "D",
-    "tumbling_window": "E",
-    "media_meta": "F",
+    "q1_pricing_summary": "B",
+    "token_doc_freq": "C",
+    "silhouette_labels": "D",
+    "sliding_window": "E",
+    "media_frames": "F",
 }
 
 
@@ -46,6 +53,18 @@ def test_head_is_fully_oracle_checked():
 
 def test_head_covers_every_family():
     assert set(_FAMILY_OF) <= set(_DRIVER_HEAD)
+
+
+def test_unregistered_head_key_fails_loudly(monkeypatch):
+    # a renamed/removed plan entry must name the missing key, not
+    # surface as a bare KeyError deep in the driver contract
+    from spotify_podcasts_airflow_batch_spark.plans import registry
+
+    monkeypatch.setattr(
+        registry, "_DRIVER_HEAD", registry._DRIVER_HEAD + ("no_such_query",)
+    )
+    with pytest.raises(RuntimeError, match="no_such_query"):
+        registry.all_queries()
 
 
 def test_no_query_lost_by_reorder():

@@ -199,3 +199,43 @@ def test_asof_join_equals_naive_lookup(spark, probes, builds):
         want[i] = max(cands)[2] if cands else None
 
     assert got == want
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books"]),
+            st.sampled_from(["en", "de", "fr", "ja"]),
+            st.integers(min_value=1, max_value=4_000_000_000),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_source_lang_diversity_big_counts(spark, counts):
+    """The Gini-Simpson rollup must stay exact for per-source corpora
+    ≥3·10⁷ docs — the BIGINT form overflows at n²·10⁴ > 2⁶³ (n ≈
+    3.04·10⁷), which is precisely the regime the gauge targets. The
+    DECIMAL(38,0) path is compared against Python arbitrary-precision
+    integers on a constructed counts relation (regression for the
+    round-3 overflow, plans/text3.py source_lang_diversity)."""
+    from spotify_podcasts_airflow_batch_spark.plans.text3 import (
+        _lang_diversity_rollup,
+    )
+
+    cdf = spark.createDataFrame(counts, "source string, lang string, n long")
+    got = {
+        r["source"]: r for r in _lang_diversity_rollup(cdf).collect()
+    }
+    per_source: dict[str, list[int]] = {}
+    for s, _lang, n in counts:
+        per_source.setdefault(s, []).append(n)
+    for s, ns in per_source.items():
+        tot = sum(ns)
+        simpson = (tot * tot - sum(n * n for n in ns)) * 10000 // (tot * tot)
+        assert got[s]["n_docs"] == tot
+        assert got[s]["n_langs"] == len(ns)
+        assert got[s]["simpson_diversity_bp"] == simpson, (s, ns)
+        assert got[s]["dominant_share_bp"] == max(ns) * 10000 // tot

@@ -35,6 +35,28 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         assert lo / n - 0.01 <= q <= hi / n + 0.01, (flag, q, est)
 
 
+def test_approx_distinct_within_3rsd(spark, sf_dir):
+    """B11's HLL estimate must land within 3·rsd (rsd=1%) of B11b's
+    exact distinct count per group. This is where the sketch-accuracy
+    guarantee lives — the driver oracle for the audit compares only
+    the exact columns, so a probability-tail miss fails HERE as an
+    accuracy regression, never as a correctness hash-mismatch."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct"].spark_fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users_exact"]
+        for r in QUERIES["approx_distinct_audit"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        err = abs(approx[etype] - n) / max(n, 1)
+        assert err <= 3 * 0.01, (etype, approx[etype], n)
+
+
 def test_heavy_hitters_contain_exact_answer(spark, sf_dir):
     """Every priority with true share > support (0.15) must appear —
     the sketch may over-report, never under-report."""
