@@ -1,0 +1,112 @@
+"""Compute the next driver correctness window.
+
+The external driver hash-checks the FIRST 50 registry entries each
+round (CORRECTNESS_r{N}.json). This tool unions every committed
+CORRECTNESS_*.json, subtracts the already-verified keys, and prints a
+ready-to-paste ``_DRIVER_HEAD`` tuple holding the configured sentinels
+plus the next batch of never-driver-verified oracle-bearing keys in
+registry order — so each round's rotation (VERDICT r3 follow-up #1) is
+one command instead of a hand audit:
+
+    python tools/rotate_window.py            # print next head + stats
+    python tools/rotate_window.py --check    # exit 1 if current head
+                                             # wastes slots on verified
+                                             # non-sentinel keys
+
+Keys whose oracle is None are skipped (the window invariant is 50
+fully hash-compared rows; rows-only queries get their weaker check
+wherever they sit). When fewer unverified keys remain than slots, the
+remainder is padded with the longest-unseen verified keys so the
+window never runs short.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW = 50
+# cross-round regression anchors, kept at the head of every window
+SENTINELS = ("q1_pricing_summary", "q9_product_profit", "salted_join")
+
+
+def verified_keys() -> set[str]:
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            rows = json.load(fh)
+        for key, row in rows.items():
+            if row.get("rows_match") and row.get("err") is None:
+                seen.add(key)
+    return seen
+
+
+def next_head() -> tuple[list[str], dict]:
+    from spotify_podcasts_airflow_batch_spark.plans.registry import (
+        _REGISTRY,
+        all_queries,
+    )
+
+    queries = all_queries()
+    seen = verified_keys()
+    oracle_bearing = [n for n, q in _REGISTRY.items() if q.oracle is not None]
+    unverified = [n for n in oracle_bearing if n not in seen]
+
+    head = [s for s in SENTINELS if s in queries]
+    head += [n for n in unverified if n not in head][: WINDOW - len(head)]
+    if len(head) < WINDOW:  # rotation exhausted: refill with verified keys
+        head += [
+            n for n in oracle_bearing if n not in head
+        ][: WINDOW - len(head)]
+    stats = {
+        "registered": len(queries),
+        "oracle_bearing": len(oracle_bearing),
+        "driver_verified": len(seen & set(queries)),
+        "unverified_oracle_bearing": len(unverified),
+        "first_time_in_head": len([n for n in head if n not in seen]),
+        "rounds_to_exhaust": max(
+            0,
+            -(-(len(unverified) - (WINDOW - len(SENTINELS)))
+              // (WINDOW - len(SENTINELS))),
+        ),
+    }
+    return head, stats
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    head, stats = next_head()
+    from spotify_podcasts_airflow_batch_spark.plans.registry import (
+        _DRIVER_HEAD,
+    )
+
+    if args.check:
+        seen = verified_keys()
+        wasted = [
+            n
+            for n in _DRIVER_HEAD
+            if n in seen and n not in SENTINELS
+        ]
+        print(json.dumps({"stats": stats, "wasted_slots": wasted}))
+        return 1 if wasted and stats["unverified_oracle_bearing"] else 0
+
+    print(f"# {json.dumps(stats)}")
+    print("_DRIVER_HEAD = (")
+    for name in head:
+        marker = "  # sentinel" if name in SENTINELS else ""
+        print(f'    "{name}",{marker}')
+    print(")")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
