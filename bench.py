@@ -113,17 +113,23 @@ def main() -> None:
         if q is not None:
             run(q.spark_fn(spark, sf_dir))
 
-    # MIN of 3 timed passes per query: the host (a VM) shows roaming
+    # MIN of 5 timed passes per query: the host (a VM) shows roaming
     # multi-second steal/compaction stalls that can poison a whole
-    # 3-pass window for whichever query is running — the median is NOT
+    # pass window for whichever query is running — the median is NOT
     # robust to that (observed: the same query 0.35 s isolated, 7 s as
     # a 3-pass median mid-stall, with a different victim each run).
     # The minimum over repetitions is the standard noise-robust
     # estimator of intrinsic cost: every pass runs the full pipeline
     # (noop sink, nothing cached between passes), so min cannot reward
     # a partial execution — only the absence of external stalls.
+    # 5 passes (was 3 through round 3): round 3's flagged per-query
+    # "regressions" all evaporated under a warmed 5-pass re-measure
+    # (BENCH_BASELINE.md round-4 note) — a stall window long enough to
+    # poison 3 consecutive passes of one query is common here, 5 is
+    # not, and the extra ~2 min of bench wall buys regression signals
+    # that are real.
     times: dict[str, float] = {}
-    PASSES = 3
+    PASSES = 5
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
