@@ -258,7 +258,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-ordering at the cutoff."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc lengths feed BOTH the per-doc join and the (N, avgdl)
+    # scalars; persisted, the corpus-wide token explode runs once for
+    # them instead of once per consumer (it's the smallest per-doc
+    # rollup the engine must hold anyway).
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
     st = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),

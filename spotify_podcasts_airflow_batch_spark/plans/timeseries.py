@@ -276,7 +276,19 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum within each partition, then add broadcast per-partition prefix
     offsets. ``sum() OVER (ORDER BY t)`` with no partition key is the
     one-task trap (the oracle can afford it; a 100 TB table cannot);
-    this plan's widest single sort is one range partition."""
+    this plan's widest single sort is one range partition.
+
+    The ±1 events come from ONE pass over the interval relation
+    (explode of a two-element array, not a self-union that executes
+    the orders⋈lineitem rollup twice), and the per-timestamp delta
+    relation — one row per distinct boundary instant, tiny at any
+    fact scale — persists so the cumsum branch and the offsets branch
+    share a single fact-side execution (unpersisted, Spark re-runs
+    the whole upstream for each branch: 4 fact scans instead of 1;
+    pinned by tests/test_plan_shape.py). The persist also freezes the
+    pid column: both branches must see the SAME partition-id
+    assignment, and a recomputed spark_partition_id is not
+    contractually stable."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     iv = (
@@ -284,12 +296,19 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.max("l_shipdate").alias("e"))
     )
-    ev = iv.select(F.col("o_orderdate").alias("t"), F.lit(1).alias("d")).unionAll(
-        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
-    )
+    ev = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("o_orderdate").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("evt")
+    ).select("evt.t", "evt.d")
     deltas = ev.groupBy("t").agg(F.sum("d").alias("nd"))
-    parts = deltas.repartitionByRange(16, F.col("t")).withColumn(
-        "pid", F.spark_partition_id()
+    parts = (
+        deltas.repartitionByRange(16, F.col("t"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     local = parts.withColumn(
         "run",

@@ -318,3 +318,22 @@ def test_fk_audit_fact_edge_not_hint_pinned(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") == 3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_open_orders_single_fact_pass(spark, sf_dir):
+    """The sweep-line prefix sum must execute the orders⋈lineitem
+    interval rollup ONCE: ±1 events come from one explode (no
+    self-union re-running the subtree) and the per-timestamp delta
+    relation is persisted so the cumsum and offsets branches share
+    it (round-4 fix: the unpersisted form ran 4 fact scans)."""
+    plan = plan_of(spark, sf_dir, "open_orders_timeline")
+    assert "Union" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_bm25_doc_lengths_computed_once(spark, sf_dir):
+    """BM25's per-doc length rollup feeds both the score join and the
+    (N, avgdl) scalars; persisted, the corpus-wide token explode runs
+    once for them instead of once per consumer."""
+    plan = plan_of(spark, sf_dir, "bm25_search")
+    assert "InMemoryTableScan" in plan
