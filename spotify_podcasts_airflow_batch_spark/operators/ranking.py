@@ -83,6 +83,10 @@ def capped_top_q(
         .agg(F.count(F.lit(1)).alias("__grp_n"))
         .where(F.col("__grp_n") > quota)
         .select(*group_cols)
+        # group-sized; persisted — it broadcasts into BOTH the anti and
+        # the semi join, and unpersisted each join re-runs the group
+        # count off a fresh fact scan
+        .persist()
     )
     under_rows = df.join(F.broadcast(over), list(group_cols), "left_anti")
     over_rows = df.join(F.broadcast(over), list(group_cols), "left_semi")

@@ -254,13 +254,18 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         decile.alias("decile"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("resp"),
     )
-    tot = F.broadcast(
-        b.agg(F.count(F.lit(1)).alias("tn"), F.sum("resp").alias("tr"))
-    )
-    return (
+    # 10-row decile rollup; persisted — the base-rate totals
+    # re-aggregate from it instead of a second pass over orders
+    g = (
         b.groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("resp").alias("n_resp"))
-        .crossJoin(tot)
+        .persist()
+    )
+    tot = F.broadcast(
+        g.agg(F.sum("n_orders").alias("tn"), F.sum("n_resp").alias("tr"))
+    )
+    return (
+        g.crossJoin(tot)
         .select(
             "decile",
             "n_orders",
@@ -530,8 +535,10 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    uc = t.groupBy(F.col("tok")).agg(F.count(F.lit(1)).alias("cu"))
-    v = t.agg(F.countDistinct("tok").alias("vsz"))
+    # vocabulary-sized; persisted — vocabulary size is its row count,
+    # so no third corpus explode for the scalar
+    uc = t.groupBy(F.col("tok")).agg(F.count(F.lit(1)).alias("cu")).persist()
+    v = uc.agg(F.count(F.lit(1)).alias("vsz"))
     return (
         bg.join(bc, ["w1", "w2"])
         .join(F.broadcast(uc), bg.w1 == uc.tok)

@@ -61,9 +61,12 @@ def doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = t.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    n = t.agg(F.count_distinct("doc_id").alias("n_docs"))
+    # (doc, term) postings; persisted — document frequency is a plain
+    # count over these rows and n_docs a distinct over them, so the
+    # corpus token explode runs once instead of three times
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     scored = (
         tf.join(df_, "tok")

@@ -178,7 +178,7 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("tv"),
-    )
+    ).persist()  # hours×types rows; feeds the bounds AND the grid join
     bounds = agg.groupBy("event_type").agg(
         F.min("b").alias("mn"), F.max("b").alias("mx")
     )

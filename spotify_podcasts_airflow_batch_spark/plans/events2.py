@@ -361,7 +361,8 @@ def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
-    )
+    ).persist()  # 2 rows; both arm slices read it — unpersisted each
+    # would re-run the per-user conversion rollup
     a = s.where(F.col("arm") == 0).select(
         F.col("n").alias("n_a"), F.col("c").alias("conv_a")
     )
@@ -698,7 +699,14 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin"),
         )
     )
-    jt = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    # ≤ |types|·10 rows; persisted — both marginals, the total, and
+    # the final join consume it, and unpersisted each would re-run the
+    # fact scan + binning upstream
+    jt = (
+        b.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     mt = jt.groupBy("event_type").agg(F.sum("n").alias("n_t"))
     mb = jt.groupBy("bin").agg(F.sum("n").alias("n_b"))
     tot = jt.agg(
@@ -957,7 +965,7 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ur.groupBy("user_id").agg(
         F.min("wk").alias("cohort_week"),
         F.collect_list(F.struct("wk", "rev_c")).alias("cells"),
-    )
+    ).persist()  # one row per user; feeds the cohort×age cells AND sizes
     cell = (
         per_user.select(
             "cohort_week", F.explode("cells").alias("c")
@@ -1041,7 +1049,7 @@ def jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blk = ev.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_b"), F.sum("rc").alias("s_b")
-    )
+    ).persist()  # 10 rows; feeds the totals AND the leave-one-out join
     tot = F.broadcast(
         blk.agg(
             F.sum("n_b").alias("n"),
@@ -1055,7 +1063,7 @@ def jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "g",
         "s",
-    )
+    ).persist()  # 10 rows; feeds the jackknife mean AND the SE aggregate
     mean_theta = F.broadcast(loo.agg(F.avg("theta_j").alias("tbar")))
     return (
         loo.join(mean_theta)
@@ -1430,6 +1438,9 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .distinct()
+        # the only events-sized shuffle; persisted — it feeds the DAU
+        # rollup AND the trailing-7-day banded join
+        .persist()
     )
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     p = pairs.select(F.col("day").alias("pday"), "user_id")

@@ -431,7 +431,11 @@ def tfidf_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the equality-to-oracle test pins down."""
     from pyspark.sql import Window
 
-    wn = _tfidf_postings(spark, sf_dir)
+    # the normalized postings relation feeds the prefix ordering, the
+    # full-postings join side, AND the verification doc-maps; persisted
+    # so its multi-aggregate pipeline (tf → df → norms) runs once
+    # instead of once per consumer
+    wn = _tfidf_postings(spark, sf_dir).persist()
     # reverse-cumulative suffix norm over rare-first posting order
     order = Window.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("tok").asc()
@@ -706,7 +710,10 @@ def dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = d.select("doc_id", F.explode(segs).alias("seg")).select(
         "doc_id", F.md5("seg").alias("seg_h")
     )
-    sd = seg.groupBy("seg_h", "doc_id").agg(F.count("*").alias("k"))
+    # one row per (segment-hash, doc); persisted — it feeds the
+    # per-segment totals AND the final join, and unpersisted each
+    # branch re-runs the corpus segment explode + shuffle
+    sd = seg.groupBy("seg_h", "doc_id").agg(F.count("*").alias("k")).persist()
     totals = sd.groupBy("seg_h").agg(F.sum("k").alias("cnt"))
     return (
         sd.join(totals, "seg_h")
@@ -1125,8 +1132,10 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(tokens(F.col("text")).alias("__toks"))
     uni = toks.select(F.explode("__toks").alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    nu = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    # vocabulary-sized; persisted — the token total re-aggregates from
+    # these counts (no second corpus explode) and the join reads them
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    nu = uc.agg(F.sum("c").alias("n_uni"))
     n = F.size("__toks")
     grams = toks.select(
         F.when(
@@ -1140,12 +1149,11 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__grams")
     )
     g = grams.select(F.explode("__grams").alias("bigram"))
-    bc = (
-        g.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .where(F.col("freq") >= _PMI_MIN_FREQ)
-    )
-    nb = g.agg(F.count(F.lit(1)).alias("n_bi"))
+    # distinct-bigram-sized; persisted — the bigram total re-aggregates
+    # from these counts (no second gram explode) before the ≥freq cut
+    ball = g.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq")).persist()
+    bc = ball.where(F.col("freq") >= _PMI_MIN_FREQ)
+    nb = ball.agg(F.sum("freq").alias("n_bi"))
     withparts = bc.withColumn("a", F.split("bigram", " ")[0]).withColumn(
         "b", F.split("bigram", " ")[1]
     )
@@ -1201,8 +1209,20 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = d.select(
         "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
     )
-    hist = fp.where(F.col("source") != _INCR_SOURCE).select("fp").distinct()
-    today = fp.where(F.col("source") == _INCR_SOURCE).select("doc_id", "fp")
+    # hist feeds the bitmap build AND the exact verification semi-join;
+    # today feeds the probe explode AND the final outcome join — both
+    # persisted so each side's scan+fingerprint pass runs once
+    hist = (
+        fp.where(F.col("source") != _INCR_SOURCE)
+        .select("fp")
+        .distinct()
+        .persist()
+    )
+    today = (
+        fp.where(F.col("source") == _INCR_SOURCE)
+        .select("doc_id", "fp")
+        .persist()
+    )
 
     seeds = list(range(_BLOOM_K))
 

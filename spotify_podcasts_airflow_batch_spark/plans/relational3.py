@@ -313,7 +313,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
-    )
+    ).persist()  # |suppliers| rows; feeds the scalar max AND the re-join
     mx = F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
     s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (

@@ -405,7 +405,10 @@ def type_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     join input is one row per (user, type); the type-count dimension
     and the scalar user total broadcast back onto the pair counts."""
     ev = table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # one row per (user, type); persisted — it feeds the type-count
+    # rollup and BOTH sides of the pair self-join, and unpersisted
+    # each consumer re-runs the distinct shuffle off the fact scan
+    ut = ev.select("user_id", "event_type").distinct().persist()
     n = ev.agg(F.countDistinct("user_id").alias("nu"))
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     a = ut.alias("a")
@@ -540,6 +543,10 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         sided.groupBy("event_type", "__side", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
+        # types × 2 × 10 rows; persisted so ca/cb/na/nb and the final
+        # grid joins all read this relation instead of each re-running
+        # the two fact passes upstream of it
+        .persist()
     )
     ca = counts.where(F.col("__side") == 0).select(
         "event_type", "bin", F.col("c").alias("ca")
@@ -724,7 +731,14 @@ def type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin"),
         )
     )
-    jt = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    # ≤ |types|·10 rows; persisted — marginals, the total, and the
+    # final join all consume it, and unpersisted each of the four
+    # would re-run the fact scan + binning upstream
+    jt = (
+        b.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     mt = jt.groupBy("event_type").agg(F.sum("n").alias("n_t"))
     mb = jt.groupBy("bin").agg(F.sum("n").alias("n_b"))
     tot = jt.agg(F.sum("n").alias("n_all"))
@@ -925,6 +939,7 @@ def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min(us).alias("mv"))
+        .persist()  # per-user rollup; feeds the purchase join AND durs
     )
     buys = ev.where(F.col("event_type") == "purchase").select(
         "user_id", us.alias("bus")
@@ -949,6 +964,7 @@ def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gap_us") / 86400000000).cast("long").alias("dur"),
             "observed",
         )
+        .persist()  # one row per user; feeds the KM table AND n_total
     )
     per_t = durs.groupBy("dur").agg(
         F.sum("observed").alias("d_i"),
@@ -1070,7 +1086,7 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tu",
         (F.col("vu") - F.col("tu")).alias("du"),
         (F.col("hr") % 24).cast("int").alias("hod"),
-    )
+    ).persist()  # hourly grid; feeds the seasonal means AND the output join
     seas = detr.groupBy("event_type", "hod").agg(
         F.floor(F.sum("du") / F.count(F.lit(1)).cast("double"))
         .cast("long")
@@ -1247,7 +1263,7 @@ def gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.round(F.sum("value") * 1000000, 0) + 100 * F.count(F.lit(1)))
         / (2 * 100 * F.count(F.lit(1)))
     ).cast("long")
-    agg = ev.groupBy("event_type", b.alias("b")).agg(vu.alias("vu"))
+    agg = ev.groupBy("event_type", b.alias("b")).agg(vu.alias("vu")).persist()  # hours×types rows; feeds bounds AND the grid join
     bounds = agg.groupBy("event_type").agg(
         F.min("b").alias("mn"), F.max("b").alias("mx")
     )
