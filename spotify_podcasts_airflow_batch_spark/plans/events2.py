@@ -1559,3 +1559,108 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_s"),
         F.expr("max(sg) * 100 div max(t)").alias("avg_s_x100"),
     )
+
+
+# ---------------------------------------------------------------- E63
+_MKV_ITERS = 30
+
+
+def _markov_oracle() -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # iteration references its predecessor twice — inlined, the
+    # 30-step chain re-expands the whole upstream tree exponentially
+    # (observed as fd exhaustion re-opening the parquet view)
+    head = """
+    WITH seq AS MATERIALIZED (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS MATERIALIZED (
+        SELECT prev_type AS src, event_type AS dst, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    tot AS MATERIALIZED (SELECT src, sum(n) AS nf FROM t GROUP BY src),
+    p AS MATERIALIZED (
+        SELECT t.src, t.dst, t.n / tot.nf AS pr FROM t JOIN tot USING (src)),
+    st AS MATERIALIZED (SELECT DISTINCT s
+           FROM (SELECT src AS s FROM p UNION SELECT dst AS s FROM p)),
+    dang AS MATERIALIZED (
+        SELECT s FROM st WHERE s NOT IN (SELECT src FROM p)),
+    x0 AS MATERIALIZED (
+        SELECT s, 1.0 / (SELECT count(*) FROM st) AS r FROM st)"""
+    step = """,
+    x{n} AS MATERIALIZED (
+        SELECT st.s AS s,
+               coalesce((SELECT sum(xp.r * p.pr)
+                         FROM p JOIN x{p} xp ON xp.s = p.src
+                         WHERE p.dst = st.s), 0.0)
+               + coalesce((SELECT xp.r FROM x{p} xp JOIN dang ON dang.s = xp.s
+                           WHERE xp.s = st.s), 0.0) AS r
+        FROM st
+    )"""
+    parts = [head]
+    for i in range(_MKV_ITERS):
+        parts.append(step.format(n=i + 1, p=i))
+    parts.append(
+        f"""
+    SELECT s AS event_type, round(r, 6) + 0 AS stationary_p FROM x{_MKV_ITERS}
+    """
+    )
+    return "".join(parts)
+
+
+@register("markov_stationary", oracle=_markov_oracle())
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E63 — stationary distribution of the E29 behavior chain: the
+    long-run share of time a user's event stream spends in each state,
+    found by power-iterating pi <- pi.P on the row-normalized
+    transition matrix. E29 gives the one-step model; this gives its
+    fixed point — the steady-state mix that capacity plans and
+    engagement forecasts quote (states whose stationary mass exceeds
+    their observed event share are ATTRACTORS users drift toward).
+
+    Same two-tier discipline as D10's PageRank: the DISTRIBUTED work
+    is collapsing the fact to the |types|^2 transition matrix (one
+    user-key window shuffle — at 100 TB still the entire cost); the
+    contracted matrix is a bounded relation, so iterating it on the
+    driver in deterministic sorted order beats burning a cluster
+    round-trip per iteration on ~36 edges. Dangling states (never a
+    source) self-loop — identically in both engines. Ranks quantize
+    HALF-UP to 6dp exactly as D10 (Python round() is half-even; the
+    oracle's round() is half-up)."""
+    import math
+
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = sorted((r.src, r.dst, r.n) for r in t.collect())
+    states = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    nf: dict = {}
+    for s, _, n in rows:
+        nf[s] = nf.get(s, 0) + n
+    pr = [(s, d, n / nf[s]) for s, d, n in rows]
+    dang = [s for s in states if s not in nf]
+    x = {s: 1.0 / len(states) for s in states}
+    for _ in range(_MKV_ITERS):
+        nx = {s: 0.0 for s in states}
+        for s, d, p_ in pr:
+            nx[d] += x[s] * p_
+        for s in dang:
+            nx[s] += x[s]
+        x = nx
+    out = [(s, math.floor(x[s] * 1e6 + 0.5) / 1e6 + 0.0) for s in states]
+    return spark.createDataFrame(out, "event_type string, stationary_p double")

@@ -458,3 +458,68 @@ def knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n_probes"))
     )
+
+
+# ---------------------------------------------------------------- D22
+_JL_OUT_DIMS = 8
+_JL_LCG_A = 1103515245
+_JL_LCG_C = 12345
+_JL_LCG_M = 2147483648  # 2^31
+
+
+def _jl_oracle() -> str:
+    cols = []
+    for j in range(_JL_OUT_DIMS):
+        lcg = (
+            f"((({_JL_LCG_A} * ((i - 1) * {_JL_OUT_DIMS} + {j})"
+            f" + {_JL_LCG_C}) % {_JL_LCG_M}) // 65536) % 2"
+        )
+        cols.append(
+            "CASE WHEN len(embedding) = 0 THEN 0.0 ELSE "
+            "round(list_reduce(list_transform(embedding, "
+            f"(x, i) -> CAST(x AS DOUBLE) * (1 - 2 * ({lcg}))), "
+            f"(a, b) -> a + b), 6) + 0 END AS p{j}"
+        )
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@register("random_projection_jl", oracle=_jl_oracle())
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22 — Johnson-Lindenstrauss random projection: every embedding
+    is sketched to 8 dimensions through a deterministic Rademacher
+    (±1) matrix, the classic dimensionality-reduction front-end that
+    makes 100 TB ANN affordable — distances survive within (1±eps), so
+    coarse candidate search runs on the 8-dim sketch (8x less shuffle
+    IO than the 64-dim vectors) and only the shortlist touches full
+    vectors. Complements D2's sign-LSH (which keeps only bucket bits):
+    the JL sketch preserves metric structure, not just proximity
+    buckets.
+
+    The sign matrix is never materialized or shuffled: sign(i,j)
+    derives arithmetically from an LCG step on the flat index
+    i·8+j — each executor recomputes it inside the projection
+    expression, so the operator ships zero side state (the same
+    replicated-generation discipline as the minhash universal family,
+    functions/hashing.py). The whole projection is one narrow
+    map-side transform+fold per output dim — no shuffle, no UDF,
+    whole-stage codegen end-to-end; both engines fold the SAME
+    float→double casts in the SAME element order with an IEEE-exact
+    ±1 multiply, so the sums agree bit-for-bit before round(6).
+    """
+    e = table(spark, sf_dir, "embeddings")
+
+    def proj(j: int):
+        def signed(x, i):
+            k = i.cast("bigint") * _JL_OUT_DIMS + F.lit(j)
+            h = (F.lit(_JL_LCG_A) * k + F.lit(_JL_LCG_C)) % F.lit(_JL_LCG_M)
+            bit = F.floor(h / F.lit(65536)).cast("bigint") % F.lit(2)
+            return x.cast("double") * (F.lit(1) - F.lit(2) * bit)
+
+        s = F.aggregate(
+            F.transform(F.col("embedding"), signed),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (F.round(s, 6) + F.lit(0.0)).alias(f"p{j}")
+
+    return e.select("vec_id", *[proj(j) for j in range(_JL_OUT_DIMS)])

@@ -726,3 +726,64 @@ def denylist_term_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(nh) * 10000 div greatest(sum(nt), 1)"
         ).alias("hits_per_10k_tokens"),
     )
+
+
+# ---------------------------------------------------------------- C57
+@register(
+    "ngram_containment",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ), shd AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(w[i+1:i+2], ' ') AS shingle
+        FROM toks, UNNEST(range(greatest(len(w) - 1, 0))) AS t(i)
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shd a
+        JOIN shd b ON a.shingle = b.shingle AND a.lang = b.lang
+                  AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c AS n_common, ca.n AS na, cb.n AS nb,
+           round(c / least(ca.n, cb.n), 4) AS overlap
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE c / least(ca.n, cb.n) >= 0.5
+    """,
+)
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57 — word-bigram OVERLAP-coefficient pairs ≥ 0.5, blocked by
+    (lang, source): containment detection, the dedup measure C5's
+    Jaccard is blind to. A 50-word doc quoted verbatim inside a
+    5000-word doc shares ~1% of the union (Jaccard ~0.01, far below
+    any sane threshold) but 100% of the smaller set — overlap
+    |A∩B|/min(|A|,|B|) = 1.0. Training corpora leak exactly this way:
+    press-release bodies inside news roundups, READMEs inside code
+    dumps, benchmark questions quoted inside forum answers. C16's
+    contamination check needs the benchmark known in advance; this
+    finds verbatim inclusion between any two corpus docs.
+
+    Same scale shape as C5 (operators/dedup.py): pair generation
+    rides the shingle equi-join — the shuffle key is the shingle, so
+    only co-occurring docs ever meet and candidate volume is bounded
+    by shingle co-occurrence, never |docs|^2. Set sizes ride the
+    exploded rows map-side (no count join-back). The ratio divides
+    the same two integers in both engines — no float path."""
+    from spotify_podcasts_airflow_batch_spark.operators.dedup import (
+        overlap_pairs,
+    )
+
+    return overlap_pairs(
+        table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_k=2,
+        threshold=0.5,
+    )

@@ -1310,3 +1310,101 @@ def gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vu").isNotNull().alias("observed"),
         F.round(filled, 6).alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------- E62
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+               CAST(round(sum(value) * 1000000, 0) AS BIGINT) AS vu
+        FROM events
+        GROUP BY event_type, floor(epoch(ts) / 86400)
+    ),
+    sl AS (
+        SELECT a.event_type,
+               CAST(floor((b.vu - a.vu) / (b.d - a.d)) AS BIGINT) AS s
+        FROM daily a
+        JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    c AS (SELECT event_type, s, count(*) AS n FROM sl GROUP BY event_type, s),
+    cum AS (
+        SELECT event_type, s, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY s) AS cn,
+               sum(n) OVER (PARTITION BY event_type) AS t
+        FROM c
+    ),
+    med AS (
+        SELECT event_type, CAST(max(t) AS BIGINT) AS n_pairs,
+               CAST(min(CASE WHEN 2 * cn >= t THEN s END) AS BIGINT)
+                   AS slope_med_u
+        FROM cum GROUP BY event_type
+    ),
+    nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY event_type)
+    SELECT med.event_type, nd.n_days, med.n_pairs, med.slope_med_u
+    FROM med JOIN nd ON nd.event_type = med.event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E62 — Theil-Sen robust trend per event type: the median of all
+    pairwise slopes between DAILY value totals. The robust-regression
+    counterpart to E38's closed-form OLS — one corrupted day (an
+    outage, a backfill spike) drags a least-squares slope arbitrarily
+    far but moves a pairwise-slope median by at most one rank, which
+    is why monitoring pipelines fit trends with Theil-Sen before
+    alerting on drift.
+
+    The fact collapses FIRST to the (type, day) rollup — map-side
+    combinable, |types|x|days| rows regardless of event volume — and
+    the O(days^2) pair join runs on that contracted relation, bounded
+    by the CALENDAR squared, not the data (a year of days is ~66k
+    pairs per type; the broadcast self-join never touches the fact
+    again). At 100 TB the only full-data cost stays the one rollup
+    shuffle. Slopes quantize exactly: daily sums in integer
+    micro-units, slope = floor of an IEEE-exact integer/integer
+    divide (both engines divide the same <2^53 integers), and the
+    median is the B67 cum-count crossing — an order STATISTIC, no
+    interpolation, so no float boundary exists to diverge."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.round(F.sum("value") * 1e6, 0).cast("long").alias("vu"))
+        .persist()  # |types|x|days| rows; feeds both pair sides AND n_days
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sl = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.floor(
+            (F.col("b.vu") - F.col("a.vu")) / (F.col("b.d") - F.col("a.d"))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    c = sl.groupBy("event_type", "s").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.partitionBy("event_type").orderBy("s")
+    wall = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "s",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("n").over(wall).alias("t"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("t").alias("n_pairs"),
+        F.min(F.when(2 * F.col("cn") >= F.col("t"), F.col("s"))).alias(
+            "slope_med_u"
+        ),
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return med.join(F.broadcast(nd), "event_type").select(
+        "event_type", "n_days", "n_pairs", "slope_med_u"
+    )
