@@ -467,19 +467,24 @@ _JL_LCG_C = 12345
 _JL_LCG_M = 2147483648  # 2^31
 
 
+def _jl_proj_sql(j: int) -> str:
+    """The DuckDB expression for output dim ``j`` of the JL sketch —
+    shared by the D22 oracle and the D23 recall-eval oracle so both
+    compare against the identical sketch."""
+    lcg = (
+        f"((({_JL_LCG_A} * ((i - 1) * {_JL_OUT_DIMS} + {j})"
+        f" + {_JL_LCG_C}) % {_JL_LCG_M}) // 65536) % 2"
+    )
+    return (
+        "CASE WHEN len(embedding) = 0 THEN 0.0 ELSE "
+        "round(list_reduce(list_transform(embedding, "
+        f"(x, i) -> CAST(x AS DOUBLE) * (1 - 2 * ({lcg}))), "
+        f"(a, b) -> a + b), 6) + 0 END"
+    )
+
+
 def _jl_oracle() -> str:
-    cols = []
-    for j in range(_JL_OUT_DIMS):
-        lcg = (
-            f"((({_JL_LCG_A} * ((i - 1) * {_JL_OUT_DIMS} + {j})"
-            f" + {_JL_LCG_C}) % {_JL_LCG_M}) // 65536) % 2"
-        )
-        cols.append(
-            "CASE WHEN len(embedding) = 0 THEN 0.0 ELSE "
-            "round(list_reduce(list_transform(embedding, "
-            f"(x, i) -> CAST(x AS DOUBLE) * (1 - 2 * ({lcg}))), "
-            f"(a, b) -> a + b), 6) + 0 END AS p{j}"
-        )
+    cols = [f"{_jl_proj_sql(j)} AS p{j}" for j in range(_JL_OUT_DIMS)]
     return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
 
 
@@ -523,3 +528,132 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.round(s, 6) + F.lit(0.0)).alias(f"p{j}")
 
     return e.select("vec_id", *[proj(j) for j in range(_JL_OUT_DIMS)])
+
+
+# ---------------------------------------------------------------- D23
+_JL_CAND = 50  # sketch-cosine candidates per probe
+_JL_EXACT_K = 10
+
+
+def _jl_recall_oracle() -> str:
+    sk_cols = ", ".join(
+        f"{_jl_proj_sql(j)} AS p{j}" for j in range(_JL_OUT_DIMS)
+    )
+    dot = " + ".join(f"q.p{j} * c.p{j}" for j in range(_JL_OUT_DIMS))
+    qn = " + ".join(f"q.p{j} * q.p{j}" for j in range(_JL_OUT_DIMS))
+    cn = " + ".join(f"c.p{j} * c.p{j}" for j in range(_JL_OUT_DIMS))
+    return f"""
+    WITH sk AS MATERIALIZED (SELECT vec_id, {sk_cols} FROM embeddings),
+    cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(CASE
+                           WHEN ({qn}) > 0 AND ({cn}) > 0
+                           THEN ({dot}) / (sqrt({qn}) * sqrt({cn}))
+                           ELSE -2.0 END, 6) DESC, c.vec_id
+                   ) AS r
+            FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {_PROBE_MOD} = 0
+        ) WHERE r <= {_JL_CAND}
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id
+                   ) AS r
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {_PROBE_MOD} = 0
+        ) WHERE r <= {_JL_EXACT_K}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS n
+        FROM exact e JOIN cand c
+          ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) * 10000 // {_JL_EXACT_K} AS BIGINT)
+               AS recall_bp
+    FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+    WHERE q.vec_id % {_PROBE_MOD} = 0
+    """
+
+
+@register("ann_jl_recall", oracle=_jl_recall_oracle())
+def ann_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D23 — recall@10 of JL-sketch candidate search against exact
+    cosine, per probe: the eval that makes D22 an ANN PATH rather than
+    a transform. Candidate generation ranks by cosine BETWEEN 8-dim
+    sketches (JL preserves inner products, so sketch cosine tracks
+    true cosine); the top-50 shortlist is then scored against the
+    exact top-10 — at 100 TB this is precisely the coarse-then-rerank
+    pipeline (sketch scan 8x cheaper than full vectors, exact rerank
+    touches only 50 rows/query), and THIS query is the dial for
+    choosing the shortlist width. Same probe set as D21 (~1/29), same
+    deterministic tie-pins (round(cos,6), then id) as D1/D9.
+
+    Shape: sketches come from D22's shuffle-free projection; both
+    ranking joins broadcast the tiny probe side against a single
+    corpus scan; everything downstream of the row_number windows is
+    |probes|x50 rows. Both engines rank the IDENTICAL rounded sketch
+    values through the same explicit dot/norm arithmetic — no float
+    path is engine-local."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    sk = random_projection_jl(spark, sf_dir)
+    probes_sk = sk.where(F.col("vec_id") % _PROBE_MOD == 0)
+    q = probes_sk.select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"p{j}").alias(f"q{j}") for j in range(_JL_OUT_DIMS)],
+    )
+    c = sk.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"p{j}") for j in range(_JL_OUT_DIMS)],
+    )
+    dot = sum(
+        F.col(f"q{j}") * F.col(f"p{j}") for j in range(_JL_OUT_DIMS)
+    )
+    qn = sum(F.col(f"q{j}") * F.col(f"q{j}") for j in range(_JL_OUT_DIMS))
+    cn = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(_JL_OUT_DIMS))
+    cos_sk = F.when(
+        (qn > 0) & (cn > 0), dot / (F.sqrt(qn) * F.sqrt(cn))
+    ).otherwise(F.lit(-2.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cos_sk, 6).desc(), F.col("neighbor_id")
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _JL_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    exact = knn_brute_force(
+        corpus=e,
+        queries=e.where(F.col("vec_id") % _PROBE_MOD == 0),
+        k=_JL_EXACT_K,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(cand, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = e.where(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_JL_EXACT_K}").alias(
+            "recall_bp"
+        ),
+    )
