@@ -337,3 +337,46 @@ def test_bm25_doc_lengths_computed_once(spark, sf_dir):
     once for them instead of once per consumer."""
     plan = plan_of(spark, sf_dir, "bm25_search")
     assert "InMemoryTableScan" in plan
+
+
+def test_jl_projection_is_pure_map(spark, sf_dir):
+    # the sketch must be a narrow projection: signs regenerate inside
+    # the fold expression, so NOTHING shuffles, joins, or aggregates —
+    # the plan a 100 TB corpus-wide sketch pass depends on
+    plan = plan_of(spark, sf_dir, "random_projection_jl")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_theil_sen_pairs_never_sort_merge(spark, sf_dir):
+    # the O(days^2) pair join runs on the CONTRACTED (type, day)
+    # rollup and must broadcast — a sort-merge here would mean the
+    # calendar-bounded relation was mistaken for fact-sized
+    plan = plan_of(spark, sf_dir, "theil_sen_trend")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # pair join + n_days join
+
+
+def test_ann_jl_recall_no_fact_shuffle_joins(spark, sf_dir):
+    # probes broadcast against the sketch scan (nested-loop on the
+    # <> predicate), exact knn is the D1 GEMM pass — the corpus must
+    # never reach a sort-merge join
+    plan = plan_of(spark, sf_dir, "ann_jl_recall")
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan  # the exact-knn GEMM scan
+
+
+def test_containment_self_join_not_hint_pinned(spark, sf_dir):
+    # the shingle self-join sides scale with the corpus: they must
+    # carry no broadcast hint (with auto-broadcast off the join
+    # degrades to a shuffle join; AQE may still pick broadcast at
+    # runtime while the exploded relation is actually small)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "ngram_containment")
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
