@@ -112,6 +112,8 @@ def main() -> None:
         q = registry.get(name)
         if q is not None:
             run(q.spark_fn(spark, sf_dir))
+    # Codegen stays warm; materialized persist() caches must not.
+    spark.catalog.clearCache()
 
     # MIN of 5 timed passes per query: the host (a VM) shows roaming
     # multi-second steal/compaction stalls that can poison a whole
@@ -139,11 +141,15 @@ def main() -> None:
             t0 = time.perf_counter()
             run(q.spark_fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            # Clear per PASS, not per query: plans that persist() an
+            # intermediate register it in the CacheManager by analyzed
+            # plan, so pass 2 of the SAME query would silently reuse
+            # pass 1's materialized cache and min() would reward a
+            # partially-cached run instead of the plan. Clearing here
+            # keeps every pass cold (and bounds executor memory
+            # deterministically instead of waiting on ContextCleaner).
+            spark.catalog.clearCache()
         times[name] = round(min(samples), 3)
-        # Bound executor memory across the sweep: a few plans persist()
-        # an intermediate; a blocking clearCache between queries frees
-        # it deterministically instead of waiting on the ContextCleaner.
-        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     out = {
