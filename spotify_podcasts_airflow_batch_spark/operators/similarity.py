@@ -147,12 +147,20 @@ def knn_brute_force(
             f"caps it at {cap} rows (got >{cap}); use "
             f"knn_lsh or ivf_ann for corpus-scale query sets"
         )
+    out_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+    if not qrows:
+        # Empty query relation (routine for a filtered probe set at
+        # scale): the top-k of nothing is an empty result, not a crash
+        # in the 1-D-array norm below.
+        return corpus.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in qrows])
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)

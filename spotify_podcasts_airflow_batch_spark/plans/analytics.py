@@ -614,7 +614,12 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(emb.select("embedding").first()[0])
+    probe = emb.select("embedding").first()
+    if probe is None:
+        # Empty corpus: nothing to decompose — empty projection, not a
+        # NoneType crash on the dimensionality probe.
+        return spark.createDataFrame([], "vec_id long, pc1_score double")
+    dim = len(probe[0])
 
     mean_row = (
         emb.select(F.posexplode("embedding").alias("pos", "x"))
@@ -630,6 +635,8 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial_gram(batches):
         acc = np.zeros((dim, dim))
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu_b
             acc += x.T @ x
         i, j = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
