@@ -91,7 +91,7 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial counts collapse each (task, ngram) to one row before the
     shuffle, so shuffled volume is bounded by distinct vocabulary, not
     corpus token count."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     toks = d.select(tokens(F.col("text")).alias("__toks"))
     n = F.size("__toks")
     grams = toks.select(
@@ -148,7 +148,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding tricks. One projection + filter, fully pushed into the
     scan stage — at 100 TB this is the first, cheapest pass of the
     pipeline and removes the bulk of the data before any shuffle."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     # Tokenize ONCE behind a pushdown barrier (the nondeterministic id
     # column blocks Catalyst from pushing the bound filters beneath
     # this project and re-running split() per predicate inside the
@@ -306,7 +306,7 @@ def _tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings (doc_id, lang, tok, wn, df). The IDF is rounded BEFORE
     any downstream arithmetic so both engines compute from identical
     doubles (ln differs across libms in the last ulp)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     tf = (
         d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "lang", "tok")
@@ -697,7 +697,7 @@ def dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(x, 4): both engines compute the identical IEEE quotient, and
     floor of the same double is bit-stable where decimal rounding is
     not."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     nseg = F.ceil(F.size(toks) / F.lit(float(_SEG_K))).cast("int")
     seg_idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
@@ -766,7 +766,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts 0, text unchanged) so the oracle here checks the no-op path;
     the match/replace semantics themselves are pinned by
     tests/test_pii.py on adversarial literal rows."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     counts = pii_counts(F.col("text"))
     return d.select(
         "doc_id",
@@ -949,7 +949,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than one per token. ln differs across engines only in the
     last ulp, smothered by round(4) — the same freeze the C11 IDF
     uses."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     c = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     a = c.groupBy("doc_id").agg(

@@ -72,7 +72,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 — token counts, stopword/punctuation ratios, quality score.
     Pure built-in column expressions: the whole thing is one
     whole-stage-codegen projection, no shuffle at all."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     # Expensive expressions (regex split, stopword filter, punct regex)
     # are each projected ONCE in staged steps; downstream references are
     # cheap bound columns, so neither Catalyst nor codegen re-inlines
@@ -141,7 +141,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 — stopword-hit language ID. Ties resolve in LANGS order; zero
     hits → 'und'. (The synthetic corpus is English-ish word soup, so
     the interesting property is determinism, not accuracy.)"""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     staged = d.select(
         "doc_id", "lang", tokens(F.col("text")).alias("__toks")
     )
@@ -248,7 +248,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation rides the shingle equi-join: the shuffle key is the
     shingle, so only co-occurring docs ever meet."""
     return jaccard_pairs(
-        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "documents", fan_out=True),
         id_col="doc_id",
         text_col="text",
         block_cols=["lang", "source"],
@@ -292,7 +292,7 @@ def minhash_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6a — MinHash signatures in long form (doc_id, seed, minhash),
     bit-exact against the oracle's md5 hash family."""
     sig = minhash_signatures(
-        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+        table(spark, sf_dir, "documents", fan_out=True), id_col="doc_id", text_col="text"
     )
     stack_args = ", ".join(f"{s}, h{s}" for s in range(NUM_MINHASHES))
     return sig.selectExpr(
@@ -307,7 +307,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. Signature correctness is oracle-checked by C6a; the pair
     recall floor is asserted in tests/test_dedup.py on planted dups."""
     sig = minhash_signatures(
-        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+        table(spark, sf_dir, "documents", fan_out=True), id_col="doc_id", text_col="text"
     )
     # Both sides of the bucket self-join consume the signatures; persist
     # so the shingle+hash pipeline runs once, not twice. (At 100 TB the
@@ -400,7 +400,7 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation touches only pairs the sketch surfaced. Everything is
     integer or single-division float; est is k/16 (a dyadic rational,
     exactly representable) so the rounding is engine-portable."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     sig = minhash_signatures(d, id_col="doc_id", text_col="text").persist()
     cand = lsh_candidate_pairs(sig, id_col="doc_id")
 
@@ -482,7 +482,7 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassemble. Near-dup detection then compares hamming distance on
     the single long — done downstream by XOR + bit_count."""
     return simhash(
-        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+        table(spark, sf_dir, "documents", fan_out=True), id_col="doc_id", text_col="text"
     )
 
 
@@ -524,7 +524,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Candidates found via several blocks dedupe in the
     final DISTINCT (bounded: ≤ 4 copies of each true pair)."""
     sh = simhash(
-        table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+        table(spark, sf_dir, "documents", fan_out=True), id_col="doc_id", text_col="text"
     )
     blocks = F.array(
         *[

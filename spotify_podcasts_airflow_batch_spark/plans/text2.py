@@ -109,7 +109,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     one codegen projection + explode — no shuffle until a consumer
     groups by fingerprint. Guarantees a match for any shared run of
     k+w-1 tokens, the property substring-dedup at corpus scale needs."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     toks = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
     n = F.size("__toks")
     grams = toks.select(
@@ -210,7 +210,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations keyed by (doc, token) then doc — both map-side
     combinable, so the shuffled volume is bounded by per-doc vocabulary,
     not token count."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     return per_tok.groupBy("doc_id").agg(
@@ -247,7 +247,7 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan stage). Output carries the chunk hash, not the text, so
     the result stays narrow at 100 TB."""
     W, S = 64, 48
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     # blank docs tokenize to []: guard BEFORE the sequence — Spark's
     # sequence(0, -1) would take its implicit -1 step and emit [0, -1],
     # and DuckDB's range((0-1)//48+1) truncates toward zero to [0];

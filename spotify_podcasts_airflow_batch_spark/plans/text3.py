@@ -63,7 +63,7 @@ def cross_doc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens carry no shingles and drop out (both engines). At 100 TB
     the shingle→df table is the same relation C16's contamination
     screen probes — one materialization serves both."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=True)
     sh = d.select(
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), 5)).alias("shingle"),
@@ -354,7 +354,7 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the span relation, only (doc_id, position) pairs do. At 100 TB the
     span→df table is the C30/C16 relation again — one materialization
     serves all three."""
-    d = table(spark, sf_dir, "documents").where(
+    d = table(spark, sf_dir, "documents", fan_out=True).where(
         F.length(F.trim(F.col("text"))) > 0
     )
     k = 8
@@ -636,7 +636,7 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic, and the bucket join is |buckets| rows. Rates are exact
     integer basis points."""
     sh = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", fan_out=True)
         .select(
             "doc_id",
             F.explode(word_shingles(tokens(F.col("text")), 3)).alias(
@@ -780,7 +780,7 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return overlap_pairs(
-        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "documents", fan_out=True),
         id_col="doc_id",
         text_col="text",
         block_cols=["lang", "source"],

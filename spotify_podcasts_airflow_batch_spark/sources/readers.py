@@ -30,7 +30,9 @@ TABLES = (
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | None = None
+) -> DataFrame:
     """Read one driver-generated table (``{sf_dir}/{name}.parquet``).
 
     The events table carries parquet TIMESTAMP(NANOS), which Spark
@@ -46,6 +48,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``unix_micros``/``window`` call works on any session. Session
     timezone is pinned UTC so date extraction from those micros matches
     the oracle even under a caller-provided SparkSession.
+
+    ``fan_out=True`` is the caller's declaration that its per-row work
+    is CPU-heavy (shingle explosion, hash families, vector math): the
+    under-parallel-layout staging exchange then also triggers on byte
+    volume, not just row count. Leave it unset for one-pass projections
+    and aggregates — measured at sf0.1, the extra exchange + stage
+    costs such plans ~3× more than the serial scan it replaces.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -57,7 +66,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if name in _CPU_HEAVY_TABLES:
-        df = _ensure_scan_parallelism(spark, df, path, _CPU_HEAVY_TABLES[name])
+        df = _ensure_scan_parallelism(
+            spark, df, path, _CPU_HEAVY_TABLES[name], fan_out
+        )
     return df
 
 
@@ -70,7 +81,11 @@ _CPU_HEAVY_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def _ensure_scan_parallelism(
-    spark: SparkSession, df: DataFrame, path: str, key: str
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    fan_out: bool | None = None,
 ):
     """Parquet scans parallelize across ROW GROUPS; a file written as
     one giant row group (pandas/duckdb defaults at small scale) pins
@@ -102,13 +117,26 @@ def _ensure_scan_parallelism(
             cached = (
                 sum(m.num_row_groups for m in metas),
                 sum(m.num_rows for m in metas),
+                sum(
+                    m.row_group(i).total_byte_size
+                    for m in metas
+                    for i in range(m.num_row_groups)
+                ),
             )
             _LAYOUT_CACHE[path] = cached
-        groups, rows = cached
-        # Only pay the exchange when each row group is big enough that
-        # serial evaluation would dominate: below ~16k rows/group the
-        # shuffle costs more than the parallelism returns.
-        if 0 < groups < cores and rows / groups >= 16384:
+        groups, rows, nbytes = cached
+        # Only pay the exchange when each row group carries enough work
+        # that serial evaluation would dominate: below ~16k rows/group
+        # the shuffle usually costs more than the parallelism returns.
+        # Callers that declared fan_out=True (shingle/hash/vector
+        # pipelines, where work rides bytes, not rows) additionally
+        # trigger on uncompressed byte volume — a serial 1.5 MB group
+        # is ~100 ms of shingle+hash CPU per MB, far above the ~50 ms
+        # exchange.
+        trigger = rows / groups >= 16384 or (
+            bool(fan_out) and nbytes / groups >= 1 << 20
+        )
+        if 0 < groups < cores and trigger:
             return df.repartition(cores, F.col(key))
     except Exception:
         pass
