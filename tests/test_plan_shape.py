@@ -331,12 +331,14 @@ def test_open_orders_single_fact_pass(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
-def test_bm25_doc_lengths_computed_once(spark, sf_dir):
+def test_bm25_no_cache_barrier(spark, sf_dir):
     """BM25's per-doc length rollup feeds both the score join and the
-    (N, avgdl) scalars; persisted, the corpus-wide token explode runs
-    once for them instead of once per consumer."""
+    (N, avgdl) scalars. A persist barrier here measured 0.20 s SLOWER
+    cold at sf0.1 than letting Catalyst re-derive the scalar branch as
+    a pruned scan (the re-run token explode is parallel in-scan CPU
+    with no extra shuffle), so the plan must stay cache-free."""
     plan = plan_of(spark, sf_dir, "bm25_search")
-    assert "InMemoryTableScan" in plan
+    assert "InMemoryTableScan" not in plan
 
 
 def test_jl_projection_is_pure_map(spark, sf_dir):
