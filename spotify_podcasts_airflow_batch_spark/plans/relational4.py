@@ -63,8 +63,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern) — at 100 TB the rollup is |part×supplier-in-region| rows,
     orders of magnitude below the fact. All dims broadcast; the only
     big shuffle is the lineitem→pair rollup, map-side combined."""
+    qual_parts = (
+        table(spark, sf_dir, "part")
+        .where((F.col("p_type") == "PROMO") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_type")
+    )
+    p = F.broadcast(qual_parts)
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    # The correlated min is per-part, so parts failing the PROMO/size
+    # predicate can never reach the output — semi-joining the fact on
+    # the broadcast qualifying-part keys BEFORE the pair rollup cuts
+    # the only fact-sized shuffle by the part selectivity. At 100 TB
+    # this is the difference between shuffling every (part, supplier)
+    # pair and shuffling only the qualifying catalog slice.
+    li = li.join(
+        F.broadcast(qual_parts.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
     )
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
@@ -73,11 +90,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
             "ps_supplycost"
         )
-    )
-    p = F.broadcast(
-        table(spark, sf_dir, "part")
-        .where((F.col("p_type") == "PROMO") & (F.col("p_size") <= 25))
-        .select("p_partkey", "p_type")
     )
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
