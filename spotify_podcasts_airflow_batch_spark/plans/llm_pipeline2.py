@@ -22,6 +22,7 @@ from spotify_podcasts_airflow_batch_spark.functions.hashing import (
     md5_hash31,
     oracle_hash31,
 )
+from spotify_podcasts_airflow_batch_spark.functions.text import tokens
 from spotify_podcasts_airflow_batch_spark.plans.registry import register
 from spotify_podcasts_airflow_batch_spark.sources.readers import table
 
@@ -508,4 +509,179 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.crossJoin(F.broadcast(ov)).select(
         "split", "n_events", "n_users", "n_overlap_users"
+    )
+
+
+# ---------------------------------------------------------------- C57
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_TARGET = "src0"  # trusted target domain
+_DSIR_K = 200  # docs resampled from the raw pool
+
+_DSIR_H31 = oracle_hash31("bg")
+_DSIR_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), bgs AS (
+        SELECT doc_id, source,
+               array_to_string(w[i+1:i+2], ' ') AS bg
+        FROM toks, UNNEST(range(greatest(len(w) - 1, 0))) AS t(i)
+    ), feats AS (
+        SELECT doc_id, source, {_DSIR_H31} % {_DSIR_B} AS bucket,
+               count(*) AS c
+        FROM bgs GROUP BY doc_id, source, bucket
+    ), ct AS (
+        SELECT bucket, sum(c) AS n FROM feats
+        WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+    ), cr AS (
+        SELECT bucket, sum(c) AS n FROM feats
+        WHERE source <> '{_DSIR_TARGET}' GROUP BY bucket
+    ), tots AS (
+        SELECT (SELECT coalesce(sum(n), 0) FROM ct) AS tt,
+               (SELECT coalesce(sum(n), 0) FROM cr) AS tr
+    ), lam AS (
+        SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+               CAST(round((ln((coalesce(ct.n, 0) + 1.0)
+                               / (tots.tt + {_DSIR_B}))
+                           - ln((coalesce(cr.n, 0) + 1.0)
+                                 / (tots.tr + {_DSIR_B}))) * 1e6, 0)
+                    AS BIGINT) AS lam_u
+        FROM ct FULL OUTER JOIN cr USING (bucket) CROSS JOIN tots
+    ), scored AS (
+        SELECT f.doc_id,
+               sum(f.c) AS n_feats,
+               sum(f.c * lam.lam_u) AS score_u
+        FROM feats f JOIN lam USING (bucket)
+        WHERE f.source <> '{_DSIR_TARGET}'
+        GROUP BY f.doc_id
+    )
+    SELECT s.doc_id, d.source, d.lang,
+           CAST(s.n_feats AS BIGINT) AS n_feats,
+           round(s.score_u / 1e6, 4) + 0 AS score
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.score_u DESC, s.doc_id
+    LIMIT {_DSIR_K}
+"""
+
+
+@register("dsir_resample", oracle=_DSIR_ORACLE)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57 — DSIR-style data selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-pool document by its hashed-bigram importance weight
+    under a trusted target domain, and keep the top K.
+
+    Features are bigrams hashed into 1024 buckets with the shared md5
+    31-bit family; the target ('src0') and raw-pool bucket
+    distributions get add-1 smoothing, and a document's log-importance
+    is sum_i c_i * (ln p_target(i) - ln p_raw(i)). The per-bucket
+    log-ratio is rounded to integer MICRO-UNITS once (a <=1024-row
+    broadcast table), so each doc's score is an exact BIGINT dot
+    product — order-independent under Spark's parallel aggregation,
+    bit-equal to the oracle's serial sum (the established
+    integer-units discipline; ln()'s last-ulp wobble is absorbed by
+    the 1e-6 quantization). The paper's Gumbel-perturbed sampling is
+    one hash away (see C36 ``weighted_sample`` for the catalog's
+    hash-Gumbel idiom); the deterministic top-K form keeps the oracle
+    strict.
+
+    Scale shape for 100 TB: one corpus tokenize+explode feeds the
+    (doc, bucket) rollup — the only fact-sized shuffle; both
+    distribution vectors and the lambda table are bucket-dimensional
+    (<= 1024 rows, broadcast); scoring is a broadcast join + map-side
+    combinable sum; the final K rows come from TakeOrdered (no global
+    sort), and source/lang re-attach via a K-row broadcast join.
+    Docs with <2 tokens have no features and are not scored (same on
+    both engines by construction).
+    """
+    d = table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = (
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    bg = d.select(
+        "doc_id", "source", F.explode(bigrams).alias("bg")
+    )
+    feats = (
+        bg.select(
+            "doc_id",
+            "source",
+            (md5_hash31(F.col("bg")) % _DSIR_B).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    ct = (
+        feats.where(is_t).groupBy("bucket").agg(F.sum("c").alias("nt"))
+    )
+    cr = (
+        feats.where(~is_t).groupBy("bucket").agg(F.sum("c").alias("nr"))
+    )
+    tots = ct.join(cr, "bucket", "full_outer").agg(
+        F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("nr"), F.lit(0)).alias("tr"),
+    )
+    lam = (
+        ct.join(cr, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(_DSIR_B))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("nr"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tr") + F.lit(_DSIR_B))
+                    )
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lam_u"),
+        )
+    )
+    scored = (
+        feats.where(~is_t)
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lam_u")).alias("score_u"),
+        )
+        .orderBy(F.col("score_u").desc(), "doc_id")
+        .limit(_DSIR_K)
+    )
+    return (
+        F.broadcast(scored)
+        .join(
+            table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "lang"
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n_feats").cast("long").alias("n_feats"),
+            (F.round(F.col("score_u") / 1e6, 4) + F.lit(0.0)).alias(
+                "score"
+            ),
+        )
     )
