@@ -657,3 +657,198 @@ def ann_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------- D23
+_PQ_M = 8  # subspaces
+_PQ_SUB = _EMBED_DIMS // _PQ_M  # dims per subspace
+_PQ_K = 16  # centroids per subspace (4-bit codes)
+_PQ_NQ = 4  # probe queries (smallest vec_ids)
+_PQ_TOPK = 5
+_PQ_SALTS = 32  # first-stage top-k fan-out
+
+
+def _pq_dist_sql(m: int, a: str, b: str) -> str:
+    """Left-associated 8-term squared L2 over subspace ``m`` between
+    two DuckDB list columns — term order matches the Spark fold."""
+    terms = [
+        f"(CAST({a}[{m * _PQ_SUB + j + 1}] AS DOUBLE)"
+        f" - CAST({b}[{m * _PQ_SUB + j + 1}] AS DOUBLE))"
+        f" * (CAST({a}[{m * _PQ_SUB + j + 1}] AS DOUBLE)"
+        f" - CAST({b}[{m * _PQ_SUB + j + 1}] AS DOUBLE))"
+        for j in range(_PQ_SUB)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_case_sql(a: str, b: str) -> str:
+    arms = " ".join(
+        f"WHEN {m} THEN {_pq_dist_sql(m, a, b)}" for m in range(_PQ_M)
+    )
+    return f"(CASE m {arms} END)"
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+        FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+    ), q AS (
+        SELECT vec_id AS query_id, embedding
+        FROM embeddings ORDER BY vec_id LIMIT {_PQ_NQ}
+    ), ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    enc AS (
+        SELECT e.vec_id, ms.m, cb.cid,
+               {_pq_case_sql('e.embedding', 'cb.embedding')} AS d,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, ms.m
+                   ORDER BY {_pq_case_sql('e.embedding', 'cb.embedding')},
+                            cb.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+    ), codes AS (
+        SELECT vec_id, m, cid FROM enc WHERE rn = 1
+    ), adc AS (
+        SELECT q.query_id, ms.m, cb.cid,
+               CAST(round({_pq_case_sql('q.embedding', 'cb.embedding')}
+                          * 1e6, 0) AS BIGINT) AS cell_u
+        FROM q CROSS JOIN ms CROSS JOIN cb
+    ), scored AS (
+        SELECT a.query_id, c.vec_id, sum(a.cell_u) AS score_u
+        FROM codes c
+        JOIN adc a ON a.m = c.m AND a.cid = c.cid
+        GROUP BY a.query_id, c.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, score_u,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score_u, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           round(score_u / 1e6, 4) + 0 AS adc_dist
+    FROM ranked WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register("pq_adc_ann", oracle=_pq_oracle())
+def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D23 — product-quantization ANN with asymmetric distance
+    computation (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): vectors compress to 8 subspace codes (16
+    centroids each — 4 bits/subspace, 4 bytes/vector instead of 256),
+    and each query scans CODES against a precomputed 8x16 distance
+    table instead of touching raw floats.
+
+    The codebook here is the 16 lexicographically-first vectors
+    (a sampled codebook — deterministic, so the oracle can rebuild
+    it; production would k-means each subspace, cf. D7, and ship the
+    trained codebook the same way: as a broadcast constant). Encoding
+    is a PURE PROJECTION: the codebook rides in as a one-row
+    collect_list crossJoin, every subspace argmin evaluates JVM-side
+    over expression-generated fold distances, and NOTHING shuffles
+    until the final top-k. ADC cells quantize to BIGINT micro-units so
+    each (query, vector) score is an exact integer sum — bit-equal to
+    the oracle regardless of aggregation order. Top-k per query runs
+    the two-stage salted window (per-salt top-k, then global top-k
+    over <= salts*k rows) so no single task ever sees the corpus.
+
+    At 100 TB: the code table is ~4 bytes/vector (10^4 x smaller than
+    the float corpus), the ADC scan is embarrassingly parallel over
+    it, and recall tuning follows the D15/ann_jl_recall evaluation
+    pattern. Argmin ties break on first (lowest) centroid id in both
+    engines; distances are double-precision left-associated folds,
+    IEEE-identical cross-engine (the D22 discipline).
+    """
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # one-row codebook relation: 16 embeddings in vec_id order
+    cb_row = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("vec_id", "embedding"))
+                ),
+                lambda s: s["embedding"],
+            ).alias("cbs")
+        )
+    )
+
+    def sub_dist(v, c, m):
+        # left-associated 8-term squared L2 over subspace m (m is a
+        # Column); mirrors the oracle's generated term order exactly
+        d = None
+        for j in range(_PQ_SUB):
+            idx = m * _PQ_SUB + F.lit(j + 1)
+            t = F.element_at(v, idx).cast("double") - F.element_at(
+                c, idx
+            ).cast("double")
+            d = t * t if d is None else d + t * t
+        return d
+
+    def argmin_code(v, m):
+        dists = F.transform(F.col("cbs"), lambda c: sub_dist(v, c, m))
+        return F.array_position(dists, F.array_min(dists)) - 1
+
+    codes = emb.crossJoin(cb_row).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: argmin_code(F.col("embedding"), m),
+        ).alias("codes"),
+    )
+
+    # per-query 8x16 ADC table in BIGINT micro-units
+    q = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .crossJoin(cb_row)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.transform(
+                    F.col("cbs"),
+                    lambda c: F.round(
+                        sub_dist(F.col("embedding"), c, m) * 1e6, 0
+                    ).cast("long"),
+                ),
+            ).alias("adc"),
+        )
+    )
+
+    scored = codes.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc
+            + F.element_at(
+                F.element_at("adc", m + 1),
+                F.element_at("codes", m + 1).cast("int") + 1,
+            ),
+        ).alias("score_u"),
+    )
+    salted = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+    ).orderBy("score_u", "vec_id")
+    final = Window.partitionBy("query_id").orderBy("score_u", "vec_id")
+    return (
+        scored.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= _PQ_TOPK)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            (F.round(F.col("score_u") / 1e6, 4) + F.lit(0.0)).alias(
+                "adc_dist"
+            ),
+        )
+    )

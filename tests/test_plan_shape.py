@@ -382,3 +382,19 @@ def test_containment_self_join_not_hint_pinned(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pq_adc_encoding_is_shuffle_free(spark, sf_dir):
+    """PQ-ADC's encode + score phases must be pure projections (the
+    codebook and ADC tables ride as broadcasts): the ONLY hash
+    exchanges allowed are the two top-k window stages, the first of
+    which is salted so no task ever holds a query's full corpus."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "pq_adc_ann")
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 2
+    # the salted stage partitions by (query_id, salt), the final by
+    # query_id alone — both must be present
+    assert any("," in keys.rsplit(", ", 1)[0] for keys in hash_exchanges)
+    assert "SortMergeJoin" not in plan
