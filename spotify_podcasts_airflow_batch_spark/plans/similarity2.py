@@ -733,7 +733,7 @@ def _pq_oracle() -> str:
 
 @register("pq_adc_ann", oracle=_pq_oracle())
 def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D23 — product-quantization ANN with asymmetric distance
+    """D24 — product-quantization ANN with asymmetric distance
     computation (Jegou et al. 2011, "Product Quantization for Nearest
     Neighbor Search"): vectors compress to 8 subspace codes (16
     centroids each — 4 bits/subspace, 4 bytes/vector instead of 256),
@@ -849,6 +849,123 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (F.round(F.col("score_u") / 1e6, 4) + F.lit(0.0)).alias(
                 "adc_dist"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D25
+def _pq_full_dist_sql(a: str, b: str) -> str:
+    """Full 64-dim squared L2 as the left-associated sum of the 8
+    subspace chains — same nesting the Spark side generates."""
+    return "(" + " + ".join(_pq_dist_sql(m, a, b) for m in range(_PQ_M)) + ")"
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+    WITH cand AS MATERIALIZED ({_pq_oracle()}),
+    q AS (
+        SELECT vec_id AS query_id, embedding
+        FROM embeddings ORDER BY vec_id LIMIT {_PQ_NQ}
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(
+                           {_pq_full_dist_sql('q.embedding', 'c.embedding')},
+                           6), c.vec_id
+                   ) AS r
+            FROM q CROSS JOIN embeddings c
+        ) WHERE r <= {_PQ_TOPK}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS n
+        FROM exact e JOIN cand c
+          ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) * 10000 // {_PQ_TOPK} AS BIGINT)
+               AS recall_bp
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@register("pq_adc_recall", oracle=_pq_recall_oracle())
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25 — recall@5 of PQ-ADC ranking against exact L2, per query:
+    the eval that makes D24 a tunable ANN path (codebook size / M vs
+    recall) rather than a compression trick — same loop D23 closes for
+    the JL sketch. The exact side ranks by round(L2², 6) with a vec_id
+    tie-pin; both engines build the 64-term distance as the identical
+    left-associated sum of the 8 subspace chains, so the rounded keys
+    are bit-equal. Exact top-5 runs the same two-stage salted window
+    as D24 (no task holds a query's corpus); the hit join and the
+    final report are |queries|-sized."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+
+    def full_dist(v, c):
+        d = None
+        for m in range(_PQ_M):
+            dm = sub_dist_static(v, c, m)
+            d = dm if d is None else d + dm
+        return d
+
+    def sub_dist_static(v, c, m):
+        d = None
+        for j in range(_PQ_SUB):
+            idx = m * _PQ_SUB + j + 1
+            t = F.element_at(v, idx).cast("double") - F.element_at(
+                c, idx
+            ).cast("double")
+            d = t * t if d is None else d + t * t
+        return d
+
+    scored = q.join(emb).select(
+        "query_id",
+        "vec_id",
+        F.round(full_dist(F.col("q_emb"), F.col("embedding")), 6).alias(
+            "d"
+        ),
+    )
+    salted = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+    ).orderBy("d", "vec_id")
+    final = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    exact = (
+        scored.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= _PQ_TOPK)
+        .withColumn("r", F.row_number().over(final))
+        .where(F.col("r") <= _PQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+    cand = pq_adc_ann(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+            F.expr(f"coalesce(n, 0) * 10000 div {_PQ_TOPK}").alias(
+                "recall_bp"
             ),
         )
     )
