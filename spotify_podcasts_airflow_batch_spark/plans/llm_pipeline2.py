@@ -558,7 +558,7 @@ _DSIR_ORACLE = rf"""
     )
     SELECT s.doc_id, d.source, d.lang,
            CAST(s.n_feats AS BIGINT) AS n_feats,
-           round(s.score_u / 1e6, 4) + 0 AS score
+           round(s.score_u / 1e6, 6) + 0 AS score
     FROM scored s JOIN documents d USING (doc_id)
     ORDER BY s.score_u DESC, s.doc_id
     LIMIT {_DSIR_K}
@@ -680,7 +680,7 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             F.col("n_feats").cast("long").alias("n_feats"),
-            (F.round(F.col("score_u") / 1e6, 4) + F.lit(0.0)).alias(
+            (F.round(F.col("score_u") / 1e6, 6) + F.lit(0.0)).alias(
                 "score"
             ),
         )

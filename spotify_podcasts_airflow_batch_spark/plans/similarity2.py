@@ -726,7 +726,7 @@ def _pq_oracle() -> str:
         FROM scored
     )
     SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
-           round(score_u / 1e6, 4) + 0 AS adc_dist
+           round(score_u / 1e6, 6) + 0 AS adc_dist
     FROM ranked WHERE rank <= {_PQ_TOPK}
     """
 
@@ -847,7 +847,7 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("rank").cast("int").alias("rank"),
             "vec_id",
-            (F.round(F.col("score_u") / 1e6, 4) + F.lit(0.0)).alias(
+            (F.round(F.col("score_u") / 1e6, 6) + F.lit(0.0)).alias(
                 "adc_dist"
             ),
         )
