@@ -80,6 +80,9 @@ HEADLINE = [
     "rate_limit_audit",
     "fulfillment_latency",
     "fk_integrity_audit",
+    # round-4 additions (tracked from round 4 on)
+    "dsir_resample",
+    "pq_adc_ann",
 ]
 
 

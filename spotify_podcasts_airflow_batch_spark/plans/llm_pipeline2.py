@@ -595,7 +595,10 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with <2 tokens have no features and are not scored (same on
     both engines by construction).
     """
-    d = table(spark, sf_dir, "documents").where(
+    # fan_out: the bigram explode + md5 per shingle is the heavy-CPU
+    # text-scan shape the byte-volume staging exists for (measured
+    # 3.8 s -> 1.7 s cold at sf0.1 on the single-row-group testdata)
+    d = table(spark, sf_dir, "documents", fan_out=True).where(
         F.length(F.trim(F.col("text"))) > 0
     )
     toks = tokens(F.col("text"))

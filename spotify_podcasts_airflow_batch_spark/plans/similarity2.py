@@ -762,11 +762,20 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # "force" staging: subspace argmin evaluates ~1k interpreted HOF
+    # subexpressions per row — at any under-parallel layout the encode
+    # is CPU-bound far below the byte heuristic (measured 1.5 s serial
+    # vs 0.2 s fanned at sf0.1's single-row-group 0.5 MB file)
+    emb = table(spark, sf_dir, "embeddings", fan_out="force").select(
+        "vec_id", "embedding"
+    )
+    emb_1t = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
 
     # one-row codebook relation: 16 embeddings in vec_id order
     cb_row = F.broadcast(
-        emb.orderBy("vec_id")
+        emb_1t.orderBy("vec_id")
         .limit(_PQ_K)
         .agg(
             F.transform(
@@ -804,7 +813,7 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-query 8x16 ADC table in BIGINT micro-units
     q = F.broadcast(
-        emb.orderBy("vec_id")
+        emb_1t.orderBy("vec_id")
         .limit(_PQ_NQ)
         .crossJoin(cb_row)
         .select(

@@ -31,7 +31,10 @@ TABLES = (
 
 
 def table(
-    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fan_out: bool | str | None = None,
 ) -> DataFrame:
     """Read one driver-generated table (``{sf_dir}/{name}.parquet``).
 
@@ -52,9 +55,13 @@ def table(
     ``fan_out=True`` is the caller's declaration that its per-row work
     is CPU-heavy (shingle explosion, hash families, vector math): the
     under-parallel-layout staging exchange then also triggers on byte
-    volume, not just row count. Leave it unset for one-pass projections
-    and aggregates — measured at sf0.1, the extra exchange + stage
-    costs such plans ~3× more than the serial scan it replaces.
+    volume, not just row count. ``fan_out="force"`` is the tier above
+    it — for passes whose CPU dwarfs even the byte heuristic (PQ
+    encoding evaluates ~1k interpreted HOF subexpressions per row),
+    stage whenever the layout is under-parallel at all. Leave it unset
+    for one-pass projections and aggregates — measured at sf0.1, the
+    extra exchange + stage costs such plans ~3× more than the serial
+    scan it replaces.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -133,8 +140,10 @@ def _ensure_scan_parallelism(
         # trigger on uncompressed byte volume — a serial 1.5 MB group
         # is ~100 ms of shingle+hash CPU per MB, far above the ~50 ms
         # exchange.
-        trigger = rows / groups >= 16384 or (
-            bool(fan_out) and nbytes / groups >= 1 << 20
+        trigger = (
+            rows / groups >= 16384
+            or (bool(fan_out) and nbytes / groups >= 1 << 20)
+            or fan_out == "force"
         )
         if 0 < groups < cores and trigger:
             return df.repartition(cores, F.col(key))
