@@ -171,11 +171,21 @@ def main() -> None:
             base = json.load(fh)
         if base.get("sf") == sf_num and base.get("total_sec"):
             out["baseline_total"] = base["total_sec"]
-            out["vs_baseline"] = round(total / base["total_sec"], 3)
+            # Like-for-like: the headline list has grown since the
+            # round-1 floor was frozen (round-2 and round-4 additions
+            # have no floor entry), so the ratio must compare only the
+            # intersection — dividing the grown total by the old floor
+            # would penalize every query added after round 1.
+            common = {
+                k: v for k, v in times.items() if base["queries"].get(k)
+            }
+            base_common = sum(base["queries"][k] for k in common)
+            if base_common:
+                out["vs_baseline"] = round(
+                    sum(common.values()) / base_common, 3
+                )
             out["queries_vs_baseline"] = {
-                k: round(v / base["queries"][k], 2)
-                for k, v in times.items()
-                if base["queries"].get(k)
+                k: round(v / base["queries"][k], 2) for k, v in common.items()
             }
     print(json.dumps(out))
     spark.stop()
