@@ -760,19 +760,12 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; distances are double-precision left-associated folds,
     IEEE-identical cross-engine (the D22 discipline).
     """
-    from pyspark.sql import Window
-
-    # "force" staging: subspace argmin evaluates ~1k interpreted HOF
-    # subexpressions per row — at any under-parallel layout the encode
-    # is CPU-bound far below the byte heuristic (measured 1.5 s serial
-    # vs 0.2 s fanned at sf0.1's single-row-group 0.5 MB file)
     emb = table(spark, sf_dir, "embeddings", fan_out="force").select(
         "vec_id", "embedding"
     )
     emb_1t = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-
     # one-row codebook relation: 16 embeddings in vec_id order
     cb_row = F.broadcast(
         emb_1t.orderBy("vec_id")
@@ -786,21 +779,38 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cbs")
         )
     )
+    return _pq_adc_topk(emb, emb_1t, cb_row).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        (F.round(F.col("score_u") / 1e6, 6) + F.lit(0.0)).alias(
+            "adc_dist"
+        ),
+    )
 
-    def sub_dist(v, c, m):
-        # left-associated 8-term squared L2 over subspace m (m is a
-        # Column); mirrors the oracle's generated term order exactly
-        d = None
-        for j in range(_PQ_SUB):
-            idx = m * _PQ_SUB + F.lit(j + 1)
-            t = F.element_at(v, idx).cast("double") - F.element_at(
-                c, idx
-            ).cast("double")
-            d = t * t if d is None else d + t * t
-        return d
+
+def _pq_sub_dist(v, c, m):
+    # left-associated 8-term squared L2 over subspace m (m is a
+    # Column); mirrors the oracle's generated term order exactly
+    d = None
+    for j in range(_PQ_SUB):
+        idx = m * _PQ_SUB + F.lit(j + 1)
+        t = F.element_at(v, idx).cast("double") - F.element_at(
+            c, idx
+        ).cast("double")
+        d = t * t if d is None else d + t * t
+    return d
+
+
+def _pq_adc_topk(emb, emb_1t, cb_row) -> DataFrame:
+    """Shared D24/D26 machinery: projection encode against the
+    one-row ``cbs`` codebook relation (sampled or trained), integer
+    ADC scoring, two-stage salted top-k. Returns (query_id, rank,
+    vec_id, score_u)."""
+    from pyspark.sql import Window
 
     def argmin_code(v, m):
-        dists = F.transform(F.col("cbs"), lambda c: sub_dist(v, c, m))
+        dists = F.transform(F.col("cbs"), lambda c: _pq_sub_dist(v, c, m))
         return F.array_position(dists, F.array_min(dists)) - 1
 
     codes = emb.crossJoin(cb_row).select(
@@ -823,7 +833,7 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda m: F.transform(
                     F.col("cbs"),
                     lambda c: F.round(
-                        sub_dist(F.col("embedding"), c, m) * 1e6, 0
+                        _pq_sub_dist(F.col("embedding"), c, m) * 1e6, 0
                     ).cast("long"),
                 ),
             ).alias("adc"),
@@ -852,14 +862,53 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__srn") <= _PQ_TOPK)
         .withColumn("rank", F.row_number().over(final))
         .where(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "rank", "vec_id", "score_u")
+    )
+
+
+def _pq_exact_topk(emb_1t) -> DataFrame:
+    """Exact L2 top-k per probe query (identical left-associated
+    64-term distance both engines, salted two-stage window). Returns
+    (query_id, vec_id)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        emb_1t.orderBy("vec_id")
+        .limit(_PQ_NQ)
         .select(
-            "query_id",
-            F.col("rank").cast("int").alias("rank"),
-            "vec_id",
-            (F.round(F.col("score_u") / 1e6, 6) + F.lit(0.0)).alias(
-                "adc_dist"
-            ),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
         )
+    )
+
+    def full_dist(v, c):
+        d = None
+        for m in range(_PQ_M):
+            for j in range(_PQ_SUB):
+                idx = m * _PQ_SUB + j + 1
+                t = F.element_at(v, idx).cast("double") - F.element_at(
+                    c, idx
+                ).cast("double")
+                d = t * t if d is None else d + t * t
+        return d
+
+    scored = q.join(emb_1t).select(
+        "query_id",
+        "vec_id",
+        F.round(full_dist(F.col("q_emb"), F.col("embedding")), 6).alias(
+            "d"
+        ),
+    )
+    salted = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+    ).orderBy("d", "vec_id")
+    final = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    return (
+        scored.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= _PQ_TOPK)
+        .withColumn("r", F.row_number().over(final))
+        .where(F.col("r") <= _PQ_TOPK)
+        .select("query_id", "vec_id")
     )
 
 
@@ -914,67 +963,227 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-equal. Exact top-5 runs the same two-stage salted window
     as D24 (no task holds a query's corpus); the hit join and the
     final report are |queries|-sized."""
-    from pyspark.sql import Window
-
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = F.broadcast(
-        emb.orderBy("vec_id")
-        .limit(_PQ_NQ)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-        )
+    emb_1t = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
     )
-
-    def full_dist(v, c):
-        d = None
-        for m in range(_PQ_M):
-            dm = sub_dist_static(v, c, m)
-            d = dm if d is None else d + dm
-        return d
-
-    def sub_dist_static(v, c, m):
-        d = None
-        for j in range(_PQ_SUB):
-            idx = m * _PQ_SUB + j + 1
-            t = F.element_at(v, idx).cast("double") - F.element_at(
-                c, idx
-            ).cast("double")
-            d = t * t if d is None else d + t * t
-        return d
-
-    scored = q.join(emb).select(
-        "query_id",
-        "vec_id",
-        F.round(full_dist(F.col("q_emb"), F.col("embedding")), 6).alias(
-            "d"
-        ),
-    )
-    salted = Window.partitionBy(
-        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
-    ).orderBy("d", "vec_id")
-    final = Window.partitionBy("query_id").orderBy("d", "vec_id")
-    exact = (
-        scored.withColumn("__srn", F.row_number().over(salted))
-        .where(F.col("__srn") <= _PQ_TOPK)
-        .withColumn("r", F.row_number().over(final))
-        .where(F.col("r") <= _PQ_TOPK)
-        .select("query_id", "vec_id")
-    )
+    exact = _pq_exact_topk(emb_1t)
     cand = pq_adc_ann(spark, sf_dir).select("query_id", "vec_id")
     hits = (
         exact.join(cand, ["query_id", "vec_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
-        q.select("query_id")
-        .join(F.broadcast(hits), "query_id", "left")
+    probes = (
+        emb_1t.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_PQ_TOPK}").alias(
+            "recall_bp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- D26
+_PQ_TRAIN_MOD = 4  # deterministic training sample: vec_id % 4 == 0
+_PQ_TRAIN_ITERS = 3
+
+
+def pq_train_codebook(
+    spark: SparkSession, sf_dir: str, iters: int = _PQ_TRAIN_ITERS
+) -> list[list[list[float]]]:
+    """Lloyd k-means per subspace over a deterministic hash sample
+    (vec_id % 4 == 0), seeded with D24's sampled codebook. Returns
+    centroids[m][cid][j] (8 x 16 x 8 floats — a bounded contraction,
+    the D6/D7 'train then ship as constant' shape). Each iteration is
+    the D7 plan: the 128-row centroid relation broadcasts against the
+    sample, assignment is min(struct(d2, cid)) after one zip_with
+    fold, and the update is a (m, cid)-keyed average rounded to 6 dp
+    so the fixed point is partitioning-independent; empty clusters
+    keep their previous centroid. At 100 TB training always runs on a
+    sample — the full corpus only ever sees the frozen codebook."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = (
+        emb.where(F.col("vec_id") % _PQ_TRAIN_MOD == 0)
         .select(
-            "query_id",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
-            F.expr(f"coalesce(n, 0) * 10000 div {_PQ_TOPK}").alias(
-                "recall_bp"
-            ),
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    lambda m: F.slice(
+                        F.col("embedding").cast("array<double>"),
+                        m * _PQ_SUB + 1,
+                        _PQ_SUB,
+                    ),
+                )
+            ).alias("m", "sv"),
         )
+        # sample-sized and consumed once per Lloyd iteration — the
+        # persist-pays regime (recomputation repeats the corpus scan
+        # + explode every iteration)
+        .persist()
+    )
+    init = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    init.sort(key=lambda r: r.vec_id)
+    cents = [
+        [
+            [float(r.v[m * _PQ_SUB + j]) for j in range(_PQ_SUB)]
+            for r in init
+        ]
+        for m in range(_PQ_M)
+    ]
+    d2 = F.aggregate(
+        F.zip_with("sv", "cvec", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [
+                (m, k, cents[m][k])
+                for m in range(_PQ_M)
+                for k in range(_PQ_K)
+            ],
+            "m int, cid int, cvec array<double>",
+        )
+        upd = (
+            sub.join(F.broadcast(cdf), "m")
+            .withColumn("__d2", d2)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct(F.col("__d2"), F.col("cid"))).alias("__b"),
+                F.first("sv").alias("sv"),
+            )
+            .select("m", F.col("__b.cid").alias("cid"), "sv")
+            .groupBy("m", "cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at("sv", j + 1)), 6).alias(
+                        f"c{j}"
+                    )
+                    for j in range(_PQ_SUB)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            (r.m, r.cid): [float(r[f"c{j}"]) for j in range(_PQ_SUB)]
+            for r in upd
+        }
+        cents = [
+            [got.get((m, k), cents[m][k]) for k in range(_PQ_K)]
+            for m in range(_PQ_M)
+        ]
+    sub.unpersist()
+    return cents
+
+
+def pq_sample_distortion(
+    spark: SparkSession, sf_dir: str, cents: list[list[list[float]]]
+) -> float:
+    """Mean squared quantization error of the training sample under a
+    codebook — the quantity Lloyd iterations monotonically reduce
+    (asserted in tests/test_pq.py)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = emb.where(F.col("vec_id") % _PQ_TRAIN_MOD == 0).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice(
+                    F.col("embedding").cast("array<double>"),
+                    m * _PQ_SUB + 1,
+                    _PQ_SUB,
+                ),
+            )
+        ).alias("m", "sv"),
+    )
+    cdf = spark.createDataFrame(
+        [(m, k, cents[m][k]) for m in range(_PQ_M) for k in range(_PQ_K)],
+        "m int, cid int, cvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cvec", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    row = (
+        sub.join(F.broadcast(cdf), "m")
+        .withColumn("__d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min("__d2").alias("md"))
+        .groupBy("vec_id")
+        .agg(F.sum("md").alias("vd"))
+        .agg(F.avg("vd").alias("d"))
+        .collect()[0]
+    )
+    return float(row.d)
+
+
+def _pq_trained_cb_row(spark: SparkSession, cents) -> DataFrame:
+    """One-row codebook relation for the D24 encode machinery: the 16
+    trained centroids re-assembled to full 64-dim vectors (subspace m
+    of centroid k = cents[m][k]) as a constant-folded literal array."""
+    full = [
+        F.array(
+            *[
+                F.lit(cents[m][k][j])
+                for m in range(_PQ_M)
+                for j in range(_PQ_SUB)
+            ]
+        )
+        for k in range(_PQ_K)
+    ]
+    return F.broadcast(spark.range(1).select(F.array(*full).alias("cbs")))
+
+
+@register("pq_trained_recall", oracle=None)  # rows-only: trained k-means
+def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D26 — recall@5 of PQ-ADC under a TRAINED codebook: per-subspace
+    Lloyd k-means (3 iterations on the deterministic vec_id%4 sample,
+    seeded with D24's sampled codebook) replaces the raw sample as the
+    quantizer — the production step D25's dial exists to justify
+    (measured at sf0.01: sample distortion 0.74 -> 0.49, mean recall
+    4000 -> 4500 bp). Training contracts to 8x16x8 floats driver-side;
+    the full-corpus encode then sees the frozen centroids as ONE
+    constant-folded literal codebook row and reuses D24's projection
+    encode, integer ADC, and salted top-k unchanged. Rows-only:
+    k-means fixed points are not SQL-oracle-able; Lloyd's distortion
+    monotonicity (trained <= seed on the training sample) is asserted
+    in tests/test_pq.py, and the recall schema matches D25 so the two
+    dials read side by side."""
+    cents = pq_train_codebook(spark, sf_dir)
+    cb_row = _pq_trained_cb_row(spark, cents)
+    emb = table(spark, sf_dir, "embeddings", fan_out="force").select(
+        "vec_id", "embedding"
+    )
+    emb_1t = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cand = _pq_adc_topk(emb, emb_1t, cb_row).select("query_id", "vec_id")
+    exact = _pq_exact_topk(emb_1t).select("query_id", "vec_id")
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = (
+        emb_1t.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_PQ_TOPK}").alias(
+            "recall_bp"
+        ),
     )

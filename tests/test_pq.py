@@ -1,0 +1,36 @@
+"""D24/D25/D26 — product-quantization ANN: Lloyd monotonicity of the
+trained codebook and the recall dial's schema/range contract."""
+
+from __future__ import annotations
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+    _PQ_NQ,
+    pq_sample_distortion,
+    pq_train_codebook,
+)
+
+
+def test_lloyd_training_reduces_distortion(spark, sf_dir):
+    """k-means guarantees non-increasing quantization error on the
+    training sample; with 6dp centroid pinning the decrease holds up
+    to rounding slack. This is the theorem-backed check that training
+    actually trained (recall improvements are data-dependent; this is
+    not)."""
+    seed = pq_train_codebook(spark, sf_dir, iters=0)
+    trained = pq_train_codebook(spark, sf_dir, iters=3)
+    d_seed = pq_sample_distortion(spark, sf_dir, seed)
+    d_trained = pq_sample_distortion(spark, sf_dir, trained)
+    assert d_trained <= d_seed + 1e-6, (d_seed, d_trained)
+    # and it should be a real improvement, not a no-op fixed point
+    assert d_trained < d_seed * 0.999, (d_seed, d_trained)
+
+
+def test_trained_recall_schema_and_range(spark, sf_dir):
+    rows = (
+        all_queries()["pq_trained_recall"].spark_fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == _PQ_NQ
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_bp == r.n_hits * 2000
