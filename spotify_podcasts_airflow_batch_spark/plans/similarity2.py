@@ -1040,6 +1040,10 @@ def pq_train_codebook(
         ]
         for m in range(_PQ_M)
     ]
+    if not init:
+        # empty embeddings table: no seeds to train from
+        sub.unpersist()
+        return cents
     d2 = F.aggregate(
         F.zip_with("sv", "cvec", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -1161,6 +1165,13 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_pq.py, and the recall schema matches D25 so the two
     dials read side by side."""
     cents = pq_train_codebook(spark, sf_dir)
+    if not cents or not cents[0]:
+        # empty embeddings table → no codebook, no probes: empty
+        # result with the contract schema (same guard family as the
+        # kNN/PCA contractions)
+        return spark.createDataFrame(
+            [], "query_id long, n_hits long, recall_bp long"
+        )
     cb_row = _pq_trained_cb_row(spark, cents)
     emb = table(spark, sf_dir, "embeddings", fan_out="force").select(
         "vec_id", "embedding"
