@@ -688,3 +688,108 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- C59
+_STRAT_N = 500  # total sample size
+_STRAT_SALTS = 8
+_STRAT_HASH = oracle_hash31("'strat:' || CAST(doc_id AS VARCHAR)")
+
+_STRAT_ORACLE = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), tot AS (SELECT sum(n) AS t FROM counts),
+    quota AS (
+        SELECT source, n,
+               ({_STRAT_N} * n) // t AS base,
+               ({_STRAT_N} * n) % t AS rem
+        FROM counts CROSS JOIN tot
+    ), leftover AS (
+        SELECT {_STRAT_N} - sum(base) AS k FROM quota
+    ), alloc AS (
+        SELECT source,
+               base + CASE WHEN row_number() OVER (
+                               ORDER BY rem DESC, source) <= k
+                      THEN 1 ELSE 0 END AS alloc
+        FROM quota CROSS JOIN leftover
+    ), ranked AS (
+        SELECT d.doc_id, d.source, d.lang, a.alloc,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {_STRAT_HASH}, d.doc_id
+               ) AS rn
+        FROM documents d JOIN alloc a USING (source)
+    )
+    SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= alloc
+"""
+
+
+@register("stratified_sample_exact", oracle=_STRAT_ORACLE)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59 — exact-count proportional stratified sample: draw exactly
+    500 documents allocated across source strata by the largest-
+    remainder (Hamilton) method — floor the proportional quotas, then
+    hand the leftover seats to the largest fractional remainders
+    (source-name tiebreak). Every eval-set builder needs this shape:
+    rate-based sampling (C40) drifts binomially around the target,
+    while an exact allocation is reproducible to the row.
+
+    Within a stratum membership is the hash order md5('strat:'||id) —
+    partition-invariant, re-run-stable, engine-identical. Allocation
+    arithmetic is all BIGINT (N·n_s div/mod n_total), so the oracle is
+    strict. Scale shape: the per-source count rollup is map-side
+    combined and dimension-sized; the allocation table broadcasts;
+    the per-stratum rank runs a salted two-stage window (per-salt cut
+    to the stratum's quota first, so the final per-stratum sort sees
+    <= salts x alloc rows no matter how hot the stratum — the exact
+    C39 containment argument).
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        ((F.lit(_STRAT_N) * F.col("n")) / F.col("t"))
+        .cast("long")
+        .alias("base"),
+        ((F.lit(_STRAT_N) * F.col("n")) % F.col("t")).alias("rem"),
+    )
+    # leftover seats: N - sum(base), handed to the largest remainders
+    k = quota.agg((F.lit(_STRAT_N) - F.sum("base")).alias("k"))
+    wrem = Window.orderBy(F.col("rem").desc(), "source")
+    alloc = (
+        quota.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            (
+                F.col("base")
+                + F.when(F.row_number().over(wrem) <= F.col("k"), 1)
+                .otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+    hk = md5_hash31(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    )
+    ranked = d.join(F.broadcast(alloc), "source").withColumn("__hk", hk)
+    salted = Window.partitionBy(
+        "source", F.pmod(F.col("doc_id"), F.lit(_STRAT_SALTS))
+    ).orderBy("__hk", "doc_id")
+    final = Window.partitionBy("source").orderBy("__hk", "doc_id")
+    return (
+        ranked.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= F.col("alloc"))
+        .withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") <= F.col("alloc"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("rn").cast("long").alias("sample_rank"),
+        )
+    )
