@@ -439,3 +439,74 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_100_bpe"
         ),
     )
+
+
+# ---------------------------------------------------------------- C60
+_ENC_NON_ASCII = r"[^\x00-\x7F]"
+_ENC_CONTROL = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_ENC_MOJIBAKE = r"(Ã.|â€.|Â.|�)"
+
+_ENC_ORACLE = rf"""
+    WITH per_doc AS (
+        SELECT source,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(
+                   text, '{_ENC_NON_ASCII}', '', 'g')) AS non_ascii,
+               length(text) - length(regexp_replace(
+                   text, '{_ENC_CONTROL}', '', 'g')) AS ctrl,
+               CASE WHEN regexp_matches(text, '{_ENC_MOJIBAKE}')
+                    THEN 1 ELSE 0 END AS mojibake
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(non_ascii) * 10000 // sum(n_chars) AS BIGINT)
+               AS non_ascii_per_10k,
+           CAST(sum(ctrl) * 10000 // sum(n_chars) AS BIGINT)
+               AS control_per_10k,
+           CAST(sum(mojibake) AS BIGINT) AS mojibake_docs
+    FROM per_doc GROUP BY source
+"""
+
+
+@register("encoding_quality_screen", oracle=_ENC_ORACLE)
+def encoding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60 — encoding-QA screen per source: non-ASCII and control-
+    character rates per 10k characters plus mojibake-infected doc
+    counts (UTF-8-decoded-as-Latin-1 digraphs 'Ã·' / 'â€¦' / 'Â·' and
+    U+FFFD replacement chars) — the crawl-hygiene pass CCNet-style
+    pipelines run before language ID, since a mis-decoded shard poisons
+    every downstream text statistic. Non-ASCII rate doubles as a
+    language profile (CJK/accented sources sit far above en).
+
+    Character-class counts come from length-after-strip (one
+    regexp_replace per class, JVM-side, whole-stage codegen); rates
+    are exact integer divisions (count·10⁴ div chars) so the oracle
+    compares strict. One map-side-combinable rollup — no shuffle
+    beyond the |sources|-row aggregate at any scale."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+
+    def strip_count(pattern: str):
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), pattern, "")
+        )
+
+    per = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        strip_count(_ENC_NON_ASCII).alias("non_ascii"),
+        strip_count(_ENC_CONTROL).alias("ctrl"),
+        F.when(
+            F.col("text").rlike(_ENC_MOJIBAKE), 1
+        ).otherwise(0).alias("mojibake"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(non_ascii) * 10000 div sum(n_chars)").alias(
+            "non_ascii_per_10k"
+        ),
+        F.expr("sum(ctrl) * 10000 div sum(n_chars)").alias(
+            "control_per_10k"
+        ),
+        F.sum("mojibake").alias("mojibake_docs"),
+    )
