@@ -650,3 +650,159 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * 10000 * F.col("n_docs") + tot) / (2.0 * tot)
         ).cast("long").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------- C61
+_SWEEP_SETTINGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows/band), b*r = 16
+
+
+def _lsh_sweep_oracle() -> str:
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        oracle_hash31,
+        oracle_hash60,
+        oracle_universal_hash,
+        universal_family,
+    )
+
+    fam = universal_family(NUM_MINHASHES)
+    arms = " ".join(
+        f"WHEN s = {i} THEN min({oracle_universal_hash('h31', a, b)})"
+        for i, (a, b) in enumerate(fam)
+    )
+    settings = ", ".join(f"({b}, {r})" for b, r in _SWEEP_SETTINGS)
+    band_str = "string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ), shd AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        FROM toks, UNNEST(range(greatest(len(w) - 2, 0))) AS t(i)
+    ), hashed AS (
+        SELECT doc_id, {oracle_hash31('shingle')} AS h31 FROM shd
+    ), sig AS (
+        SELECT doc_id, s AS seed, CASE {arms} END AS mh
+        FROM hashed, UNNEST(range({NUM_MINHASHES})) AS u(s)
+        GROUP BY doc_id, s
+    ), settings AS (
+        SELECT * FROM (VALUES {settings}) AS v(bands, rows_per_band)
+    ), banded AS (
+        SELECT st.bands, doc_id, seed // st.rows_per_band AS band_id,
+               {oracle_hash60(band_str)} AS band_hash
+        FROM sig CROSS JOIN settings st
+        GROUP BY st.bands, doc_id, seed // st.rows_per_band
+    ), cand AS (
+        SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.bands = b.bands AND a.band_id = b.band_id
+                     AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ), cnts AS (
+        SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shd a JOIN shd b
+          ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i JOIN cnts ca ON ca.doc_id = i.id_a
+                     JOIN cnts cb ON cb.doc_id = i.id_b
+        WHERE 2 * i.c >= ca.n + cb.n - i.c
+    ), nt AS (SELECT count(*) AS n_truth FROM truth),
+    per AS (
+        SELECT c.bands,
+               count(*) AS n_candidates,
+               sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits
+        FROM cand c LEFT JOIN truth t
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+        GROUP BY c.bands
+    )
+    SELECT s.bands, s.rows_per_band,
+           CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(p.n_candidates, 0) = 0 THEN 0
+                ELSE coalesce(p.n_hits, 0) * 10000 // p.n_candidates
+                END AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN nt.n_truth = 0 THEN 0
+                ELSE coalesce(p.n_hits, 0) * 10000 // nt.n_truth
+                END AS BIGINT) AS recall_bp
+    FROM settings s LEFT JOIN per p ON p.bands = s.bands CROSS JOIN nt
+    """
+
+
+@register("lsh_param_sweep", oracle=_lsh_sweep_oracle())
+def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61 — the LSH banding dial: candidate volume, precision, and
+    recall of three (bands x rows) settings of the SAME 16 MinHash
+    signatures — (2x8) strict, (4x4) the C6 default, (8x2) loose —
+    against ground truth (3-shingle Jaccard >= 0.5, decided by the
+    INTEGER inequality 2c >= |A|+|B|-c, so the truth set is exact in
+    both engines). The S-curve P(candidate) = 1-(1-J^r)^b is theory;
+    this query is the measurement a 100 TB dedup run tunes against —
+    loose banding buys recall with candidate volume (= verification
+    cost), strict banding the reverse.
+
+    Shape: ONE signature computation (persisted — three consumers,
+    the measured-pays regime) feeds three banded self-joins whose
+    shuffle keys are (band_id, band_hash) — pair volume bounded by
+    bucket width per setting, never corpus². Truth rides the C5
+    shingle equi-join (only co-occurring docs meet). The report joins
+    from the 3-row settings relation so a zero-candidate setting
+    still reports its row; rates are exact integer basis points."""
+    d = table(spark, sf_dir, "documents", fan_out=True)
+    sig = minhash_signatures(d, id_col="doc_id", text_col="text").persist()
+    cand = None
+    for bands, _rows in _SWEEP_SETTINGS:
+        c = lsh_candidate_pairs(sig, id_col="doc_id", bands=bands).select(
+            F.lit(bands).alias("bands"), "id_a", "id_b"
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    from spotify_podcasts_airflow_batch_spark.operators.dedup import (
+        _shingle_pair_counts,
+    )
+
+    truth = (
+        _shingle_pair_counts(
+            table(spark, sf_dir, "documents", fan_out=True),
+            "doc_id",
+            "text",
+            block_cols=[],
+            shingle_k=3,
+        )
+        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        .select("id_a", "id_b")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    per = (
+        cand.join(truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    settings = spark.createDataFrame(
+        list(_SWEEP_SETTINGS), "bands int, rows_per_band int"
+    )
+    return (
+        settings.join(F.broadcast(per), "bands", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                "CASE WHEN coalesce(n_candidates, 0) = 0 THEN 0"
+                " ELSE coalesce(n_hits, 0) * 10000 div n_candidates END"
+            ).alias("precision_bp"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN 0"
+                " ELSE coalesce(n_hits, 0) * 10000 div n_truth END"
+            ).alias("recall_bp"),
+        )
+    )
