@@ -806,3 +806,38 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------- C62
+@register(
+    "dup_cluster_histogram",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(lower(trim(text))) AS h, count(*) AS n
+        FROM documents GROUP BY 1
+    )
+    SELECT n AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(n * count(*) AS BIGINT) AS n_docs
+    FROM fp GROUP BY n
+    """,
+)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C62 — duplicate-cluster size distribution: how many exact-dup
+    clusters exist at each size, and how many documents they hold.
+    THE corpus-health chart for dedup planning: a long tail of big
+    clusters means hot boilerplate (and quadratic near-dup pair volume
+    — the §6 replicate-methodology finding made measurable), while
+    mass at size 1 bounds what dedup can save. Two map-side-combinable
+    aggregates (fingerprint rollup, then size rollup over
+    cluster-count-sized data); no joins, no windows."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return fp.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )
