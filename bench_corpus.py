@@ -36,10 +36,16 @@ def build_replicate(src_sf_dir: str, out_dir: str, copies: int = 10) -> None:
     import duckdb
 
     con = duckdb.connect()
+    # Replica ids offset by a data-derived stride: a fixed 1e6 would
+    # collide with base ids at larger scale factors, silently merging
+    # documents and corrupting the scaling measurement.
+    (stride,) = con.execute(
+        f"SELECT max(doc_id) + 1 FROM '{src_sf_dir}/documents.parquet'"
+    ).fetchone()
     con.execute(
         f"""
         COPY (
-            SELECT d.doc_id + k.k * 1000000 AS doc_id,
+            SELECT d.doc_id + k.k * {int(stride)} AS doc_id,
                    d.source, d.lang,
                    CASE WHEN k.k = 0 THEN d.text
                         ELSE d.text || ' replica' || k.k END AS text,

@@ -754,9 +754,11 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(F.sum("n").alias("t"))
     quota = counts.crossJoin(F.broadcast(tot)).select(
         "source",
-        ((F.lit(_STRAT_N) * F.col("n")) / F.col("t"))
-        .cast("long")
-        .alias("base"),
+        # Integer division (div), NOT double `/` + cast: float division
+        # can round up across an integer boundary before truncation at
+        # very large corpus totals (t ~1e13+), diverging from the
+        # oracle's BIGINT `//`.
+        F.expr(f"({_STRAT_N} * n) div t").alias("base"),
         ((F.lit(_STRAT_N) * F.col("n")) % F.col("t")).alias("rem"),
     )
     # leftover seats: N - sum(base), handed to the largest remainders

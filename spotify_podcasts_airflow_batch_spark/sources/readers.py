@@ -92,7 +92,7 @@ def _ensure_scan_parallelism(
     df: DataFrame,
     path: str,
     key: str,
-    fan_out: bool | None = None,
+    fan_out: bool | str | None = None,
 ):
     """Parquet scans parallelize across ROW GROUPS; a file written as
     one giant row group (pandas/duckdb defaults at small scale) pins
