@@ -34,3 +34,34 @@ def test_trained_recall_schema_and_range(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= 5
         assert r.recall_bp == r.n_hits * 2000
+
+
+def test_serving_path_equals_training_path(spark, sf_dir):
+    """D24 serves the trained codebook; D26 rebuilds it via the
+    training path directly. Their recalls must be identical rows —
+    a split means serving and training diverged."""
+    d25 = sorted(
+        tuple(r)
+        for r in all_queries()["pq_adc_recall"].spark_fn(spark, sf_dir).collect()
+    )
+    d26 = sorted(
+        tuple(r)
+        for r in all_queries()["pq_trained_recall"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    assert d25 == d26
+
+
+def test_sampled_control_schema_and_range(spark, sf_dir):
+    """The D25b control reports the same shape as D25. (No ordering
+    assertion between trained and sampled recall: distortion descent
+    is the theorem — recall movement is data-dependent, measured
+    +1000 bp at sf0.1 but negative on the 500-vector sf0.001 toy.)"""
+    rows = (
+        all_queries()["pq_sampled_recall"].spark_fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == _PQ_NQ
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_bp == r.n_hits * 2000
