@@ -214,3 +214,147 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------- B59b
+_IIC_CAP = 32  # per-customer interaction cap for the scale path
+
+
+def _iic_capped_plan(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """Capped-basket item-item cosine (the B59 hot-key mitigation made
+    real): every customer contributes at most ``cap`` interactions —
+    the ``cap`` items with the smallest universal hash
+    md5_31('iic:'||u||':'||i) (item-id tiebreak), i.e. a deterministic
+    uniform subsample of their history. Pair cost is then bounded by
+    |users|·cap² regardless of any viral customer (one account with
+    10⁴ items explodes Σ|basket|² quadratically in the uncapped plan;
+    here it contributes exactly C(cap,2) pairs like everyone else).
+    Cosine is EXACT over the capped interaction matrix — marginals and
+    pair counts both come from the capped incidence — so when every
+    basket is within the cap the result is identical to
+    ``item_item_cosine`` (property-tested in tests/test_recsys.py).
+
+    Plan shape: ONE fact shuffle (groupBy customer) does dedup,
+    hash-ranking, capping, and basket assembly inside the same
+    aggregate — the cap is an array slice over the hash-sorted
+    collect_set, JVM-side, no window, no second exchange. The hash is
+    per (u, i), so the selection is replica-stable and SQL-twin-able;
+    marginals rebroadcast onto pair counts as in B59."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        md5_hash31,
+    )
+
+    hk = md5_hash31(
+        F.concat(
+            F.lit("iic:"),
+            F.col("o_custkey").cast("string"),
+            F.lit(":"),
+            F.col("l_partkey").cast("string"),
+        )
+    )
+    baskets = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("__hk", hk)
+        .groupBy(F.col("o_custkey").alias("u"))
+        .agg(
+            F.array_sort(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_set(
+                                F.struct(F.col("__hk"), F.col("l_partkey"))
+                            )
+                        ),
+                        1,
+                        cap,
+                    ),
+                    lambda s: s["l_partkey"],
+                )
+            ).alias("items")
+        )
+        .persist()  # single materialization feeds pairs + marginals
+    )
+    ic = (
+        baskets.select(F.explode("items").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS item_a, y AS item_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    pc = (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    ca = ic.select(F.col("i").alias("ia"), F.col("c").alias("c_a"))
+    cb = ic.select(F.col("i").alias("ib"), F.col("c").alias("c_b"))
+    return (
+        pc.join(ca, F.col("item_a") == F.col("ia"))
+        .join(cb, F.col("item_b") == F.col("ib"))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab")
+                / F.sqrt(F.lit(1.0) * F.col("c_a") * F.col("c_b")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+
+
+def _iic_capped_oracle(cap: int) -> str:
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        oracle_hash31,
+    )
+
+    hk = oracle_hash31(
+        "'iic:' || CAST(u AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    )
+    return f"""
+    WITH ui AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ranked AS (
+        SELECT u, i, row_number() OVER (
+                   PARTITION BY u ORDER BY {hk}, i) AS rn
+        FROM ui
+    ),
+    capped AS (SELECT u, i FROM ranked WHERE rn <= {cap}),
+    ic AS (SELECT i, count(*) AS c FROM capped GROUP BY i),
+    pc AS (
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT item_a, item_b, c_ab,
+           round(c_ab / sqrt(1.0 * ca.c * cb.c), 4) AS cosine
+    FROM pc JOIN ic ca ON item_a = ca.i JOIN ic cb ON item_b = cb.i
+    WHERE c_ab >= 3
+    """
+
+
+@register("item_item_cosine_capped", oracle=_iic_capped_oracle(_IIC_CAP))
+def item_item_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B59b — see ``_iic_capped_plan``: item-item cosine with a
+    deterministic per-customer interaction cap (32), the production
+    scale path for B59 that survives viral accounts. Fully
+    hash-checked: the capped subsample is a pure function of
+    md5-based universal hashing both engines compute identically."""
+    return _iic_capped_plan(spark, sf_dir, _IIC_CAP)
