@@ -922,6 +922,163 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- D7b
+def _kmeans_audit_oracle() -> str:
+    """Unrolled integer-micro-unit Lloyd over the FULL 64-dim vectors
+    (k=8, seeds = 8 lowest vec_ids), reporting the total SSE after 0,
+    1 and 2 centroid updates. Same engine-exactness argument as the
+    PQ trained-codebook oracle: quantized BIGINT inputs, integer
+    squared distances, truncating-division updates — no float
+    summation order anywhere, so the three SSE values are bit-equal
+    cross-engine and the driver can hash-check D7's fixed point."""
+    dims = range(_EMBED_DIMS)
+    qx = (
+        lambda e: f"CAST(round(CAST({e} AS DOUBLE) * 1e6, 0) AS BIGINT)"
+    )
+    samp_cols = ", ".join(
+        f"{qx(f'e.embedding[{j + 1}]')} AS x{j}" for j in dims
+    )
+    seed_cols = ", ".join(
+        f"{qx(f's.embedding[{j + 1}]')} AS c{j}" for j in dims
+    )
+    d2u = " + ".join(
+        f"(s.x{j} - c.c{j}) * (s.x{j} - c.c{j})" for j in dims
+    )
+    parts = [
+        f"""pts AS (
+        SELECT e.vec_id, {samp_cols} FROM embeddings e
+    ), cents0 AS (
+        SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cluster,
+               {seed_cols}
+        FROM (SELECT * FROM embeddings ORDER BY vec_id
+              LIMIT {_KMEANS_K}) s
+    )"""
+    ]
+    for i in range(_KMEANS_ITERS + 1):
+        parts.append(
+            f"""assign{i} AS (
+        SELECT s.vec_id, c.cluster,
+               {', '.join(f's.x{j}' for j in dims)},
+               ({d2u}) AS d2u,
+               row_number() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY ({d2u}), c.cluster) AS rn
+        FROM pts s CROSS JOIN cents{i} c
+    ), sse{i} AS (
+        SELECT {i} AS iter, sum(d2u) AS sse_u
+        FROM assign{i} WHERE rn = 1
+    )"""
+        )
+        if i < _KMEANS_ITERS:
+            sums = ", ".join(f"sum(x{j}) AS s{j}" for j in dims)
+            newc = ", ".join(
+                f"CASE WHEN u.n IS NULL THEN c.c{j}"
+                f" ELSE u.s{j} // u.n END AS c{j}"
+                for j in dims
+            )
+            parts.append(
+                f"""upd{i} AS (
+        SELECT cluster, count(*) AS n, {sums}
+        FROM assign{i} WHERE rn = 1 GROUP BY cluster
+    ), cents{i + 1} AS (
+        SELECT c.cluster, {newc}
+        FROM cents{i} c LEFT JOIN upd{i} u USING (cluster)
+    )"""
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM sse{i}" for i in range(_KMEANS_ITERS + 1)
+    )
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT CAST(iter AS INT) AS iter, CAST(sse_u AS BIGINT) AS sse_u
+    FROM ({unions}) u
+    """
+
+
+@register("kmeans_audit", oracle=_kmeans_audit_oracle())
+def kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7b — the hash-checkable audit that pins D7's k-means fixed
+    point (the B37b companion pattern): run Lloyd (k=8, 2 updates,
+    same deterministic lowest-vec_id seeding as D7) in pure BIGINT
+    micro-units and report total SSE after 0/1/2 updates. Lloyd's
+    theorem says the sequence is non-increasing; because every
+    quantity is integer (quantized inputs, integer argmin with
+    lowest-cluster tie-break, truncating-division centroid updates),
+    the THREE SSE VALUES — not just the trend — are exactly equal
+    cross-engine, making the iterative operator driver-checkable
+    where D7's float averages cannot be.
+
+    Scale shape: per iteration one broadcast of 8 centroid rows
+    against the corpus (assignment is map-only; min(struct) argmin),
+    one k-row map-side-combinable rollup for updates, one scalar SSE
+    aggregate. Headroom: |x|u <= ~6e5 here → Σd2u ≈ 1.7e17 at 2k
+    vectors, ~50× below int64; at ≥100k vectors quantize coarser or
+    report per-partition partial SSEs (the sum stays mergeable).
+    Monotonicity (sse_u[i+1] <= sse_u[i]) is asserted in
+    tests/test_pq.py's sibling, tests/test_kmeans_audit.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1e6, 0).cast("long"),
+        ).alias("xu"),
+    )
+    init = e.orderBy("vec_id").limit(_KMEANS_K).collect()
+    if not init:
+        return spark.createDataFrame([], "iter int, sse_u bigint")
+    init.sort(key=lambda r: r.vec_id)
+    cents_u = [[int(v) for v in r.xu] for r in init]
+    d2u = F.aggregate(
+        F.zip_with("xu", "cu", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    out: list[tuple[int, int]] = []
+    for i in range(_KMEANS_ITERS + 1):
+        cdf = spark.createDataFrame(
+            [(k, cents_u[k]) for k in range(_KMEANS_K)],
+            "cluster int, cu array<bigint>",
+        )
+        assigned = (
+            e.join(F.broadcast(cdf))
+            .withColumn("__d2u", d2u)
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(F.col("__d2u"), F.col("cluster"))
+                ).alias("__m"),
+                F.first("xu").alias("xu"),
+            )
+            .select(
+                F.col("__m.cluster").alias("cluster"),
+                F.col("__m.__d2u").alias("d2u"),
+                "xu",
+            )
+        )
+        if i < _KMEANS_ITERS:
+            # one pass yields BOTH the SSE scalar and the update rows
+            per_cluster = assigned.groupBy("cluster").agg(
+                F.sum("d2u").alias("sse_part"),
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.expr(f"sum(xu[{j}]) div count(1)").alias(f"c{j}")
+                    for j in range(_EMBED_DIMS)
+                ],
+            ).collect()
+            out.append((i, sum(int(r.sse_part) for r in per_cluster)))
+            got = {
+                r.cluster: [int(r[f"c{j}"]) for j in range(_EMBED_DIMS)]
+                for r in per_cluster
+            }
+            cents_u = [
+                got.get(k, cents_u[k]) for k in range(_KMEANS_K)
+            ]
+        else:
+            sse = assigned.agg(F.sum("d2u")).collect()[0][0]
+            out.append((i, int(sse)))
+    return spark.createDataFrame(out, "iter int, sse_u bigint")
+
+
 # ---------------------------------------------------------------- C23
 @register(
     "token_entropy",
