@@ -654,6 +654,12 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C61
 _SWEEP_SETTINGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows/band), b*r = 16
+_SWEEP_CAP = 8  # hot-band bucket cap for the capped counters
+# SQL twin of operators/dedup._cap_buckets' per-bucket member hash
+_CAP_HASH_SQL = (
+    "'lshcap:' || CAST(band_id AS VARCHAR) || ':'"
+    " || CAST(band_hash AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+)
 
 
 def _lsh_sweep_oracle() -> str:
@@ -697,6 +703,22 @@ def _lsh_sweep_oracle() -> str:
         JOIN banded b ON a.bands = b.bands AND a.band_id = b.band_id
                      AND a.band_hash = b.band_hash
                      AND a.doc_id < b.doc_id
+    ), ranked AS (
+        SELECT bands, doc_id, band_id, band_hash,
+               row_number() OVER (
+                   PARTITION BY bands, band_id, band_hash
+                   ORDER BY {oracle_hash31(_CAP_HASH_SQL)}, doc_id
+               ) AS rn
+        FROM banded
+    ), kept AS (
+        SELECT bands, doc_id, band_id, band_hash
+        FROM ranked WHERE rn <= {_SWEEP_CAP}
+    ), candc AS (
+        SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a
+        JOIN kept b ON a.bands = b.bands AND a.band_id = b.band_id
+                   AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
     ), cnts AS (
         SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
     ), inter AS (
@@ -718,6 +740,15 @@ def _lsh_sweep_oracle() -> str:
         FROM cand c LEFT JOIN truth t
           ON t.id_a = c.id_a AND t.id_b = c.id_b
         GROUP BY c.bands
+    ),
+    perc AS (
+        SELECT c.bands,
+               count(*) AS n_capped,
+               sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits_capped
+        FROM candc c LEFT JOIN truth t
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+        GROUP BY c.bands
     )
     SELECT s.bands, s.rows_per_band,
            CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
@@ -728,8 +759,16 @@ def _lsh_sweep_oracle() -> str:
                 END AS BIGINT) AS precision_bp,
            CAST(CASE WHEN nt.n_truth = 0 THEN 0
                 ELSE coalesce(p.n_hits, 0) * 10000 // nt.n_truth
-                END AS BIGINT) AS recall_bp
-    FROM settings s LEFT JOIN per p ON p.bands = s.bands CROSS JOIN nt
+                END AS BIGINT) AS recall_bp,
+           CAST(coalesce(pc.n_capped, 0) AS BIGINT)
+               AS n_candidates_capped,
+           CAST(coalesce(p.n_candidates, 0) - coalesce(pc.n_capped, 0)
+                AS BIGINT) AS n_evicted_pairs,
+           CAST(CASE WHEN nt.n_truth = 0 THEN 0
+                ELSE coalesce(pc.n_hits_capped, 0) * 10000 // nt.n_truth
+                END AS BIGINT) AS recall_capped_bp
+    FROM settings s LEFT JOIN per p ON p.bands = s.bands
+    LEFT JOIN perc pc ON pc.bands = s.bands CROSS JOIN nt
     """
 
 
@@ -745,21 +784,38 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     loose banding buys recall with candidate volume (= verification
     cost), strict banding the reverse.
 
-    Shape: ONE signature computation (persisted — three consumers,
-    the measured-pays regime) feeds three banded self-joins whose
+    Each setting additionally reports the HOT-BAND CAP counters
+    (bucket cap 8): capped candidate volume, evicted-pair count, and
+    capped recall. The cap is the guard the 100x replicate sweep
+    motivated — one dominant boilerplate token collapses thousands of
+    docs into a single band pigeonhole and C(n,2) pairs land in ONE
+    task; with the cap every bucket contributes at most C(8,2) pairs
+    (deterministic per-bucket hash selection, salted two-stage — see
+    operators/dedup.lsh_candidate_pairs). Surfacing evicted pairs IN
+    the dial means the recall cost of the cap is measured, never
+    silent.
+
+    Shape: ONE signature computation (persisted — six consumers,
+    the measured-pays regime) feeds the banded self-joins whose
     shuffle keys are (band_id, band_hash) — pair volume bounded by
-    bucket width per setting, never corpus². Truth rides the C5
-    shingle equi-join (only co-occurring docs meet). The report joins
-    from the 3-row settings relation so a zero-candidate setting
-    still reports its row; rates are exact integer basis points."""
+    bucket width per setting (by C(cap,2) on the capped side), never
+    corpus². Truth rides the C5 shingle equi-join (only co-occurring
+    docs meet). The report joins from the 3-row settings relation so
+    a zero-candidate setting still reports its row; rates are exact
+    integer basis points."""
     d = table(spark, sf_dir, "documents", fan_out=True)
     sig = minhash_signatures(d, id_col="doc_id", text_col="text").persist()
     cand = None
+    candc = None
     for bands, _rows in _SWEEP_SETTINGS:
         c = lsh_candidate_pairs(sig, id_col="doc_id", bands=bands).select(
             F.lit(bands).alias("bands"), "id_a", "id_b"
         )
         cand = c if cand is None else cand.unionByName(c)
+        cc = lsh_candidate_pairs(
+            sig, id_col="doc_id", bands=bands, max_bucket=_SWEEP_CAP
+        ).select(F.lit(bands).alias("bands"), "id_a", "id_b")
+        candc = cc if candc is None else candc.unionByName(cc)
     from spotify_podcasts_airflow_batch_spark.operators.dedup import (
         _shingle_pair_counts,
     )
@@ -776,12 +832,23 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    truth_t = truth.withColumn("__t", F.lit(1))
     per = (
-        cand.join(truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left")
+        cand.join(truth_t, ["id_a", "id_b"], "left")
         .groupBy("bands")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
             F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    perc = (
+        candc.join(truth_t, ["id_a", "id_b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_capped"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias(
+                "n_hits_capped"
+            ),
         )
     )
     settings = spark.createDataFrame(
@@ -789,6 +856,7 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         settings.join(F.broadcast(per), "bands", "left")
+        .join(F.broadcast(perc), "bands", "left")
         .crossJoin(F.broadcast(nt))
         .select(
             "bands",
@@ -804,6 +872,15 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CASE WHEN n_truth = 0 THEN 0"
                 " ELSE coalesce(n_hits, 0) * 10000 div n_truth END"
             ).alias("recall_bp"),
+            F.coalesce("n_capped", F.lit(0)).alias("n_candidates_capped"),
+            (
+                F.coalesce("n_candidates", F.lit(0))
+                - F.coalesce("n_capped", F.lit(0))
+            ).alias("n_evicted_pairs"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN 0"
+                " ELSE coalesce(n_hits_capped, 0) * 10000 div n_truth END"
+            ).alias("recall_capped_bp"),
         )
     )
 

@@ -73,3 +73,35 @@ def test_simhash_hamming_locality(spark):
         return bin(a ^ b).count("1")
 
     assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def test_capped_lsh_equals_uncapped_on_bounded_buckets(spark):
+    """cap >= the largest bucket evicts nothing → identical pairs."""
+    sig = minhash_signatures(_docs(spark), "doc_id", "text")
+    uncapped = lsh_candidate_pairs(sig, "doc_id")
+    capped = lsh_candidate_pairs(sig, "doc_id", max_bucket=1 << 20)
+    assert _rows(uncapped) == _rows(capped)
+
+
+def test_capped_lsh_bounds_hot_bucket_pairs(spark):
+    """50 identical docs collapse into one bucket per band (the
+    boilerplate pathology): uncapped volume is C(50,2)=1225 pairs,
+    the cap=8 plan must emit exactly C(8,2)=28 — quadratic blowup
+    contained to C(cap,2) in every band."""
+    boiler = "all work and no play makes jack a dull boy " * 4
+    rows = [(i, boiler) for i in range(50)] + [
+        (100, "some genuinely unique document text that stands alone here")
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(docs, "doc_id", "text")
+    uncapped = lsh_candidate_pairs(sig, "doc_id").count()
+    capped = lsh_candidate_pairs(sig, "doc_id", max_bucket=8).count()
+    assert uncapped == 50 * 49 // 2
+    # per-bucket selection hashes (band_id, band_hash, id), so each of
+    # the 4 bands keeps a DIFFERENT 8-member subset — per-task pair
+    # volume is C(8,2) per bucket, the distinct union at most 4×C(8,2)
+    assert 8 * 7 // 2 <= capped <= 4 * (8 * 7 // 2)
