@@ -83,6 +83,10 @@ HEADLINE = [
     # round-4 additions (tracked from round 4 on)
     "dsir_resample",
     "pq_adc_ann",
+    # round-5 additions (tracked from round 5 on)
+    "item_item_cosine_capped",
+    "kmeans_audit",
+    "lsh_param_sweep",
 ]
 
 
