@@ -1,13 +1,14 @@
 """The correctness driver hash-checks the FIRST 50 registry entries.
 
 Rounds 1-2 only ever sampled the relational B head; round 3 rotated in
-the A/C-core/D/E/F representatives; the round-4 head holds 47
-first-time keys plus 3 B sentinels kept as cross-round regression
-anchors. This test keeps that window oracle-bearing and
-family-covering so rotation can't silently regress. Family A
-(reference-parity) is fully driver-verified (r1-r3) and has no
-remaining oracle-bearing unverified keys, so it is deliberately absent
-from the round-4 window.
+the A/C-core/D/E/F representatives; round 4 the text/recsys/events/
+statistics wave; the round-5 head holds 47 first-time keys (VERDICT r4
+priorities + this round's new entries + registry-order fill) plus 3 B
+sentinels kept as cross-round regression anchors. This test keeps that
+window oracle-bearing and family-covering so rotation can't silently
+regress. Families A (reference-parity, verified r1-r3) and F
+(multimodal, verified r4) have no remaining oracle-bearing unverified
+keys, so they are deliberately absent from the round-5 window.
 """
 
 from __future__ import annotations
@@ -22,13 +23,13 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import (
 )
 
 # family representatives in the CURRENT head: key -> family letter
-# (see SURVEY §2); A intentionally absent this round (see module doc)
+# (see SURVEY §2); A and F intentionally absent this round (see
+# module doc)
 _FAMILY_OF = {
     "q1_pricing_summary": "B",
-    "token_doc_freq": "C",
-    "silhouette_labels": "D",
-    "sliding_window": "E",
-    "media_frames": "F",
+    "lsh_param_sweep": "C",
+    "pq_adc_ann": "D",
+    "spearman_corr": "E",
 }
 
 
