@@ -65,3 +65,21 @@ def test_sampled_control_schema_and_range(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= 5
         assert r.recall_bp == r.n_hits * 2000
+
+
+def test_codebook_memo_is_keyed_per_dataset(spark, sf_dir):
+    """The serving memo must (a) return the identical trained constant
+    for repeated calls — one training job per (process, dataset) —
+    and (b) never leak a codebook across datasets or iteration
+    counts."""
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _PQ_CB_CACHE,
+        pq_train_codebook_cached,
+    )
+
+    a1 = pq_train_codebook_cached(spark, sf_dir)
+    a2 = pq_train_codebook_cached(spark, sf_dir)
+    assert a1 is a2  # cache hit, not retrain
+    b = pq_train_codebook_cached(spark, sf_dir, iters=0)
+    assert b is not a1 and b != a1  # different key → different model
+    assert all(k[0] == sf_dir for k in _PQ_CB_CACHE if k[0] == sf_dir)
