@@ -192,6 +192,45 @@ def knn_brute_force(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast coarse-centroid relation: the first ``n_cells``
+    corpus vectors by id, L2-normalized — deterministic without a
+    training pass (swap in k-means centroids from
+    `label_centroids`-style aggregation for real data)."""
+    return F.broadcast(
+        l2_normalized(corpus.orderBy(id_col).limit(n_cells), vec_col, "__ncent")
+        .select(
+            F.col(id_col).alias("cell_id"), F.col("__ncent").alias("cvec_cent")
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame, cents: DataFrame, idc: str, vc: str, n: int
+) -> DataFrame:
+    """Rank cells per row by round(cos, 6) (cell-id tiebreak — the
+    cross-engine-reproducible discipline) and keep the best ``n``;
+    ``__cr`` is retained so callers can re-slice by probe depth."""
+    # df's vc is already normalized; centroids normalized above →
+    # cell affinity is a dot product
+    scored = df.crossJoin(cents).withColumn(
+        "cell_cos", dot(F.col(vc), F.col("cvec_cent"))
+    )
+    w = Window.partitionBy(idc).orderBy(
+        F.round(F.col("cell_cos"), 6).desc(), F.col("cell_id")
+    )
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .where(F.col("__cr") <= n)
+        .drop("cvec_cent", "cell_cos")
+    )
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,50 +242,29 @@ def ivf_knn(
 ) -> DataFrame:
     """IVF-style ANN: nearest-centroid cell assignment + probed search.
 
-    Coarse centroids are the first ``n_cells`` corpus vectors by id —
-    deterministic without a training pass (swap in k-means centroids
-    from `label_centroids`-style aggregation for real data). Corpus
-    rows join only the broadcast centroid set (argmax via max_by);
-    queries probe their ``n_probe`` best cells. All joins are
-    broadcast-or-bucket — the corpus never self-joins."""
-    cents = F.broadcast(
-        l2_normalized(corpus.orderBy(id_col).limit(n_cells), vec_col, "__ncent")
-        .select(
-            F.col(id_col).alias("cell_id"), F.col("__ncent").alias("cvec_cent")
-        )
-    )
+    Corpus rows join only the broadcast centroid set; queries probe
+    their ``n_probe`` best cells. All joins are broadcast-or-bucket —
+    the corpus never self-joins."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
 
-    def assign(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
-        # df's vc is already normalized; centroids normalized above →
-        # cell affinity is a dot product
-        scored = df.crossJoin(cents).withColumn(
-            "cell_cos", dot(F.col(vc), F.col("cvec_cent"))
-        )
-        w = Window.partitionBy(idc).orderBy(
-            F.round(F.col("cell_cos"), 6).desc(), F.col("cell_id")
-        )
-        return (
-            scored.withColumn("__cr", F.row_number().over(w))
-            .where(F.col("__cr") <= n)
-            .drop("__cr", "cvec_cent", "cell_cos")
-        )
-
-    bc = assign(
+    bc = ivf_assign(
         l2_normalized(corpus, vec_col, "__nv").select(
             F.col(id_col).alias("neighbor_id"), F.col("__nv").alias("cvec")
         ),
+        cents,
         "neighbor_id",
         "cvec",
         1,
-    )
-    bq = assign(
+    ).drop("__cr")
+    bq = ivf_assign(
         l2_normalized(queries, vec_col, "__nv").select(
             F.col(id_col).alias("query_id"), F.col("__nv").alias("qvec")
         ),
+        cents,
         "query_id",
         "qvec",
         n_probe,
-    )
+    ).drop("__cr")
     scored = (
         F.broadcast(bq)
         .join(bc, "cell_id")

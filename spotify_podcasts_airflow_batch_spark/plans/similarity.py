@@ -128,6 +128,223 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- D27
+_IVF_SWEEP_NPROBE = (1, 2, 4)
+_IVF_SWEEP_MOD = 31  # deterministic probe sample: vec_id % 31 == 0
+_IVF_SWEEP_K = 10
+_IVF_SWEEP_CELLS = 16
+_IVF_COS = (
+    "round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 6)"
+)
+
+
+def _ivf_sweep_oracle() -> str:
+    cos_cc = _IVF_COS.format(a="c.embedding", b="ct.embedding")
+    cos_qc = _IVF_COS.format(a="q.embedding", b="ct.embedding")
+    cos_qm = _IVF_COS.format(a="q.embedding", b="m.embedding")
+    cos_qe = _IVF_COS.format(a="q.embedding", b="c.embedding")
+    settings = ", ".join(str(n) for n in _IVF_SWEEP_NPROBE)
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding
+        FROM (SELECT * FROM embeddings ORDER BY vec_id
+              LIMIT {_IVF_SWEEP_CELLS}) s
+    ), corpus_cell AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT c.vec_id, ct.cell_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {cos_cc} DESC, ct.cell_id) AS r
+            FROM embeddings c CROSS JOIN cents ct
+        ) WHERE r = 1
+    ), cell_sizes AS (
+        SELECT cell_id, count(*) AS n FROM corpus_cell GROUP BY cell_id
+    ), q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id % {_IVF_SWEEP_MOD} = 0
+    ), nq AS (SELECT count(*) AS n_queries FROM q),
+    probe_rank AS (
+        SELECT q.query_id, ct.cell_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {cos_qc} DESC, ct.cell_id) AS cr
+        FROM q CROSS JOIN cents ct
+    ), settings AS (SELECT unnest([{settings}]) AS nprobe),
+    probed AS (
+        SELECT s.nprobe, p.query_id, p.cell_id
+        FROM settings s JOIN probe_rank p ON p.cr <= s.nprobe
+    ), cand_counts AS (
+        SELECT pr.nprobe,
+               sum(cs.n) - sum(CASE WHEN cc.vec_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS n_candidates
+        FROM probed pr
+        JOIN cell_sizes cs ON cs.cell_id = pr.cell_id
+        LEFT JOIN corpus_cell cc
+          ON cc.vec_id = pr.query_id AND cc.cell_id = pr.cell_id
+        GROUP BY pr.nprobe
+    ), approx AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT pr.nprobe, pr.query_id, m.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY pr.nprobe, pr.query_id
+                       ORDER BY {cos_qm} DESC, m.vec_id) AS r
+            FROM probed pr
+            JOIN corpus_cell mc ON mc.cell_id = pr.cell_id
+            JOIN embeddings m
+              ON m.vec_id = mc.vec_id AND m.vec_id <> pr.query_id
+            JOIN q ON q.query_id = pr.query_id
+        ) WHERE r <= {_IVF_SWEEP_K}
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {cos_qe} DESC, c.vec_id) AS r
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE r <= {_IVF_SWEEP_K}
+    ), hits AS (
+        SELECT a.nprobe, count(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.nprobe
+    )
+    SELECT s.nprobe,
+           CAST(nq.n_queries AS BIGINT) AS n_queries,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN nq.n_queries = 0 THEN 0
+                ELSE coalesce(h.n_hits, 0) * 10000
+                     // ({_IVF_SWEEP_K} * nq.n_queries)
+                END AS BIGINT) AS recall_bp,
+           CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates
+    FROM settings s CROSS JOIN nq
+    LEFT JOIN hits h ON h.nprobe = s.nprobe
+    LEFT JOIN cand_counts c ON c.nprobe = s.nprobe
+    """
+
+
+@register("ivf_nprobe_recall", oracle=_ivf_sweep_oracle())
+def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D27 — the IVF probe-depth dial: recall@10 and candidate volume
+    of the D-ext IVF index at nprobe in (1, 2, 4) over 16 cells,
+    against exact brute-force cosine — the measurement that completes
+    the ANN dial family (D15 grades LSH, D23 the JL sketch, D25/D25b
+    the PQ codebooks). nprobe is THE serving knob of an IVF index:
+    each extra probed cell buys recall with candidate volume
+    (= distance computations per query), and at 100 TB you set it
+    from this table, not the FAISS defaults.
+
+    Candidate accounting is exact integer arithmetic: cells partition
+    the corpus, so a query's candidate count is the sum of its probed
+    cells' sizes minus one when its own cell is probed. Hit counting
+    joins two top-k tables that are probes×k rows by construction.
+    Every ranking pins ties with round(cos, 6) + id — the D1/D21
+    cross-engine discipline (Spark scores normalized dots via GEMM /
+    JVM folds, DuckDB list_cosine_similarity; round(6) equality is
+    driver-proven by knn_brute and knn_label_probe). Scale shape: the
+    corpus meets only the 16-row broadcast centroid relation and its
+    own cell's probes — one scan per setting, no corpus self-join; the
+    report is |settings| rows."""
+    from pyspark.sql import Window
+
+    from spotify_podcasts_airflow_batch_spark.functions.vectors import (
+        dot,
+        l2_normalized,
+    )
+    from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_knn,
+        knn_brute_force,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % _IVF_SWEEP_MOD == 0)
+    # exact reference: probes×k rows, consumed once per setting —
+    # persist to avoid re-running the GEMM scan per consumer
+    exact = (
+        knn_brute_force(corpus=e, queries=probes, k=_IVF_SWEEP_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    cand = None
+    for np_ in _IVF_SWEEP_NPROBE:
+        c = ivf_knn(
+            corpus=e,
+            queries=probes,
+            n_cells=_IVF_SWEEP_CELLS,
+            n_probe=np_,
+            k=_IVF_SWEEP_K,
+        ).select(
+            F.lit(np_).alias("nprobe"), "query_id", "neighbor_id"
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    hits = cand.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+
+    # candidate accounting from the cell partition
+    cents = ivf_centroids(e, _IVF_SWEEP_CELLS)
+    corpus_cell = ivf_assign(
+        l2_normalized(e, "embedding", "__nv").select(
+            "vec_id", F.col("__nv").alias("cvec")
+        ),
+        cents,
+        "vec_id",
+        "cvec",
+        1,
+    ).select("vec_id", "cell_id")
+    cell_sizes = corpus_cell.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    probe_rank = ivf_assign(
+        l2_normalized(probes, "embedding", "__nv").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("__nv").alias("qvec"),
+        ),
+        cents,
+        "query_id",
+        "qvec",
+        max(_IVF_SWEEP_NPROBE),
+    ).select("query_id", "cell_id", F.col("__cr").alias("cr"))
+    settings = spark.createDataFrame(
+        [(n,) for n in _IVF_SWEEP_NPROBE], "nprobe int"
+    )
+    probed = settings.crossJoin(probe_rank).where(
+        F.col("cr") <= F.col("nprobe")
+    )
+    own = corpus_cell.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell_id").alias("own_cell"),
+        F.lit(1).alias("__own"),
+    )
+    cand_counts = (
+        probed.join(F.broadcast(cell_sizes), "cell_id")
+        .join(F.broadcast(own), ["query_id"], "left")
+        .withColumn(
+            "__self",
+            F.when(F.col("own_cell") == F.col("cell_id"), 1).otherwise(0),
+        )
+        .groupBy("nprobe")
+        .agg((F.sum("n") - F.sum("__self")).alias("n_candidates"))
+    )
+    nq = probes.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        settings.crossJoin(F.broadcast(nq))
+        .join(F.broadcast(hits), "nprobe", "left")
+        .join(F.broadcast(cand_counts), "nprobe", "left")
+        .select(
+            "nprobe",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"CASE WHEN n_queries = 0 THEN 0"
+                f" ELSE coalesce(n_hits, 0) * 10000"
+                f" div ({_IVF_SWEEP_K} * n_queries) END"
+            ).cast("long").alias("recall_bp"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+    )
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
