@@ -123,7 +123,7 @@ _DRIVER_HEAD = (
     "temporal_split_audit",
     "pareto_frontier",
     "rfm_segmentation",
-    "yoy_growth",
+    "ivf_nprobe_recall",
 )
 
 
