@@ -122,7 +122,7 @@ _DRIVER_HEAD = (
     "output_file_plan",
     "temporal_split_audit",
     "pareto_frontier",
-    "rfm_segmentation",
+    "ivfpq_ann",
     "ivf_nprobe_recall",
 )
 

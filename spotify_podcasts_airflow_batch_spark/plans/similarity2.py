@@ -909,18 +909,15 @@ def _pq_sub_dist(v, c, m):
     return d
 
 
-def _pq_adc_topk(emb, emb_1t, cb_row) -> DataFrame:
-    """Shared D24/D26 machinery: projection encode against the
-    one-row ``cbs`` codebook relation (sampled or trained), integer
-    ADC scoring, two-stage salted top-k. Returns (query_id, rank,
-    vec_id, score_u)."""
-    from pyspark.sql import Window
+def _pq_codes(emb, cb_row) -> DataFrame:
+    """Projection encode: every vector's 8 subspace argmin codes
+    against the one-row ``cbs`` codebook relation. Shuffle-free."""
 
     def argmin_code(v, m):
         dists = F.transform(F.col("cbs"), lambda c: _pq_sub_dist(v, c, m))
         return F.array_position(dists, F.array_min(dists)) - 1
 
-    codes = emb.crossJoin(cb_row).select(
+    return emb.crossJoin(cb_row).select(
         "vec_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
@@ -928,13 +925,13 @@ def _pq_adc_topk(emb, emb_1t, cb_row) -> DataFrame:
         ).alias("codes"),
     )
 
-    # per-query 8x16 ADC table in BIGINT micro-units
-    q = F.broadcast(
-        emb_1t.orderBy("vec_id")
-        .limit(_PQ_NQ)
-        .crossJoin(cb_row)
-        .select(
-            F.col("vec_id").alias("query_id"),
+
+def _pq_adc_table(qdf, cb_row) -> DataFrame:
+    """Per-query 8x16 ADC table in BIGINT micro-units, broadcast.
+    ``qdf`` must expose (query_id, embedding)."""
+    return F.broadcast(
+        qdf.crossJoin(cb_row).select(
+            "query_id",
             F.transform(
                 F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
                 lambda m: F.transform(
@@ -947,18 +944,39 @@ def _pq_adc_topk(emb, emb_1t, cb_row) -> DataFrame:
         )
     )
 
+
+def _pq_adc_score():
+    """score_u = Σ_m adc[m][codes[m]] — the exact integer ADC sum."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at("adc", m + 1),
+            F.element_at("codes", m + 1).cast("int") + 1,
+        ),
+    )
+
+
+def _pq_adc_topk(emb, emb_1t, cb_row) -> DataFrame:
+    """Shared D24/D26 machinery: projection encode against the
+    one-row ``cbs`` codebook relation (sampled or trained), integer
+    ADC scoring, two-stage salted top-k. Returns (query_id, rank,
+    vec_id, score_u)."""
+    from pyspark.sql import Window
+
+    codes = _pq_codes(emb, cb_row)
+    q = _pq_adc_table(
+        emb_1t.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        cb_row,
+    )
+
     scored = codes.crossJoin(q).select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc
-            + F.element_at(
-                F.element_at("adc", m + 1),
-                F.element_at("codes", m + 1).cast("int") + 1,
-            ),
-        ).alias("score_u"),
+        _pq_adc_score().alias("score_u"),
     )
     salted = Window.partitionBy(
         "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
@@ -1390,4 +1408,239 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"coalesce(n, 0) * 10000 div {_PQ_TOPK}").alias(
             "recall_bp"
         ),
+    )
+
+
+# ---------------------------------------------------------------- D28
+_IVFPQ_CELLS = 16
+_IVFPQ_NPROBE = 2
+_IVFPQ_K = 10
+_IVFPQ_MOD = 31  # deterministic probe sample: vec_id % 31 == 0
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ serving twin: integer micro-unit coarse assignment (the
+    kmeans_audit discipline — zero float risk in candidate
+    generation) + the trained-PQ encode/ADC tail filtered to probed
+    cells. The Lloyd chain supplies ``cb``."""
+    dims = range(_EMBED_DIMS)
+
+    def qx(e: str) -> str:
+        return f"CAST(round(CAST({e} AS DOUBLE) * 1e6, 0) AS BIGINT)"
+
+    pts_cols = ", ".join(f"{qx(f'e.embedding[{j + 1}]')} AS x{j}" for j in dims)
+    cent_cols = ", ".join(
+        f"{qx(f's.embedding[{j + 1}]')} AS c{j}" for j in dims
+    )
+    d2u = " + ".join(f"(p.x{j} - ct.c{j}) * (p.x{j} - ct.c{j})" for j in dims)
+    return f"""
+    WITH {_pq_lloyd_sql()},
+    pts AS (SELECT e.vec_id, {pts_cols} FROM embeddings e),
+    ccents AS (
+        SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell_id,
+               {cent_cols}
+        FROM (SELECT * FROM embeddings ORDER BY vec_id
+              LIMIT {_IVFPQ_CELLS}) s
+    ),
+    cell_rank AS (
+        SELECT p.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY ({d2u}), ct.cell_id) AS r
+        FROM pts p CROSS JOIN ccents ct
+    ),
+    corpus_cell AS (SELECT vec_id, cell_id FROM cell_rank WHERE r = 1),
+    qsel AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id % {_IVFPQ_MOD} = 0
+    ),
+    probe_cells AS (
+        SELECT q.query_id, cr.cell_id
+        FROM qsel q JOIN cell_rank cr ON cr.vec_id = q.query_id
+        WHERE cr.r <= {_IVFPQ_NPROBE}
+    ),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    enc AS (
+        SELECT e.vec_id, ms.m, cb.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, ms.m
+                   ORDER BY {_pq_case_sql('e.embedding', 'cb.embedding')},
+                            cb.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+    ),
+    codes AS (SELECT vec_id, m, cid FROM enc WHERE rn = 1),
+    adc AS (
+        SELECT q.query_id, ms.m, cb.cid,
+               CAST(round({_pq_case_sql('q.embedding', 'cb.embedding')}
+                          * 1e6, 0) AS BIGINT) AS cell_u
+        FROM qsel q CROSS JOIN ms CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT pr.query_id, cc.vec_id, sum(a.cell_u) AS score_u
+        FROM probe_cells pr
+        JOIN corpus_cell cc ON cc.cell_id = pr.cell_id
+        JOIN codes c ON c.vec_id = cc.vec_id
+        JOIN adc a ON a.query_id = pr.query_id
+                  AND a.m = c.m AND a.cid = c.cid
+        GROUP BY pr.query_id, cc.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score_u,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score_u, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           round(score_u / 1e6, 6) + 0 AS adc_dist
+    FROM ranked WHERE rank <= {_IVFPQ_K}
+    """
+
+
+@register("ivfpq_ann", oracle=_ivfpq_oracle())
+def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28 — IVF-PQ, the composition production ANN actually ships
+    (FAISS IVFPQ): an inverted-file coarse quantizer restricts each
+    query to its nprobe=2 best cells out of 16, and scoring inside the
+    probed cells runs the trained-PQ asymmetric distance over 4-bit
+    codes — search cost drops from |corpus| ADC sums per query (D24)
+    to the probed cells' occupancy, recall tuned by the D27 nprobe
+    dial and the D25 codebook dial together.
+
+    Exactness stack (every stage hash-checked): coarse assignment is
+    INTEGER micro-unit L2 (quantized inputs, integer argmin,
+    lowest-cell ties — the kmeans_audit discipline, zero float risk
+    in candidate generation); PQ codes and ADC cells reuse D24's
+    trained-codebook machinery (unrolled-Lloyd oracle, BIGINT
+    micro-unit scores).
+
+    Scale shape: the ENTIRE index build is one shuffle-free
+    projection — each corpus vector computes its 8 PQ codes against
+    the broadcast codebook AND its coarse cell against the broadcast
+    centroid constants in the same select; serving broadcasts the
+    probes×nprobe cell list and the per-query ADC tables against the
+    encoded corpus and runs the salted two-stage top-k. Nothing
+    corpus-sized ever shuffles before the final per-query cut. At
+    100 TB this is the architecture: 4 bytes/vector of codes + a cell
+    id, brute force only within probed cells."""
+    from pyspark.sql import Window
+
+    cents = pq_train_codebook_cached(spark, sf_dir)
+    if not cents or not cents[0]:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, adc_dist double"
+        )
+    cb_row = _pq_trained_cb_row(spark, cents)
+    e = table(spark, sf_dir, "embeddings", fan_out="force").select(
+        "vec_id", "embedding"
+    )
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def xu_of(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x: F.round(x * 1e6, 0).cast("long"),
+        )
+
+    # coarse centroids: 16 lexicographically-first vectors, quantized,
+    # shipped as ONE constant-folded literal row (like the codebook)
+    init = (
+        e_1t.orderBy("vec_id")
+        .limit(_IVFPQ_CELLS)
+        .select("vec_id", xu_of(F.col("embedding")).alias("xu"))
+        .collect()
+    )
+    init.sort(key=lambda r: r.vec_id)
+    cells_row = F.broadcast(
+        spark.range(1).select(
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in r.xu])
+                    for r in init
+                ]
+            ).alias("ccs")
+        )
+    )
+
+    def cell_dists(xu):
+        return F.transform(
+            F.col("ccs"),
+            lambda c: F.aggregate(
+                F.zip_with(xu, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    # index build: PQ codes + coarse cell in ONE shuffle-free
+    # projection against the two broadcast constants; __xu staged as
+    # its own column so the 16 cell distances reference it, not 16
+    # re-inlined quantizations
+    def argmin_code(v, m):
+        dists = F.transform(F.col("cbs"), lambda c: _pq_sub_dist(v, c, m))
+        return F.array_position(dists, F.array_min(dists)) - 1
+
+    encoded = (
+        e.crossJoin(cb_row)
+        .crossJoin(cells_row)
+        .withColumn("__xu", xu_of(F.col("embedding")))
+        .withColumn("__cd", cell_dists(F.col("__xu")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: argmin_code(F.col("embedding"), m),
+            ).alias("codes"),
+            (
+                F.array_position(F.col("__cd"), F.array_min(F.col("__cd")))
+                - 1
+            ).cast("int").alias("cell_id"),
+        )
+    )
+
+    # probe side: rank the 16 cells per query (probes x 16 rows — a
+    # tiny window), keep nprobe
+    qsel = e_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_cells = (
+        qsel.crossJoin(cells_row)
+        .withColumn("__xu", xu_of(F.col("embedding")))
+        .select(
+            "query_id",
+            F.posexplode(cell_dists(F.col("__xu"))).alias(
+                "cell_id", "__d2u"
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("__d2u", "cell_id")
+    probe_cells = (
+        q_cells.withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= _IVFPQ_NPROBE)
+        .select("query_id", F.col("cell_id").cast("int").alias("cell_id"))
+    )
+    adc = _pq_adc_table(qsel, cb_row)
+    scored = (
+        F.broadcast(probe_cells)
+        .join(encoded, "cell_id")
+        .join(adc, "query_id")
+        .select("query_id", "vec_id", _pq_adc_score().alias("score_u"))
+    )
+    salted = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+    ).orderBy("score_u", "vec_id")
+    final = Window.partitionBy("query_id").orderBy("score_u", "vec_id")
+    return (
+        scored.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= _IVFPQ_K)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= _IVFPQ_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            (F.round(F.col("score_u") / 1e6, 6) + F.lit(0.0)).alias(
+                "adc_dist"
+            ),
+        )
     )
