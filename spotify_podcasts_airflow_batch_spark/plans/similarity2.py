@@ -991,17 +991,22 @@ def _pq_adc_topk(emb, emb_1t, cb_row) -> DataFrame:
     )
 
 
-def _pq_exact_topk(emb_1t) -> DataFrame:
+def _pq_exact_topk(emb_1t, qdf=None, k: int = _PQ_TOPK) -> DataFrame:
     """Exact L2 top-k per probe query (identical left-associated
     64-term distance both engines, salted two-stage window). Returns
-    (query_id, vec_id)."""
+    (query_id, vec_id). ``qdf`` (query_id, embedding) overrides the
+    default probe set (the _PQ_NQ smallest vec_ids)."""
     from pyspark.sql import Window
 
+    if qdf is None:
+        qdf = (
+            emb_1t.orderBy("vec_id")
+            .limit(_PQ_NQ)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
     q = F.broadcast(
-        emb_1t.orderBy("vec_id")
-        .limit(_PQ_NQ)
-        .select(
-            F.col("vec_id").alias("query_id"),
+        qdf.select(
+            "query_id",
             F.col("embedding").alias("q_emb"),
         )
     )
@@ -1030,9 +1035,9 @@ def _pq_exact_topk(emb_1t) -> DataFrame:
     final = Window.partitionBy("query_id").orderBy("d", "vec_id")
     return (
         scored.withColumn("__srn", F.row_number().over(salted))
-        .where(F.col("__srn") <= _PQ_TOPK)
+        .where(F.col("__srn") <= k)
         .withColumn("r", F.row_number().over(final))
-        .where(F.col("r") <= _PQ_TOPK)
+        .where(F.col("r") <= k)
         .select("query_id", "vec_id")
     )
 
@@ -1643,4 +1648,69 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "adc_dist"
             ),
         )
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    return f"""
+    WITH cand AS MATERIALIZED ({_ivfpq_oracle()}),
+    q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id % {_IVFPQ_MOD} = 0
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(
+                           {_pq_full_dist_sql('q.embedding', 'c.embedding')},
+                           6), c.vec_id
+                   ) AS r
+            FROM q CROSS JOIN embeddings c
+        ) WHERE r <= {_IVFPQ_K}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS n
+        FROM exact e JOIN cand c
+          ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) * 10000 // {_IVFPQ_K} AS BIGINT)
+               AS recall_bp
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@register("ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28b — recall@10 of IVF-PQ against exact L2, per probe query:
+    the end-to-end quality number where BOTH approximations compound
+    (cells pruned by the coarse quantizer AND 4-bit code distortion) —
+    read alongside D27 (cell pruning alone) and D25 (code distortion
+    alone) to attribute recall loss to the right knob. Same hash-check
+    stack as its components; the exact side is the D25 salted L2
+    reference over the D28 probe sample."""
+    cand = ivfpq_ann(spark, sf_dir).select("query_id", "vec_id")
+    emb_1t = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qdf = emb_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _pq_exact_topk(emb_1t, qdf=qdf, k=_IVFPQ_K)
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = qdf.select("query_id")
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_IVFPQ_K}").alias(
+            "recall_bp"
+        ),
     )
