@@ -62,8 +62,9 @@ class Query:
 # cross-round regression anchors (an aggregate, a deep join tree, and
 # the skew-salting mechanic). Every key here carries a full DuckDB
 # oracle (no rows-only entries), so the window is 50 hash-compared
-# results. 38 oracle-bearing keys remain never-driver-verified; the
-# round-6 rotation exhausts the catalog. Queries outside the head
+# results. 41 oracle-bearing keys remain never-driver-verified
+# (including this round's late additions); the round-6 rotation
+# covers all but its own additions. Queries outside the head
 # keep their registration order and stay covered by the local
 # driver-strict suite (tests/test_queries_oracle.py), which runs the
 # same row-count / schema / canonicalized-hash comparison on every
