@@ -87,6 +87,9 @@ HEADLINE = [
     "item_item_cosine_capped",
     "kmeans_audit",
     "lsh_param_sweep",
+    "ivf_nprobe_recall",
+    "ivfpq_ann",
+    "ivfpq_recall",
 ]
 
 
