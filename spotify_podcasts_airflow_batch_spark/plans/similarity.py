@@ -306,7 +306,9 @@ def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     settings = spark.createDataFrame(
         [(n,) for n in _IVF_SWEEP_NPROBE], "nprobe int"
     )
-    probed = settings.crossJoin(probe_rank).where(
+    # broadcast the 3-row settings side: a bare crossJoin of two
+    # non-broadcast relations plans a CartesianProduct
+    probed = probe_rank.crossJoin(F.broadcast(settings)).where(
         F.col("cr") <= F.col("nprobe")
     )
     own = corpus_cell.select(
