@@ -404,3 +404,23 @@ def test_pq_adc_encoding_is_shuffle_free(spark, sf_dir):
     assert any("query_id" in k and "," not in k.rsplit(", ", 1)[0]
                for k in hash_exchanges)
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_index_build_never_shuffles_corpus(spark, sf_dir):
+    # D28's claim: the index build (PQ codes + coarse cell) is one
+    # shuffle-free projection against broadcast constants; serving is
+    # broadcast joins + the salted top-k. No corpus-sized sort-merge
+    # join, no cartesian, anywhere.
+    plan = plan_of(spark, sf_dir, "ivfpq_ann")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe-list join onto encoded
+
+
+def test_capped_cosine_materializes_baskets_once(spark, sf_dir):
+    # B59b persists the basket aggregate; all three consumers (pairs,
+    # item-a marginal, item-b marginal) must read the cache, not
+    # recompute the fact shuffle.
+    df = QUERIES["item_item_cosine_capped"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 3

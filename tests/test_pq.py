@@ -83,3 +83,91 @@ def test_codebook_memo_is_keyed_per_dataset(spark, sf_dir):
     b = pq_train_codebook_cached(spark, sf_dir, iters=0)
     assert b is not a1 and b != a1  # different key → different model
     assert all(k[0] == sf_dir for k in _PQ_CB_CACHE if k[0] == sf_dir)
+
+
+def _py_int_lloyd(vecs: dict[int, list[float]], iters: int):
+    """Independent pure-Python reimplementation of the integer
+    micro-unit Lloyd spec (third implementation besides the Spark plan
+    and the unrolled SQL twin — a shared spec bug in those two would
+    still diverge from this one): quantize round-half-away-from-zero,
+    integer squared-distance argmin with lowest-cid ties, centroid
+    update by division TRUNCATING TOWARD ZERO (Python // floors, so
+    negative sums need the explicit adjustment)."""
+    import math
+
+    M, SUB, K = 8, 8, 16
+
+    def q(x: float) -> int:
+        scaled = x * 1e6
+        return int(math.floor(scaled + 0.5)) if scaled >= 0 else int(
+            math.ceil(scaled - 0.5)
+        )
+
+    def trunc_div(a: int, b: int) -> int:
+        return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+    xu = {
+        vid: [q(float(x)) for x in v]
+        for vid, v in vecs.items()
+        if vid % 4 == 0
+    }
+    seeds = sorted(vecs)[:K]
+    cents = [
+        [[q(float(vecs[s][m * SUB + j])) for j in range(SUB)] for s in seeds]
+        for m in range(M)
+    ]
+    for _ in range(iters):
+        assign: dict[tuple[int, int], int] = {}
+        for vid, v in xu.items():
+            for m in range(M):
+                best = None
+                for cid in range(K):
+                    d = sum(
+                        (v[m * SUB + j] - cents[m][cid][j]) ** 2
+                        for j in range(SUB)
+                    )
+                    if best is None or (d, cid) < best:
+                        best = (d, cid)
+                assign[(vid, m)] = best[1]
+        new = []
+        for m in range(M):
+            row = []
+            for cid in range(K):
+                members = [
+                    xu[vid][m * SUB : m * SUB + SUB]
+                    for vid in xu
+                    if assign[(vid, m)] == cid
+                ]
+                if not members:
+                    row.append(cents[m][cid])
+                else:
+                    n = len(members)
+                    row.append(
+                        [
+                            trunc_div(sum(mm[j] for mm in members), n)
+                            for j in range(SUB)
+                        ]
+                    )
+            new.append(row)
+        cents = new
+    return [
+        [[cu / 1e6 for cu in cents[m][k]] for k in range(16)]
+        for m in range(8)
+    ]
+
+
+def test_training_matches_independent_python_reference(spark, sf_dir):
+    """pq_train_codebook's fixed point must equal a from-scratch
+    Python implementation of the same integer spec — catching a spec
+    bug the Spark plan and its SQL twin could share."""
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    got = pq_train_codebook(spark, sf_dir, iters=2)
+    want = _py_int_lloyd(vecs, iters=2)
+    assert got == want
