@@ -808,12 +808,13 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = None
     candc = None
     for bands, _rows in _SWEEP_SETTINGS:
-        c = lsh_candidate_pairs(sig, id_col="doc_id", bands=bands).select(
-            F.lit(bands).alias("bands"), "id_a", "id_b"
-        )
+        c = lsh_candidate_pairs(
+            sig, id_col="doc_id", bands=bands, with_est=False
+        ).select(F.lit(bands).alias("bands"), "id_a", "id_b")
         cand = c if cand is None else cand.unionByName(c)
         cc = lsh_candidate_pairs(
-            sig, id_col="doc_id", bands=bands, max_bucket=_SWEEP_CAP
+            sig, id_col="doc_id", bands=bands, max_bucket=_SWEEP_CAP,
+            with_est=False,
         ).select(F.lit(bands).alias("bands"), "id_a", "id_b")
         candc = cc if candc is None else candc.unionByName(cc)
     from spotify_podcasts_airflow_batch_spark.operators.dedup import (
