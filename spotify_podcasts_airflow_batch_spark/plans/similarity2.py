@@ -1714,3 +1714,558 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------- D29
+# Residual IVF-PQ: PQ over residuals from the coarse centroid — the
+# encoding FAISS IVFPQ actually ships (codes describe x - c(cell), so
+# one codebook serves every cell at much lower distortion than coding
+# raw vectors). In QUANTIZED integer space the residual is an exact
+# integer (ru = xu - cu), which makes the ENTIRE path integer: coarse
+# assignment, residual Lloyd training, encode argmin, ADC cells, and
+# scores — no float exists anywhere, so cross-engine equality is
+# structural, not rounding-managed.
+_RPQ_CB_CACHE: dict[str, list] = {}
+
+
+def _rpq_sub_cols(src: str, prefix: str, m: int) -> str:
+    return ", ".join(
+        f"{src}.r{m * _PQ_SUB + j} AS {prefix}{j}" for j in range(_PQ_SUB)
+    )
+
+
+def _rpq_oracle() -> str:
+    dims = range(_EMBED_DIMS)
+
+    def qx(e: str) -> str:
+        return f"CAST(round(CAST({e} AS DOUBLE) * 1e6, 0) AS BIGINT)"
+
+    pts_cols = ", ".join(f"{qx(f'e.embedding[{j + 1}]')} AS x{j}" for j in dims)
+    cent_cols = ", ".join(
+        f"{qx(f's.embedding[{j + 1}]')} AS c{j}" for j in dims
+    )
+    coarse_d2u = " + ".join(
+        f"(p.x{j} - ct.c{j}) * (p.x{j} - ct.c{j})" for j in dims
+    )
+    res_cols = ", ".join(f"p.x{j} - ct.c{j} AS r{j}" for j in dims)
+    # per-subspace slice extraction as an 8-way UNION ALL
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {_rpq_sub_cols('cr', 'x', m)}"
+        f" FROM corpus_res cr"
+        for m in range(_PQ_M)
+    )
+    qsubs = " UNION ALL ".join(
+        f"SELECT query_id, cell_id, {m} AS m, {_rpq_sub_cols('qr', 'x', m)}"
+        f" FROM query_res qr"
+        for m in range(_PQ_M)
+    )
+    sd = range(_PQ_SUB)
+    d2u = " + ".join(f"(s.x{j} - c.c{j}) * (s.x{j} - c.c{j})" for j in sd)
+    parts = []
+    # Lloyd over residual slices: seeds = the 16 smallest vec_ids'
+    # residual subvectors; inputs are already exact integers
+    parts.append(
+        f"""rsamp AS MATERIALIZED (
+        SELECT * FROM allsub WHERE vec_id % {_PQ_TRAIN_MOD} = 0
+    ), rseed AS (
+        SELECT a.*, dense_rank() OVER (ORDER BY a.vec_id) - 1 AS cid
+        FROM allsub a
+        WHERE a.vec_id IN (
+            SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ), rcents0 AS (
+        SELECT m, cid, {', '.join(f'x{j} AS c{j}' for j in sd)} FROM rseed
+    )"""
+    )
+    for i in range(1, _PQ_TRAIN_ITERS + 1):
+        sums = ", ".join(f"sum(x{j}) AS s{j}" for j in sd)
+        newc = ", ".join(
+            f"CASE WHEN u.n IS NULL THEN c.c{j}"
+            f" ELSE u.s{j} // u.n END AS c{j}"
+            for j in sd
+        )
+        xs = ", ".join(f"s.x{j}" for j in sd)
+        parts.append(
+            f"""rassign{i} AS (
+        SELECT s.vec_id, s.m, c.cid, {xs},
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {d2u}, c.cid) AS rn
+        FROM rsamp s JOIN rcents{i - 1} c ON c.m = s.m
+    ), rupd{i} AS (
+        SELECT m, cid, count(*) AS n, {sums}
+        FROM rassign{i} WHERE rn = 1 GROUP BY m, cid
+    ), rcents{i} AS MATERIALIZED (
+        SELECT c.m, c.cid, {newc}
+        FROM rcents{i - 1} c
+        LEFT JOIN rupd{i} u ON u.m = c.m AND u.cid = c.cid
+    )"""
+        )
+    lloyd = ", ".join(parts)
+    final_cents = f"rcents{_PQ_TRAIN_ITERS}"
+    code_d2u = " + ".join(
+        f"(a.x{j} - c.c{j}) * (a.x{j} - c.c{j})" for j in sd
+    )
+    adc_d2u = " + ".join(
+        f"(qs.x{j} - c.c{j}) * (qs.x{j} - c.c{j})" for j in sd
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (SELECT e.vec_id, {pts_cols} FROM embeddings e),
+    ccents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell_id,
+               {cent_cols}
+        FROM (SELECT * FROM embeddings ORDER BY vec_id
+              LIMIT {_IVFPQ_CELLS}) s
+    ),
+    cell_rank AS MATERIALIZED (
+        SELECT p.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY ({coarse_d2u}), ct.cell_id) AS r
+        FROM pts p CROSS JOIN ccents ct
+    ),
+    corpus_cell AS MATERIALIZED (SELECT vec_id, cell_id FROM cell_rank WHERE r = 1),
+    corpus_res AS MATERIALIZED (
+        SELECT p.vec_id, cc.cell_id, {res_cols}
+        FROM pts p
+        JOIN corpus_cell cc ON cc.vec_id = p.vec_id
+        JOIN ccents ct ON ct.cell_id = cc.cell_id
+    ),
+    allsub AS MATERIALIZED ({subs}),
+    {lloyd},
+    codes AS MATERIALIZED (
+        SELECT vec_id, m, cid FROM (
+            SELECT a.vec_id, a.m, c.cid,
+                   row_number() OVER (PARTITION BY a.vec_id, a.m
+                       ORDER BY ({code_d2u}), c.cid) AS rn
+            FROM allsub a JOIN {final_cents} c ON c.m = a.m
+        ) WHERE rn = 1
+    ),
+    qsel AS (
+        SELECT vec_id AS query_id FROM embeddings
+        WHERE vec_id % {_IVFPQ_MOD} = 0
+    ),
+    probe_cells AS (
+        SELECT q.query_id, cr.cell_id
+        FROM qsel q JOIN cell_rank cr ON cr.vec_id = q.query_id
+        WHERE cr.r <= {_IVFPQ_NPROBE}
+    ),
+    query_res AS (
+        SELECT pr.query_id, pr.cell_id, {res_cols}
+        FROM probe_cells pr
+        JOIN pts p ON p.vec_id = pr.query_id
+        JOIN ccents ct ON ct.cell_id = pr.cell_id
+    ),
+    qsub AS ({qsubs}),
+    adc AS (
+        SELECT qs.query_id, qs.cell_id, qs.m, c.cid,
+               ({adc_d2u}) AS cell_u
+        FROM qsub qs JOIN {final_cents} c ON c.m = qs.m
+    ),
+    scored AS (
+        SELECT pr.query_id, cc.vec_id, sum(a.cell_u) AS score_u
+        FROM probe_cells pr
+        JOIN corpus_cell cc ON cc.cell_id = pr.cell_id
+        JOIN codes k ON k.vec_id = cc.vec_id
+        JOIN adc a ON a.query_id = pr.query_id
+                  AND a.cell_id = pr.cell_id
+                  AND a.m = k.m AND a.cid = k.cid
+        GROUP BY pr.query_id, cc.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score_u,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score_u, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           round(score_u / 1e12, 6) + 0 AS adc_dist
+    FROM ranked WHERE rank <= {_IVFPQ_K}
+    """
+
+
+def _rpq_residuals(spark: SparkSession, sf_dir: str, fan_out=None):
+    """(vec_id, cell_id, ru): exact integer residual of every vector
+    from its integer-argmin coarse cell. Shuffle-free: one projection
+    against the broadcast quantized-centroid constant."""
+    e = table(spark, sf_dir, "embeddings", fan_out=fan_out).select(
+        "vec_id", "embedding"
+    )
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def xu_of(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x: F.round(x * 1e6, 0).cast("long"),
+        )
+
+    init = (
+        e_1t.orderBy("vec_id")
+        .limit(_IVFPQ_CELLS)
+        .select("vec_id", xu_of(F.col("embedding")).alias("xu"))
+        .collect()
+    )
+    init.sort(key=lambda r: r.vec_id)
+    if not init:
+        return None
+    cells_row = F.broadcast(
+        spark.range(1).select(
+            F.array(
+                *[F.array(*[F.lit(int(v)) for v in r.xu]) for r in init]
+            ).alias("ccs")
+        )
+    )
+
+    def cell_dists(xu):
+        return F.transform(
+            F.col("ccs"),
+            lambda c: F.aggregate(
+                F.zip_with(xu, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    return (
+        e.crossJoin(cells_row)
+        .withColumn("__xu", xu_of(F.col("embedding")))
+        .withColumn("__cd", cell_dists(F.col("__xu")))
+        .withColumn(
+            "cell_id",
+            (
+                F.array_position(F.col("__cd"), F.array_min(F.col("__cd")))
+                - 1
+            ).cast("int"),
+        )
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with(
+                F.col("__xu"),
+                F.element_at(F.col("ccs"), F.col("cell_id") + 1),
+                lambda x, c: x - c,
+            ).alias("ru"),
+            "__cd",
+        )
+    )
+
+
+def _rpq_train(spark: SparkSession, sf_dir: str) -> list:
+    """Integer Lloyd over residual subvectors (seeds = the 16 smallest
+    vec_ids' residuals), memoized per dataset like the raw codebook.
+    Returns cents_u[m][cid][j] BIGINT micro-units."""
+    if sf_dir in _RPQ_CB_CACHE:
+        return _RPQ_CB_CACHE[sf_dir]
+    res = _rpq_residuals(spark, sf_dir)
+    if res is None:
+        _RPQ_CB_CACHE[sf_dir] = []
+        return []
+    sub = (
+        res.where(F.col("vec_id") % _PQ_TRAIN_MOD == 0)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    lambda m: F.slice(
+                        F.col("ru"), m * _PQ_SUB + 1, _PQ_SUB
+                    ),
+                )
+            ).alias("m", "xu"),
+        )
+        .persist()
+    )
+    init = (
+        res.orderBy("vec_id").limit(_PQ_K).select("vec_id", "ru").collect()
+    )
+    init.sort(key=lambda r: r.vec_id)
+    cents_u = [
+        [
+            [int(r.ru[m * _PQ_SUB + j]) for j in range(_PQ_SUB)]
+            for r in init
+        ]
+        for m in range(_PQ_M)
+    ]
+    d2u = F.aggregate(
+        F.zip_with("xu", "cu", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    for _ in range(_PQ_TRAIN_ITERS):
+        cdf = spark.createDataFrame(
+            [
+                (m, k, cents_u[m][k])
+                for m in range(_PQ_M)
+                for k in range(_PQ_K)
+            ],
+            "m int, cid int, cu array<bigint>",
+        )
+        upd = (
+            sub.join(F.broadcast(cdf), "m")
+            .withColumn("__d2u", d2u)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct(F.col("__d2u"), F.col("cid"))).alias("__b"),
+                F.first("xu").alias("xu"),
+            )
+            .select("m", F.col("__b.cid").alias("cid"), "xu")
+            .groupBy("m", "cid")
+            .agg(
+                *[
+                    F.expr(f"sum(xu[{j}]) div count(1)").alias(f"c{j}")
+                    for j in range(_PQ_SUB)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            (r.m, r.cid): [int(r[f"c{j}"]) for j in range(_PQ_SUB)]
+            for r in upd
+        }
+        cents_u = [
+            [got.get((m, k), cents_u[m][k]) for k in range(_PQ_K)]
+            for m in range(_PQ_M)
+        ]
+    sub.unpersist()
+    _RPQ_CB_CACHE[sf_dir] = cents_u
+    return cents_u
+
+
+@register("ivfpq_residual_ann", oracle=_rpq_oracle())
+def ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29 — residual IVF-PQ, the encoding FAISS IVFPQ actually ships:
+    PQ codes describe x − c(cell) rather than x — on clustered real
+    data one codebook then serves every cell at lower distortion than
+    coding raw vectors (D28). On THESE uniform synthetic vectors the
+    D29b dial shows it does NOT pay (sf0.1 mean recall 1261 bp vs
+    D28b's 2061: with no cluster structure, residuals are no smaller
+    than the vectors) — exactly the raw-vs-residual decision the dial
+    family exists to make per corpus. Worked in QUANTIZED INTEGER
+    SPACE the residual is
+    an exact integer (ru = xu − cu), which makes this the engine's
+    first FULLY integer ANN path: coarse assignment, residual Lloyd
+    training, encode argmin, per-(query, probed-cell) ADC tables, and
+    scores are all BIGINT — no float exists anywhere in the query
+    path, so cross-engine equality is structural rather than
+    rounding-managed (scores report at their native 1e-12 units).
+
+    The asymmetric distance is cell-aware: candidate x in cell c is
+    scored against the QUERY'S residual w.r.t. c — hence one ADC
+    table per (query, probed cell), still |queries|·nprobe·8·16
+    integers, broadcast. Scale shape matches D28: residuals + codes +
+    cells come from one shuffle-free projection per side; serving is
+    broadcast joins + the salted two-stage top-k."""
+    from pyspark.sql import Window
+
+    res = _rpq_residuals(spark, sf_dir, fan_out="force")
+    if res is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, adc_dist double"
+        )
+    cents_u = _rpq_train(spark, sf_dir)
+    rcb_row = F.broadcast(
+        spark.range(1).select(
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.array(*[F.lit(v) for v in cents_u[m][k]])
+                            for k in range(_PQ_K)
+                        ]
+                    )
+                    for m in range(_PQ_M)
+                ]
+            ).alias("rcbs")  # rcbs[m][cid][j]
+        )
+    )
+
+    def sub_d2u(ru, m, cvec):
+        # integer squared L2 between residual subspace m and a centroid
+        return F.aggregate(
+            F.zip_with(
+                F.slice(ru, m * _PQ_SUB + 1, _PQ_SUB),
+                cvec,
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def argmin_code(ru, m):
+        dists = F.transform(
+            F.element_at(F.col("rcbs"), m + 1),
+            lambda c: sub_d2u(ru, m, c),
+        )
+        return F.array_position(dists, F.array_min(dists)) - 1
+
+    encoded = res.crossJoin(rcb_row).select(
+        "vec_id",
+        "cell_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: argmin_code(F.col("ru"), m),
+        ).alias("codes"),
+    )
+
+    # probe side: nprobe best cells by the integer coarse distances
+    # (already carried on res as __cd), then the per-(query, cell)
+    # residual and its integer ADC table
+    qres = res.where(F.col("vec_id") % _IVFPQ_MOD == 0)
+    q_cells = qres.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.col("__cd")).alias("pcell", "__d2u"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("__d2u", "pcell")
+    probe_sel = (
+        q_cells.withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= _IVFPQ_NPROBE)
+        .select("query_id", F.col("pcell").cast("int").alias("cell_id"))
+    )
+    # query residual w.r.t. EACH probed cell: rq = xu_q - cu[cell];
+    # xu_q = ru + cu[own_cell] reconstructs exactly in integers
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        e_1t.orderBy("vec_id")
+        .limit(_IVFPQ_CELLS)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1e6, 0).cast("long"),
+            ).alias("xu"),
+        )
+        .collect()
+    )
+    init.sort(key=lambda r: r.vec_id)
+    cells_row = F.broadcast(
+        spark.range(1).select(
+            F.array(
+                *[F.array(*[F.lit(int(v)) for v in r.xu]) for r in init]
+            ).alias("ccs")
+        )
+    )
+    adc = F.broadcast(
+        qres.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell_id").alias("own_cell"),
+            "ru",
+        )
+        .join(
+            probe_sel.withColumnRenamed("cell_id", "pcell_id"), "query_id"
+        )
+        .crossJoin(cells_row)
+        .crossJoin(rcb_row)
+        .withColumn(
+            "__rq",
+            F.zip_with(
+                # xu_q = ru + cu[own]; rq = xu_q - cu[probed]
+                F.zip_with(
+                    F.col("ru"),
+                    F.element_at(F.col("ccs"), F.col("own_cell") + 1),
+                    lambda r, c: r + c,
+                ),
+                F.element_at(F.col("ccs"), F.col("pcell_id") + 1),
+                lambda x, c: x - c,
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("pcell_id").alias("cell_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.transform(
+                    F.element_at(F.col("rcbs"), m + 1),
+                    lambda c: sub_d2u(F.col("__rq"), m, c),
+                ),
+            ).alias("adc"),
+        )
+    )
+    scored = (
+        F.broadcast(probe_sel)
+        .join(encoded, "cell_id")
+        .join(adc, ["query_id", "cell_id"])
+        .select("query_id", "vec_id", _pq_adc_score().alias("score_u"))
+    )
+    salted = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+    ).orderBy("score_u", "vec_id")
+    final = Window.partitionBy("query_id").orderBy("score_u", "vec_id")
+    return (
+        scored.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= _IVFPQ_K)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= _IVFPQ_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            (F.round(F.col("score_u") / 1e12, 6) + F.lit(0.0)).alias(
+                "adc_dist"
+            ),
+        )
+    )
+
+
+@register(
+    "ivfpq_residual_recall",
+    oracle=f"""
+    WITH cand AS MATERIALIZED ({{cand}}),
+    q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id % {_IVFPQ_MOD} = 0
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(
+                           {{full_dist}},
+                           6), c.vec_id
+                   ) AS r
+            FROM q CROSS JOIN embeddings c
+        ) WHERE r <= {_IVFPQ_K}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS n
+        FROM exact e JOIN cand c
+          ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) * 10000 // {_IVFPQ_K} AS BIGINT)
+               AS recall_bp
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """.format(
+        cand=_rpq_oracle(),
+        full_dist=_pq_full_dist_sql("q.embedding", "c.embedding"),
+    ),
+)
+def ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29b — recall@10 of residual IVF-PQ against exact L2, per probe
+    query: quantifies what residual encoding buys over raw-vector
+    codes (D28b) under identical cells/nprobe/codebook budget — the
+    last dial in the ANN family (probe depth D27, code distortion
+    D25/D25b, raw compound D28b, residual compound here). Same exact
+    reference and report shape as D28b so the two read side by side."""
+    cand = ivfpq_residual_ann(spark, sf_dir).select("query_id", "vec_id")
+    emb_1t = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qdf = emb_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _pq_exact_topk(emb_1t, qdf=qdf, k=_IVFPQ_K)
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = qdf.select("query_id")
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_IVFPQ_K}").alias(
+            "recall_bp"
+        ),
+    )
