@@ -122,7 +122,7 @@ _DRIVER_HEAD = (
     "heldout_logprob",
     "output_file_plan",
     "temporal_split_audit",
-    "pareto_frontier",
+    "ivfpq_residual_ann",
     "ivfpq_ann",
     "ivf_nprobe_recall",
 )
