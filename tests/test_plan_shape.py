@@ -424,3 +424,11 @@ def test_capped_cosine_materializes_baskets_once(spark, sf_dir):
     df = QUERIES["item_item_cosine_capped"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") == 3
+
+
+def test_residual_ivfpq_never_shuffles_corpus_joins(spark, sf_dir):
+    # D29 mirrors D28's serving shape: broadcast probe/ADC joins onto
+    # the encoded corpus, salted top-k — no sort-merge, no cartesian.
+    plan = plan_of(spark, sf_dir, "ivfpq_residual_ann")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
