@@ -90,6 +90,7 @@ HEADLINE = [
     "ivf_nprobe_recall",
     "ivfpq_ann",
     "ivfpq_recall",
+    "ivfpq_residual_ann",
 ]
 
 
