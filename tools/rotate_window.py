@@ -13,11 +13,12 @@ one command instead of a hand audit:
                                              # wastes slots on verified
                                              # non-sentinel keys
 
-Keys whose oracle is None are skipped (the window invariant is 50
-fully hash-compared rows; rows-only queries get their weaker check
-wherever they sit). When fewer unverified keys remain than slots, the
-remainder is padded with the longest-unseen verified keys so the
-window never runs short.
+Oracle-bearing unverified keys fill first (the hash-compared rows are
+the strong check). Any slots left over go to rows-only keys that have
+NEVER executed under the driver — an execution crash should be caught
+by the driver, not only by the local suite (VERDICT r5 item 6). Only
+then is the window padded with already-verified keys so it never runs
+short.
 """
 
 from __future__ import annotations
@@ -36,15 +37,18 @@ WINDOW = 50
 SENTINELS = ("q1_pricing_summary", "q9_product_profit", "salted_join")
 
 
-def verified_keys() -> set[str]:
+def verified_keys() -> tuple[set[str], set[str]]:
+    """(hash/rows-verified keys, keys that ever EXECUTED under the driver)."""
     seen: set[str] = set()
+    executed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
             rows = json.load(fh)
         for key, row in rows.items():
+            executed.add(key)
             if row.get("rows_match") and row.get("err") is None:
                 seen.add(key)
-    return seen
+    return seen, executed
 
 
 def next_head() -> tuple[list[str], dict]:
@@ -54,12 +58,16 @@ def next_head() -> tuple[list[str], dict]:
     )
 
     queries = all_queries()
-    seen = verified_keys()
+    seen, executed = verified_keys()
     oracle_bearing = [n for n, q in _REGISTRY.items() if q.oracle is not None]
+    rows_only = [n for n, q in _REGISTRY.items() if q.oracle is None]
     unverified = [n for n in oracle_bearing if n not in seen]
+    never_ran = [n for n in rows_only if n not in executed]
 
     head = [s for s in SENTINELS if s in queries]
     head += [n for n in unverified if n not in head][: WINDOW - len(head)]
+    if len(head) < WINDOW:  # fill with rows-only keys the driver never ran
+        head += [n for n in never_ran if n not in head][: WINDOW - len(head)]
     if len(head) < WINDOW:  # rotation exhausted: refill with verified keys
         head += [
             n for n in oracle_bearing if n not in head
@@ -69,12 +77,10 @@ def next_head() -> tuple[list[str], dict]:
         "oracle_bearing": len(oracle_bearing),
         "driver_verified": len(seen & set(queries)),
         "unverified_oracle_bearing": len(unverified),
+        "never_executed_rows_only": len(never_ran),
         "first_time_in_head": len([n for n in head if n not in seen]),
-        "rounds_to_exhaust": max(
-            0,
-            -(-(len(unverified) - (WINDOW - len(SENTINELS)))
-              // (WINDOW - len(SENTINELS))),
-        ),
+        "unverified_keys": sorted(unverified),
+        "never_executed_rows_only_keys": sorted(never_ran),
     }
     return head, stats
 
@@ -90,7 +96,7 @@ def main() -> int:
     )
 
     if args.check:
-        seen = verified_keys()
+        seen, _ = verified_keys()
         wasted = [
             n
             for n in _DRIVER_HEAD
