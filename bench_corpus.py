@@ -38,9 +38,12 @@ def build_replicate(src_sf_dir: str, out_dir: str, copies: int = 10) -> None:
     con = duckdb.connect()
     # Replica ids offset by a data-derived stride: a fixed 1e6 would
     # collide with base ids at larger scale factors, silently merging
-    # documents and corrupting the scaling measurement.
+    # documents and corrupting the scaling measurement. coalesce keeps
+    # the empty-corpus case a valid (empty) replicate instead of a
+    # TypeError on int(None).
     (stride,) = con.execute(
-        f"SELECT max(doc_id) + 1 FROM '{src_sf_dir}/documents.parquet'"
+        "SELECT coalesce(max(doc_id) + 1, 1) "
+        f"FROM '{src_sf_dir}/documents.parquet'"
     ).fetchone()
     con.execute(
         f"""

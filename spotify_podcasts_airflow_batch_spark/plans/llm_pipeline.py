@@ -1013,7 +1013,11 @@ def kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one k-row map-side-combinable rollup for updates, one scalar SSE
     aggregate. Headroom: |x|u <= ~6e5 here → Σd2u ≈ 1.7e17 at 2k
     vectors, ~50× below int64; at ≥100k vectors quantize coarser or
-    report per-partition partial SSEs (the sum stays mergeable).
+    report per-partition partial SSEs (the sum stays mergeable). The
+    headroom is ENFORCED, not just documented: Spark sum(long) wraps
+    silently on overflow while DuckDB escalates to HUGEINT (then the
+    BIGINT cast errors) — the engines would diverge rather than both
+    failing, so the guard below raises before either can (ADVICE r5).
     Monotonicity (sse_u[i+1] <= sse_u[i]) is asserted in
     tests/test_pq.py's sibling, tests/test_kmeans_audit.py."""
     e = table(spark, sf_dir, "embeddings").select(
@@ -1028,6 +1032,28 @@ def kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "iter int, sse_u bigint")
     init.sort(key=lambda r: r.vec_id)
     cents_u = [[int(v) for v in r.xu] for r in init]
+    # Overflow guard: Σd2u over the corpus is bounded by
+    # n · D · (2·max|xu|)² — checked in arbitrary-precision Python so
+    # the wrap regime fails loudly on BOTH engines instead of Spark
+    # alone wrapping (centroids stay inside the sample's coordinate
+    # hull under Lloyd, so 2·max|xu| bounds every per-dim difference).
+    bounds = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.aggregate(
+                "xu",
+                F.lit(0).cast("long"),
+                lambda acc, v: F.greatest(acc, F.abs(v)),
+            )
+        ).alias("mx"),
+    ).collect()[0]
+    if int(bounds.n) * _EMBED_DIMS * (2 * int(bounds.mx)) ** 2 >= 2**63:
+        raise ValueError(
+            "kmeans_audit: worst-case integer SSE "
+            f"(n={bounds.n}, max|xu|={bounds.mx}, D={_EMBED_DIMS}) "
+            "exceeds int64 — quantize coarser than 1e6 or report "
+            "per-partition partial SSEs at this corpus size"
+        )
     d2u = F.aggregate(
         F.zip_with("xu", "cu", lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),

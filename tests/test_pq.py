@@ -82,7 +82,14 @@ def test_codebook_memo_is_keyed_per_dataset(spark, sf_dir):
     assert a1 is a2  # cache hit, not retrain
     b = pq_train_codebook_cached(spark, sf_dir, iters=0)
     assert b is not a1 and b != a1  # different key → different model
-    assert all(k[0] == sf_dir for k in _PQ_CB_CACHE if k[0] == sf_dir)
+    # keys carry the dataset FINGERPRINT (file path + mtime + size),
+    # not the bare sf_dir string (ADVICE r5 — see test_ivf_cells for
+    # the invalidation-on-rewrite check)
+    assert all(
+        isinstance(k[0], tuple) and k[0] and sf_dir in k[0][0][0]
+        for k in _PQ_CB_CACHE
+        if any(sf_dir in f[0] for f in k[0])
+    )
 
 
 def _py_int_lloyd(vecs: dict[int, list[float]], iters: int):
