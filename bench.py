@@ -91,6 +91,8 @@ HEADLINE = [
     "ivfpq_ann",
     "ivfpq_recall",
     "ivfpq_residual_ann",
+    # round-6 additions (tracked from round 6 on)
+    "ivf_cell_occupancy",
 ]
 
 
