@@ -795,3 +795,86 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("sample_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------- C63
+_SHUF_SHARDS = 8
+_SHUF_RANGES = 16  # range partitions of the distributed key sort
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {oracle_hash31("'shuf:' || CAST(doc_id AS VARCHAR)")} AS hk
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY hk, doc_id) - 1 AS r0
+        FROM keyed
+    )
+    SELECT doc_id,
+           CAST(r0 % {_SHUF_SHARDS} AS INT) AS shard,
+           CAST(r0 // {_SHUF_SHARDS} AS BIGINT) AS pos
+    FROM r
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C63 — deterministic training-data shuffle: every document gets
+    a pseudorandom global position (rank in md5-hash order — a fixed
+    permutation, reproducible across runs and engines) and a
+    round-robin shard assignment (shard = rank mod S, pos = rank div
+    S), so shard sizes differ by at most one document and each shard
+    reads as a hash-shuffled stream. This is the step a training
+    pipeline runs LAST — epoch readers consume shard files in pos
+    order and see a global shuffle without any shuffling at read time.
+
+    Scale shape (the B43 discipline): the global rank comes from a
+    RANGE repartition on the hash key + per-partition local ranks +
+    broadcast per-partition offsets — no single-task global window
+    ever holds the corpus, per-task state is one partition's sort, and
+    the result is invariant to where the range sampler lands its
+    boundaries. At 100 TB this is one range exchange, which is also
+    exactly the physical layout you want to WRITE the shards from
+    (partitionBy(shard) on the output path)."""
+    from pyspark.sql import Window
+
+    hk = md5_hash31(
+        F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+    )
+    keyed = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("__hk", hk)
+    )
+    parts = keyed.repartitionByRange(
+        _SHUF_RANGES, F.col("__hk"), F.col("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("__hk", "doc_id")
+        ),
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "off")
+    r0 = F.col("off") + F.col("rn") - 1
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        F.pmod(r0, F.lit(_SHUF_SHARDS)).cast("int").alias("shard"),
+        F.expr(f"(off + rn - 1) div {_SHUF_SHARDS}")
+        .cast("long")
+        .alias("pos"),
+    )

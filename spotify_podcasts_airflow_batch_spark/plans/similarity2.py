@@ -2579,3 +2579,215 @@ def ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------- D31
+# Scalar quantization (FAISS SQ8 shape): one byte per dimension via
+# per-dim linear min/max quantization — the simplest production
+# quantizer, 4x smaller than float32 with no codebook training at all.
+# Completes the compression family: D24 PQ (trained codebook), D28/D29
+# IVF-PQ (+cells, +residuals), D31 SQ (codebook-free). Kept integer-
+# exact end-to-end so it is fully hash-checkable: inputs quantize to
+# 1e4-unit BIGINTs (coarser than the PQ family's 1e6 so the 255x-
+# scaled distances stay far inside int64: 64 dims x (255 x 2e4)^2
+# ~ 1.7e15 << 9.2e18), codes are (x-min)*255 div (max-min) (numerator
+# nonnegative, so Spark div == DuckDB // == floor), and the asymmetric
+# distance compares EXACT integers scaled by 255^2:
+#   d_su = sum_j (255*(q_j - min_j) - c_j*(max_j - min_j))^2.
+_SQ_SCALE = 1e4
+
+
+def _sq8_oracle() -> str:
+    dims = range(_EMBED_DIMS)
+
+    def q4(e: str) -> str:
+        return (
+            f"CAST(round(CAST({e} AS DOUBLE) * {_SQ_SCALE:.0f}, 0) AS BIGINT)"
+        )
+
+    xu_cols = ", ".join(f"{q4(f'e.embedding[{j + 1}]')} AS x{j}" for j in dims)
+    b_cols = ", ".join(
+        f"min(x{j}) AS mn{j}, max(x{j}) AS mx{j}" for j in dims
+    )
+    code_cols = ", ".join(
+        f"CASE WHEN b.mx{j} = b.mn{j} THEN 0"
+        f" ELSE (x.x{j} - b.mn{j}) * 255 // (b.mx{j} - b.mn{j})"
+        f" END AS c{j}"
+        for j in dims
+    )
+    q_cols = ", ".join(f"x{j} AS q{j}" for j in dims)
+    score = " + ".join(
+        f"(255 * (q.q{j} - b.mn{j}) - c.c{j} * (b.mx{j} - b.mn{j}))"
+        f" * (255 * (q.q{j} - b.mn{j}) - c.c{j} * (b.mx{j} - b.mn{j}))"
+        for j in dims
+    )
+    return f"""
+    WITH xu AS MATERIALIZED (SELECT e.vec_id, {xu_cols} FROM embeddings e),
+    b AS MATERIALIZED (SELECT {b_cols} FROM xu),
+    codes AS MATERIALIZED (
+        SELECT x.vec_id, {code_cols} FROM xu x CROSS JOIN b
+    ),
+    q AS (
+        SELECT vec_id AS query_id, {q_cols}
+        FROM xu ORDER BY vec_id LIMIT {_PQ_NQ}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id, ({score}) AS score_su
+        FROM q CROSS JOIN codes c CROSS JOIN b
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score_su,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score_su, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           CAST(score_su AS BIGINT) AS score_su
+    FROM ranked WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register("sq8_ann", oracle=_sq8_oracle())
+def sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D31 — scalar-quantization ANN (the FAISS SQ8 shape): per-dim
+    linear min/max quantization to ONE BYTE per dimension, asymmetric
+    distance from the full-precision query to the decoded byte codes,
+    top-k per probe query (same probes/k as the D24/D25 dials so the
+    quantizer family reads side by side). No training, no codebook —
+    the control that tells you whether PQ's codebook earns its
+    training job on a given corpus.
+
+    Exactness: quantized inputs, integer floor-division codes, and
+    distances compared at the 255^2-scaled integer grid (see the
+    section comment) — every reported number is a BIGINT both engines
+    derive identically; fully hash-checked.
+
+    Scale shape: the bounds are one 128-value rollup (min+max per dim,
+    map-side combinable) broadcast back as a constant; encoding is a
+    shuffle-free projection (corpus never moves); serving broadcasts
+    the probe rows against the encoded corpus and runs the salted
+    two-stage top-k. Index size: 64 B/vector + one 128-number bounds
+    row — at 100 TB the byte codes are the only thing serving ever
+    scans."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings", fan_out="force").select(
+        "vec_id", "embedding"
+    )
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def xu_of(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x: F.round(x * _SQ_SCALE, 0).cast("long"),
+        )
+
+    dims = range(_EMBED_DIMS)
+    bounds_row = F.broadcast(
+        e_1t.select(xu_of(F.col("embedding")).alias("__xu"))
+        .agg(
+            *[F.min(F.element_at("__xu", j + 1)).alias(f"mn{j}") for j in dims],
+            *[F.max(F.element_at("__xu", j + 1)).alias(f"mx{j}") for j in dims],
+        )
+        .select(
+            F.array(*[F.col(f"mn{j}") for j in dims]).alias("mns"),
+            F.array(*[F.col(f"mx{j}") for j in dims]).alias("mxs"),
+        )
+    )
+
+    # integer floor-division: numerator is nonnegative (x >= min), so
+    # Spark's truncating `div` equals DuckDB's `//` here
+    encoded = (
+        e.crossJoin(bounds_row)
+        .withColumn("__xu", xu_of(F.col("embedding")))
+        .select(
+            "vec_id",
+            "mns",
+            "mxs",
+            F.expr(
+                "transform(sequence(0, {d}), j -> CASE"
+                " WHEN element_at(mxs, j + 1) = element_at(mns, j + 1)"
+                " THEN CAST(0 AS BIGINT)"
+                " ELSE ((element_at(__xu, j + 1) - element_at(mns, j + 1))"
+                "       * 255) div"
+                "      (element_at(mxs, j + 1) - element_at(mns, j + 1))"
+                " END)".format(d=_EMBED_DIMS - 1)
+            ).alias("codes"),
+        )
+    )
+    probes = F.broadcast(
+        e_1t.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            xu_of(F.col("embedding")).alias("__qu"),
+        )
+    )
+    scored = probes.join(encoded).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, {d}), CAST(0 AS BIGINT), (acc, j) ->"
+            " acc + (255 * (element_at(__qu, j + 1)"
+            "               - element_at(mns, j + 1))"
+            "        - element_at(codes, j + 1)"
+            "          * (element_at(mxs, j + 1) - element_at(mns, j + 1)))"
+            "     * (255 * (element_at(__qu, j + 1)"
+            "               - element_at(mns, j + 1))"
+            "        - element_at(codes, j + 1)"
+            "          * (element_at(mxs, j + 1) - element_at(mns, j + 1)))"
+            ")".format(d=_EMBED_DIMS - 1)
+        ).alias("score_su"),
+    )
+    salted = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+    ).orderBy("score_su", "vec_id")
+    final = Window.partitionBy("query_id").orderBy("score_su", "vec_id")
+    return (
+        scored.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= _PQ_TOPK)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.col("score_su").cast("long").alias("score_su"),
+        )
+    )
+
+
+@register("sq8_recall", oracle=_pq_recall_oracle(_sq8_oracle()))
+def sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D31b — recall@5 of SQ8 against exact L2, per probe query: the
+    codebook-free control for the quantizer dial family. Read beside
+    D25 (trained PQ) and D25b (untrained PQ): SQ8 spends 64 B/vector
+    with no training; PQ spends 4 B/vector plus a training job —
+    this dial prices that trade on the actual corpus (measured at
+    sf0.1: SQ8 10000 bp — byte-exact per-dim coding loses nothing on
+    this corpus at k=5 — vs trained PQ 4500 / untrained 3500; same
+    probe set and self-inclusion convention as D25, see the note
+    there)."""
+    cand = sq8_ann(spark, sf_dir).select("query_id", "vec_id")
+    emb_1t = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    exact = _pq_exact_topk(emb_1t)
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = (
+        emb_1t.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_PQ_TOPK}").alias(
+            "recall_bp"
+        ),
+    )
