@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+    oracle_hash31,
+)
 from spotify_podcasts_airflow_batch_spark.plans.registry import register
 from spotify_podcasts_airflow_batch_spark.sources.readers import table
 
@@ -1667,3 +1670,165 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = nx
     out = [(s, math.floor(x[s] * 1e6 + 0.5) / 1e6 + 0.0) for s in states]
     return spark.createDataFrame(out, "event_type string, stationary_p double")
+
+
+# ---------------------------------------------------------------- E64
+# Poisson bootstrap: the one-pass distributed bootstrap. Classical
+# resampling draws B datasets WITH replacement — impossible to
+# coordinate across a 1000-executor scan. The Poisson trick replaces
+# each draw with an independent per-(row, replicate) Poisson(1)
+# weight: every row computes its B weights locally from a hash, the
+# per-replicate sums ride ONE map-side-combinable aggregate, and the
+# shuffle is |groups|·B rows no matter the fact size. Weights are
+# deterministic (md5 → uniform → inverse CDF), so the whole estimator
+# is reproducible and SQL-twin-able; sums/counts/means stay in exact
+# integer cents (truncating div on both engines).
+_BOOT_B = 40  # replicates; 95% CI = 2nd smallest / 2nd largest mean
+_BOOT_LO_RANK = 2
+# Poisson(1) inverse-CDF thresholds: cumulative e^-1 * Σ 1/k!.
+# Written as literal doubles so both engines fold the identical
+# constant; u sits on the k/(2^31-1) grid, which never hits these
+# irrational cut points, so the comparison is boundary-safe.
+_BOOT_CDF = (
+    0.36787944117144233,  # k = 0
+    0.7357588823428847,   # k = 1
+    0.9196986029286058,   # k = 2
+    0.9810118431238462,   # k = 3
+    0.9963401531726563,   # k = 4
+    0.9994058151824183,   # k = 5
+)
+
+
+def _boot_w_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {arms} ELSE {len(_BOOT_CDF)} END)"
+
+
+@register(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH rows_c AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+               'boot:' || CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR) || ':' AS seed
+        FROM lineitem
+    ),
+    weighted AS (
+        SELECT r.grp, b.b,
+               {_boot_w_sql("(" + oracle_hash31("r.seed || CAST(b.b AS VARCHAR)") + " / 2147483647.0)")} AS w,
+               r.c
+        FROM rows_c r
+        CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ),
+    reps AS (
+        SELECT grp, b,
+               CASE WHEN sum(w) = 0 THEN 0
+                    ELSE sum(w * c) // sum(w) END AS mean_c
+        FROM weighted GROUP BY grp, b
+    ),
+    ranked AS (
+        SELECT grp, mean_c,
+               row_number() OVER (PARTITION BY grp ORDER BY mean_c, b)
+                   AS rk
+        FROM reps
+    ),
+    point AS (
+        SELECT grp, sum(c) // count(*) AS point_mean_c
+        FROM rows_c GROUP BY grp
+    )
+    SELECT p.grp AS l_returnflag,
+           CAST(p.point_mean_c AS BIGINT) AS point_mean_c,
+           CAST(lo.mean_c AS BIGINT) AS ci_lo_c,
+           CAST(hi.mean_c AS BIGINT) AS ci_hi_c,
+           CAST({_BOOT_B} AS INT) AS n_replicates
+    FROM point p
+    JOIN ranked lo ON lo.grp = p.grp AND lo.rk = {_BOOT_LO_RANK}
+    JOIN ranked hi ON hi.grp = p.grp
+                  AND hi.rk = {_BOOT_B + 1 - _BOOT_LO_RANK}
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E64 — Poisson-bootstrap 95% CI of mean extended price (integer
+    cents) per return flag: B=40 replicates, each row contributing a
+    deterministic hash-derived Poisson(1) weight per replicate, CI =
+    the 2nd smallest / 2nd largest replicate mean (percentile
+    bootstrap). See the section comment for why this is THE bootstrap
+    that scales: weights are computed row-locally in the scan, the
+    aggregate is map-side-combinable, and the shuffle carries
+    |groups|·B rows at any corpus size — the same pass that computes
+    one mean computes all 40.
+
+    Exactness: cents quantize per row (floor(x·100 + 0.5), pure
+    IEEE); weights come from a CASE over literal CDF constants that
+    the u-grid can never equal; replicate and point means use
+    truncating integer division on both engines — every reported
+    value is an exact BIGINT."""
+    from pyspark.sql import Window
+
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        md5_hash31,
+    )
+
+    rows_c = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("c"),
+        F.concat(
+            F.lit("boot:"),
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+            F.lit(":"),
+        ).alias("seed"),
+    )
+    u = md5_hash31(
+        F.concat(F.col("seed"), F.col("b").cast("string"))
+    ) / F.lit(2147483647.0)
+    w = F.lit(len(_BOOT_CDF))
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rows_c.select(
+            "grp", "c", "seed",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .withColumn("__w", w)
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.col("__w") * F.col("c")).alias("num"),
+            F.sum("__w").alias("den"),
+        )
+        .select(
+            "grp",
+            "b",
+            F.when(F.col("den") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("num div den"))
+            .alias("mean_c"),
+        )
+    )
+    rk = Window.partitionBy("grp").orderBy("mean_c", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(rk))
+    lo = ranked.where(F.col("rk") == _BOOT_LO_RANK).select(
+        "grp", F.col("mean_c").alias("ci_lo_c")
+    )
+    hi = ranked.where(
+        F.col("rk") == _BOOT_B + 1 - _BOOT_LO_RANK
+    ).select("grp", F.col("mean_c").alias("ci_hi_c"))
+    point = rows_c.groupBy("grp").agg(
+        F.expr("sum(c) div count(1)").alias("point_mean_c")
+    )
+    return (
+        point.join(F.broadcast(lo), "grp")
+        .join(F.broadcast(hi), "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("point_mean_c").cast("long"),
+            F.col("ci_lo_c").cast("long"),
+            F.col("ci_hi_c").cast("long"),
+            F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+        )
+    )
