@@ -432,3 +432,45 @@ def test_residual_ivfpq_never_shuffles_corpus_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ivfpq_residual_ann")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sq8_encoding_never_shuffles_corpus(spark, sf_dir):
+    """D31: bounds are a broadcast rollup, codes a projection, probes
+    a broadcast nested loop — the corpus must reach scoring without a
+    single hash/range exchange of its own rows (the fan_out staging
+    repartition is the one permitted exchange). The only sort-bearing
+    exchanges are the salted top-k windows over SCORED rows."""
+    plan = plan_of(spark, sf_dir, "sq8_ann")
+    assert "SortMergeJoin" not in plan
+    # serving joins are broadcast (probes, bounds)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_shuffle_shards_uses_range_partition_not_global_window(
+    spark, sf_dir
+):
+    """C63: the global rank must come from a RANGE exchange + local
+    ranks (the B43 discipline), never a single-partition window over
+    the corpus."""
+    plan = plan_of(spark, sf_dir, "corpus_shuffle_shards")
+    assert "rangepartitioning" in plan.lower()
+    # the corpus-sized window partitions by pid; the only
+    # SinglePartition window allowed is over the 16-row offsets table
+    import re
+
+    corpus_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "pid" in ln
+    ]
+    assert corpus_windows, "per-partition local rank window missing"
+
+
+def test_bootstrap_ci_aggregate_is_partial(spark, sf_dir):
+    """E64: the B=40 replicate sums must map-side combine — a partial
+    HashAggregate below the exchange — so the shuffle is groups×B
+    rows, not the exploded fact."""
+    plan = plan_of(spark, sf_dir, "bootstrap_ci")
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    lower = plan.lower()
+    assert lower.count("hashaggregate") >= 2  # partial + final
