@@ -878,3 +878,136 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos"),
     )
+
+
+# ---------------------------------------------------------------- C64
+_GSPLIT_MOD = 10  # 10% heldout
+
+
+@register(
+    "group_split_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CASE WHEN {oracle_hash31("'gsplit:' || CAST(event_id AS VARCHAR)")}
+                    % {_GSPLIT_MOD} = 0
+                    THEN 'heldout' ELSE 'train' END AS row_split,
+               CASE WHEN {oracle_hash31("'gsplit:' || CAST(user_id AS VARCHAR)")}
+                    % {_GSPLIT_MOD} = 0
+                    THEN 'heldout' ELSE 'train' END AS user_split
+        FROM events
+    ),
+    methods AS (
+        SELECT 'row' AS method, event_id, user_id, row_split AS split
+        FROM ev
+        UNION ALL
+        SELECT 'user', event_id, user_id, user_split FROM ev
+    ),
+    leaky AS (
+        SELECT method, user_id
+        FROM methods
+        GROUP BY method, user_id
+        HAVING count(DISTINCT split) > 1
+    ),
+    contaminated AS (
+        SELECT m.method, count(*) AS n
+        FROM methods m JOIN leaky l
+          ON l.method = m.method AND l.user_id = m.user_id
+        WHERE m.split = 'heldout'
+        GROUP BY m.method
+    )
+    SELECT m.method,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train_events,
+           CAST(sum(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heldout_events,
+           CAST(coalesce(any_value(lc.n_leaky), 0) AS BIGINT)
+               AS n_leaky_users,
+           CAST(coalesce(any_value(c.n), 0) AS BIGINT)
+               AS n_contaminated_events
+    FROM methods m
+    LEFT JOIN (SELECT method, count(*) AS n_leaky FROM leaky
+               GROUP BY method) lc ON lc.method = m.method
+    LEFT JOIN contaminated c ON c.method = m.method
+    GROUP BY m.method
+    """,
+)
+def group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C64 — leakage-safe split audit: the same 90/10 hash split
+    applied two ways — per ROW (hash of event_id; how naive pipelines
+    split) and per GROUP (hash of user_id; how evaluation must split
+    when rows within a user correlate) — with the damage quantified:
+    n_leaky_users = users with events on both sides, and
+    n_contaminated_events = heldout events whose user also appears in
+    train (the rows a per-user memorizing model gets for free). The
+    group split reads 0 leaky / 0 contaminated BY THE DATA, not by
+    trusting the code; the row split's nonzero numbers are the
+    argument for group-aware splitting in any per-entity corpus
+    (documents by source/site, events by user, code by repo).
+
+    Scale shape: splits are row-local hash expressions in the scan;
+    the leak check is one (method, user) rollup (map-side combinable)
+    joined back broadcast-sized; the report is 2 rows. Deterministic
+    md5 splits are replica-stable and SQL-twin-able — the C13
+    discipline applied at the group level."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def split_of(col, prefix):
+        hk = md5_hash31(
+            F.concat(F.lit("gsplit:"), col.cast("string"))
+        )
+        return F.when(
+            hk % _GSPLIT_MOD == 0, F.lit("heldout")
+        ).otherwise(F.lit("train"))
+
+    methods = ev.select(
+        F.lit("row").alias("method"),
+        "event_id",
+        "user_id",
+        split_of(F.col("event_id"), "e").alias("split"),
+    ).unionByName(
+        ev.select(
+            F.lit("user").alias("method"),
+            "event_id",
+            "user_id",
+            split_of(F.col("user_id"), "u").alias("split"),
+        )
+    )
+    leaky = (
+        methods.groupBy("method", "user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("method", "user_id")
+    )
+    leaky_counts = leaky.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_leaky")
+    )
+    contaminated = (
+        methods.where(F.col("split") == "heldout")
+        .join(leaky, ["method", "user_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_cont"))
+    )
+    totals = methods.groupBy("method").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train_events"
+        ),
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0)).alias(
+            "n_heldout_events"
+        ),
+    )
+    return (
+        totals.join(F.broadcast(leaky_counts), "method", "left")
+        .join(F.broadcast(contaminated), "method", "left")
+        .select(
+            "method",
+            F.col("n_train_events").cast("long"),
+            F.col("n_heldout_events").cast("long"),
+            F.coalesce("n_leaky", F.lit(0)).cast("long").alias(
+                "n_leaky_users"
+            ),
+            F.coalesce("n_cont", F.lit(0)).cast("long").alias(
+                "n_contaminated_events"
+            ),
+        )
+    )

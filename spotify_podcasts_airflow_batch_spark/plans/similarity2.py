@@ -2791,3 +2791,104 @@ def sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------- D32
+# Maximum inner-product search (MIPS): the retrieval objective of
+# recommendation serving (score = <user, item>, NOT distance — the
+# item's own norm matters, so cosine/L2 top-k give different answers).
+# Exact integer path: micro-unit quantized dot products are BIGINTs
+# (64 dims x 1e6 x 1e6 = 6.4e13 per pair, far inside int64), so the
+# ranking keys are bit-equal cross-engine with no rounding management.
+def _mips_oracle() -> str:
+    dims = range(_EMBED_DIMS)
+
+    def qx(e: str) -> str:
+        return f"CAST(round(CAST({e} AS DOUBLE) * 1e6, 0) AS BIGINT)"
+
+    xu_cols = ", ".join(f"{qx(f'e.embedding[{j + 1}]')} AS x{j}" for j in dims)
+    dot = " + ".join(f"q.x{j} * c.x{j}" for j in dims)
+    return f"""
+    WITH xu AS MATERIALIZED (SELECT e.vec_id, {xu_cols} FROM embeddings e),
+    q AS (SELECT * FROM xu ORDER BY vec_id LIMIT {_PQ_NQ}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id, ({dot}) AS score_u
+        FROM q CROSS JOIN xu c
+        WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score_u,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_u DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           CAST(score_u AS BIGINT) AS score_u
+    FROM ranked WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register("mips_brute", oracle=_mips_oracle())
+def mips_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D32 — exact maximum-inner-product top-k per probe query
+    (self-excluded): the recommendation-serving objective, distinct
+    from D1's cosine (item norm matters — a popular high-norm item
+    should win MIPS and lose cosine). The baseline the ANN family is
+    graded against when the objective is <q, x> rather than distance;
+    the classic MIPS→cosine reduction (augment a norm dimension) runs
+    on top of the same machinery when an approximate path is wanted.
+
+    Exactness: integer micro-unit dot products, descending-score
+    rank with vec_id tie-pins — every ranking key is an exact BIGINT.
+    Scale shape: broadcast probe rows against the corpus scan (the
+    corpus never shuffles), salted two-stage top-k."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings", fan_out="force").select(
+        "vec_id", "embedding"
+    )
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def xu_of(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x: F.round(x * 1e6, 0).cast("long"),
+        )
+
+    probes = F.broadcast(
+        e_1t.orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            xu_of(F.col("embedding")).alias("__qu"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__qu", "__xu", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        probes.join(e.withColumn("__xu", xu_of(F.col("embedding"))))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("score_u"))
+    )
+    salted = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+    ).orderBy(F.col("score_u").desc(), "vec_id")
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= _PQ_TOPK)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.col("score_u").cast("long").alias("score_u"),
+        )
+    )
