@@ -93,6 +93,11 @@ HEADLINE = [
     "ivfpq_residual_ann",
     # round-6 additions (tracked from round 6 on)
     "ivf_cell_occupancy",
+    "sq8_ann",
+    "corpus_shuffle_shards",
+    "bootstrap_ci",
+    "mips_brute",
+    "group_split_audit",
 ]
 
 

@@ -1706,19 +1706,38 @@ def _boot_w_sql(u: str) -> str:
     return f"(CASE {arms} ELSE {len(_BOOT_CDF)} END)"
 
 
+def _boot_u_sql(h31: str, b: str) -> str:
+    """Replicate-b uniform from ONE per-row md5: the b-th member of
+    the universal family applied to the row hash — 1 md5 + B cheap
+    arithmetic hashes per row instead of B md5s (the minhash
+    discipline; measured 23.7 s -> 1.96 s at sf0.1)."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        universal_family,
+    )
+
+    fam = universal_family(_BOOT_B)
+    arms = " ".join(
+        f"WHEN {k} THEN (({a} * {h31} + {bb}) % 2147483647)"
+        for k, (a, bb) in enumerate(fam)
+    )
+    return f"(CASE {b} {arms} END)"
+
+
 @register(
     "bootstrap_ci",
     oracle=f"""
     WITH rows_c AS (
         SELECT l_returnflag AS grp,
                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
-               'boot:' || CAST(l_orderkey AS VARCHAR) || ':'
-                       || CAST(l_linenumber AS VARCHAR) || ':' AS seed
+               {oracle_hash31(
+                   "'boot:' || CAST(l_orderkey AS VARCHAR) || ':'"
+                   " || CAST(l_linenumber AS VARCHAR)"
+               )} AS h31
         FROM lineitem
     ),
     weighted AS (
         SELECT r.grp, b.b,
-               {_boot_w_sql("(" + oracle_hash31("r.seed || CAST(b.b AS VARCHAR)") + " / 2147483647.0)")} AS w,
+               {_boot_w_sql("(" + _boot_u_sql("r.h31", "b.b") + " / 2147483647.0)")} AS w,
                r.c
         FROM rows_c r
         CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
@@ -1769,7 +1788,9 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        MERSENNE_31,
         md5_hash31,
+        universal_family,
     )
 
     rows_c = table(spark, sf_dir, "lineitem").select(
@@ -1777,23 +1798,34 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100 + 0.5)
         .cast("long")
         .alias("c"),
-        F.concat(
-            F.lit("boot:"),
-            F.col("l_orderkey").cast("string"),
-            F.lit(":"),
-            F.col("l_linenumber").cast("string"),
-            F.lit(":"),
-        ).alias("seed"),
+        # ONE md5 per row; replicate uniforms derive arithmetically
+        # from it via the universal family (the minhash discipline) —
+        # B md5s per row measured 23.7 s at sf0.1, this plan 1.96 s
+        md5_hash31(
+            F.concat(
+                F.lit("boot:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h31"),
     )
-    u = md5_hash31(
-        F.concat(F.col("seed"), F.col("b").cast("string"))
+    fam = universal_family(_BOOT_B)
+    a_arr = F.array(*[F.lit(a) for a, _ in fam])
+    b_arr = F.array(*[F.lit(bb) for _, bb in fam])
+    u = (
+        (
+            F.element_at(a_arr, F.col("b") + 1) * F.col("h31")
+            + F.element_at(b_arr, F.col("b") + 1)
+        )
+        % F.lit(MERSENNE_31)
     ) / F.lit(2147483647.0)
     w = F.lit(len(_BOOT_CDF))
     for k in range(len(_BOOT_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(w)
     reps = (
         rows_c.select(
-            "grp", "c", "seed",
+            "grp", "c", "h31",
             F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
         )
         .withColumn("__w", w)
