@@ -1689,83 +1689,44 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register("ivfpq_ann", oracle=_ivfpq_oracle())
-def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D28 — IVF-PQ, the composition production ANN actually ships
-    (FAISS IVFPQ): an inverted-file coarse quantizer restricts each
-    query to its nprobe=2 best cells out of 16, and scoring inside the
-    probed cells runs the trained-PQ asymmetric distance over 4-bit
-    codes — search cost drops from |corpus| ADC sums per query (D24)
-    to the probed cells' occupancy, recall tuned by the D27 nprobe
-    dial and the D25 codebook dial together.
+def _ivfpq_xu_of(col):
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.round(x * 1e6, 0).cast("long"),
+    )
 
-    Exactness stack (every stage hash-checked): coarse assignment is
-    INTEGER micro-unit L2 against TRAINED centroids — full-vector
-    Lloyd (ivf_train_cells, seeds = the round-5 untrained cells,
-    unrolled-CTE oracle _ivf_lloyd_sql), matching FAISS, which trains
-    the coarse quantizer so cell occupancy stays balanced on
-    clustered corpora (quantized inputs, integer argmin, lowest-cell
-    ties — the kmeans_audit discipline, zero float risk in candidate
-    generation; see ivf_cell_occupancy for the measured spread); PQ
-    codes and ADC cells reuse D24's trained-codebook machinery
-    (unrolled-Lloyd oracle, BIGINT micro-unit scores).
 
-    Scale shape: the ENTIRE index build is one shuffle-free
-    projection — each corpus vector computes its 8 PQ codes against
-    the broadcast codebook AND its coarse cell against the broadcast
-    centroid constants in the same select; serving broadcasts the
-    probes×nprobe cell list and the per-query ADC tables against the
-    encoded corpus and runs the salted two-stage top-k. Nothing
-    corpus-sized ever shuffles before the final per-query cut. At
-    100 TB this is the architecture: 4 bytes/vector of codes + a cell
-    id, brute force only within probed cells."""
-    from pyspark.sql import Window
+def _ivfpq_cell_dists(xu):
+    return F.transform(
+        F.col("ccs"),
+        lambda c: F.aggregate(
+            F.zip_with(xu, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
 
+
+def _ivfpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D28 index relation (vec_id, codes, cell_id): PQ codes +
+    coarse cell in ONE shuffle-free projection against the two
+    broadcast trained constants."""
     cents = pq_train_codebook_cached(spark, sf_dir)
-    if not cents or not cents[0]:
-        return spark.createDataFrame(
-            [], "query_id bigint, rank int, vec_id bigint, adc_dist double"
-        )
     cb_row = _pq_trained_cb_row(spark, cents)
+    cells_row = _ivf_cells_row(spark, ivf_train_cells_cached(spark, sf_dir))
     e = table(spark, sf_dir, "embeddings", fan_out="force").select(
         "vec_id", "embedding"
     )
-    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def xu_of(col):
-        return F.transform(
-            col.cast("array<double>"),
-            lambda x: F.round(x * 1e6, 0).cast("long"),
-        )
-
-    # coarse centroids: TRAINED full-vector Lloyd (frozen artifact,
-    # memoized), shipped as ONE constant-folded literal row like the
-    # codebook
-    cells_row = _ivf_cells_row(spark, ivf_train_cells_cached(spark, sf_dir))
-
-    def cell_dists(xu):
-        return F.transform(
-            F.col("ccs"),
-            lambda c: F.aggregate(
-                F.zip_with(xu, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-
-    # index build: PQ codes + coarse cell in ONE shuffle-free
-    # projection against the two broadcast constants; __xu staged as
-    # its own column so the 16 cell distances reference it, not 16
-    # re-inlined quantizations
     def argmin_code(v, m):
         dists = F.transform(F.col("cbs"), lambda c: _pq_sub_dist(v, c, m))
         return F.array_position(dists, F.array_min(dists)) - 1
 
-    encoded = (
+    return (
         e.crossJoin(cb_row)
         .crossJoin(cells_row)
-        .withColumn("__xu", xu_of(F.col("embedding")))
-        .withColumn("__cd", cell_dists(F.col("__xu")))
+        .withColumn("__xu", _ivfpq_xu_of(F.col("embedding")))
+        .withColumn("__cd", _ivfpq_cell_dists(F.col("__xu")))
         .select(
             "vec_id",
             F.transform(
@@ -1779,17 +1740,28 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # probe side: rank the 16 cells per query (probes x 16 rows — a
-    # tiny window), keep nprobe
+
+def _ivfpq_serve(
+    spark: SparkSession, sf_dir: str, encoded: DataFrame
+) -> DataFrame:
+    """The D28 serving tail over any index relation (inline-encoded or
+    materialized): probe-cell ranking, broadcast ADC tables, salted
+    two-stage top-k."""
+    from pyspark.sql import Window
+
+    cents = pq_train_codebook_cached(spark, sf_dir)
+    cb_row = _pq_trained_cb_row(spark, cents)
+    cells_row = _ivf_cells_row(spark, ivf_train_cells_cached(spark, sf_dir))
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qsel = e_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     q_cells = (
         qsel.crossJoin(cells_row)
-        .withColumn("__xu", xu_of(F.col("embedding")))
+        .withColumn("__xu", _ivfpq_xu_of(F.col("embedding")))
         .select(
             "query_id",
-            F.posexplode(cell_dists(F.col("__xu"))).alias(
+            F.posexplode(_ivfpq_cell_dists(F.col("__xu"))).alias(
                 "cell_id", "__d2u"
             ),
         )
@@ -1825,6 +1797,95 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("ivfpq_ann", oracle=_ivfpq_oracle())
+def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28 — IVF-PQ, the composition production ANN actually ships
+    (FAISS IVFPQ): an inverted-file coarse quantizer restricts each
+    query to its nprobe=2 best cells out of 16, and scoring inside the
+    probed cells runs the trained-PQ asymmetric distance over 4-bit
+    codes — search cost drops from |corpus| ADC sums per query (D24)
+    to the probed cells' occupancy, recall tuned by the D27 nprobe
+    dial and the D25 codebook dial together.
+
+    Exactness stack (every stage hash-checked): coarse assignment is
+    INTEGER micro-unit L2 against TRAINED centroids — full-vector
+    Lloyd (ivf_train_cells, seeds = the round-5 untrained cells,
+    unrolled-CTE oracle _ivf_lloyd_sql), matching FAISS, which trains
+    the coarse quantizer so cell occupancy stays balanced on
+    clustered corpora (quantized inputs, integer argmin, lowest-cell
+    ties — the kmeans_audit discipline, zero float risk in candidate
+    generation; see ivf_cell_occupancy for the measured spread); PQ
+    codes and ADC cells reuse D24's trained-codebook machinery
+    (unrolled-Lloyd oracle, BIGINT micro-unit scores).
+
+    Scale shape: the ENTIRE index build is one shuffle-free
+    projection — each corpus vector computes its 8 PQ codes against
+    the broadcast codebook AND its coarse cell against the broadcast
+    centroid constants in the same select; serving broadcasts the
+    probes×nprobe cell list and the per-query ADC tables against the
+    encoded corpus and runs the salted two-stage top-k. Nothing
+    corpus-sized ever shuffles before the final per-query cut. At
+    100 TB this is the architecture: 4 bytes/vector of codes + a cell
+    id, brute force only within probed cells. (This inline form
+    re-encodes per run; D28c ``ivfpq_ann_served`` materializes the
+    index once and serves from it — identical rows, same oracle.)"""
+    cents = pq_train_codebook_cached(spark, sf_dir)
+    if not cents or not cents[0]:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, adc_dist double"
+        )
+    return _ivfpq_serve(spark, sf_dir, _ivfpq_encoded(spark, sf_dir))
+
+
+# Materialized-index memo: path of the written codes parquet, keyed by
+# dataset fingerprint like the trained constants. Writing the index is
+# a pure function of the (immutable-per-fingerprint) data, so the memo
+# can never change a result — only turn the per-run re-encode into the
+# one-off index-build job production actually runs (measured at 200k
+# vectors / 6.5k probe queries: inline re-encode+serve 66 s per run,
+# served-from-codes 24 s per run after a 31 s one-off build — the
+# residual 24 s IS the probed-occupancy scoring, ~3.7 ms/query;
+# SURVEY §6 round-6 scale-up note).
+_IVFPQ_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = _embeddings_fingerprint(sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        _ivfpq_encoded(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _IVFPQ_INDEX_CACHE[key] = path
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+@register("ivfpq_ann_served", oracle=_ivfpq_oracle())
+def ivfpq_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28c — IVF-PQ serving from a MATERIALIZED index: the first call
+    per dataset writes the (vec_id, codes, cell_id) relation to
+    parquet (the one-off index-build job — 5 bytes/vector); every
+    query after that scans only the codes. Identical rows to D28
+    under the identical oracle — the difference is purely WHERE the
+    encode cost lands: measured at 200k vectors with 6.5k probe
+    queries, inline D28 costs 66 s per run while this path serves in
+    24 s per run after a 31 s one-off build — and the remaining 24 s
+    is pure probed-occupancy ADC scoring (~3.7 ms/query), the cost
+    that the CELL-COUNT dial controls (16 cells is the toy constant;
+    production scales cells ~sqrt(n) so occupancy, and with it
+    per-query cost, stays flat as the corpus grows). At 100 TB the
+    index lives in the lake like any other table — partition by
+    cell_id and partition pruning does the cell restriction for
+    free."""
+    cents = pq_train_codebook_cached(spark, sf_dir)
+    if not cents or not cents[0]:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, adc_dist double"
+        )
+    encoded = spark.read.parquet(ivfpq_index_path(spark, sf_dir))
+    return _ivfpq_serve(spark, sf_dir, encoded)
 
 
 def _ivfpq_recall_oracle() -> str:
