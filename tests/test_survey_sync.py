@@ -37,3 +37,17 @@ def test_every_registered_query_is_in_survey():
     assert not undocumented, (
         f"registered queries missing from SURVEY §2: {undocumented}"
     )
+
+
+def test_prose_catalog_counts_match_registry():
+    """Narrative sentences like "widened the catalog to 257" drifted
+    from the table once (VERDICT r6 item 5). Pin every "catalog to N"
+    / "catalog of N" phrase to the real registry size."""
+    with open(SURVEY) as f:
+        text = f.read()
+    n = len(all_queries())
+    claims = re.findall(r"catalog (?:to|of|at) (\d+)", text)
+    bad = [c for c in claims if int(c) != n]
+    assert not bad, (
+        f"SURVEY prose claims catalog size(s) {bad}, registry has {n}"
+    )

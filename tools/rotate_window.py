@@ -37,18 +37,28 @@ WINDOW = 50
 SENTINELS = ("q1_pricing_summary", "q9_product_profit", "salted_join")
 
 
-def verified_keys() -> tuple[set[str], set[str]]:
-    """(hash/rows-verified keys, keys that ever EXECUTED under the driver)."""
+def verified_keys() -> tuple[set[str], set[str], set[str]]:
+    """(hash/rows-verified keys, keys that ever EXECUTED under the driver,
+    keys that ever produced a CLEAN row — ``err`` null).
+
+    The r1/r2 driver recorded rows-only keys with ``err: "no_oracle"``;
+    those read as failures to anyone grepping ``err != null`` (VERDICT r6
+    item 6), so a key only counts as *clean* once some round recorded it
+    with a null err.
+    """
     seen: set[str] = set()
     executed: set[str] = set()
+    clean: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
             rows = json.load(fh)
         for key, row in rows.items():
             executed.add(key)
+            if row.get("err") is None:
+                clean.add(key)
             if row.get("rows_match") and row.get("err") is None:
                 seen.add(key)
-    return seen, executed
+    return seen, executed, clean
 
 
 def next_head() -> tuple[list[str], dict]:
@@ -58,16 +68,21 @@ def next_head() -> tuple[list[str], dict]:
     )
 
     queries = all_queries()
-    seen, executed = verified_keys()
+    seen, executed, clean = verified_keys()
     oracle_bearing = [n for n, q in _REGISTRY.items() if q.oracle is not None]
     rows_only = [n for n, q in _REGISTRY.items() if q.oracle is None]
     unverified = [n for n in oracle_bearing if n not in seen]
     never_ran = [n for n in rows_only if n not in executed]
+    never_clean = [
+        n for n in rows_only if n in executed and n not in clean
+    ]
 
     head = [s for s in SENTINELS if s in queries]
     head += [n for n in unverified if n not in head][: WINDOW - len(head)]
     if len(head) < WINDOW:  # fill with rows-only keys the driver never ran
         head += [n for n in never_ran if n not in head][: WINDOW - len(head)]
+    if len(head) < WINDOW:  # then rows-only keys whose rows all carry an err
+        head += [n for n in never_clean if n not in head][: WINDOW - len(head)]
     if len(head) < WINDOW:  # rotation exhausted: refill with verified keys
         head += [
             n for n in oracle_bearing if n not in head
@@ -78,9 +93,11 @@ def next_head() -> tuple[list[str], dict]:
         "driver_verified": len(seen & set(queries)),
         "unverified_oracle_bearing": len(unverified),
         "never_executed_rows_only": len(never_ran),
+        "never_clean_rows_only": len(never_clean),
         "first_time_in_head": len([n for n in head if n not in seen]),
         "unverified_keys": sorted(unverified),
         "never_executed_rows_only_keys": sorted(never_ran),
+        "never_clean_rows_only_keys": sorted(never_clean),
     }
     return head, stats
 
@@ -96,14 +113,25 @@ def main() -> int:
     )
 
     if args.check:
-        seen, _ = verified_keys()
+        seen, _, _ = verified_keys()
+        # refill slots only WASTE the window when some unverified
+        # oracle-bearing key is still outside the head
+        outside = [n for n in stats["unverified_keys"] if n not in _DRIVER_HEAD]
         wasted = [
             n
             for n in _DRIVER_HEAD
             if n in seen and n not in SENTINELS
         ]
-        print(json.dumps({"stats": stats, "wasted_slots": wasted}))
-        return 1 if wasted and stats["unverified_oracle_bearing"] else 0
+        print(
+            json.dumps(
+                {
+                    "stats": stats,
+                    "unverified_outside_head": outside,
+                    "refill_slots": wasted,
+                }
+            )
+        )
+        return 1 if wasted and outside else 0
 
     print(f"# {json.dumps(stats)}")
     print("_DRIVER_HEAD = (")
