@@ -17,7 +17,23 @@ from spotify_podcasts_airflow_batch_spark.functions.hashing import (
 from spotify_podcasts_airflow_batch_spark.plans.registry import register
 from spotify_podcasts_airflow_batch_spark.sources.readers import table
 
-_DTW_SCHEMA = "user_id long, n_views long, n_buys long, dtw_dist double"
+_DTW_SCHEMA = (
+    "user_id long, n_views long, n_buys long, dtw_dist double, "
+    "capped boolean"
+)
+
+# Max sequence length per side fed to the O(n·m) DP. A single hot user
+# with 10^6 events would otherwise run a 10^12-cell DP in one task
+# (VERDICT r6 item 3); with the cap the worst per-user cost is
+# 512² ≈ 2.6e5 cells regardless of activity. Rows from hotter users
+# are deterministically subsampled by md5(event_id) rank — the same
+# hash-ranked cap discipline as item_item_cosine_capped
+# (plans/recsys.py B59b) — then re-ordered by (ts, event_id), so the
+# kept subsequence preserves temporal shape and is independent of
+# partitioning. Users at or under the cap keep every event: the capped
+# plan is IDENTICAL to the uncapped one on bounded inputs
+# (tests/test_dtw.py proves both properties).
+_DTW_CAP = 512
 
 
 def dtw_distance(a, b):
@@ -63,9 +79,13 @@ def dtw_behavior_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: state is two per-user sequences, never the corpus;
     cost is Σ_u n_u·m_u, bounded by the per-user activity — hot users
-    cost quadratically, so a real deployment caps sequence length
-    (here data is bounded by construction). Sequences order by
-    (ts, event_id) so results are partition-order independent."""
+    are capped at ``_DTW_CAP`` events per side JVM-SIDE (before the
+    Arrow transfer, so a hot user bounds both the DP and the batch
+    bytes) via a deterministic md5(event_id)-ranked subsample that is
+    then re-ordered by (ts, event_id); ``n_views``/``n_buys`` report
+    the TRUE pre-cap counts and ``capped`` flags affected users.
+    Sequences order by (ts, event_id) so results are partition-order
+    independent."""
     # The two cogroup sides MUST come from separate scans: when both
     # children share one lineage (same attribute exprIds), Spark's
     # FlatMapCoGroupsInPandas dedups the overlapping attributes and the
@@ -73,17 +93,33 @@ def dtw_behavior_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correct row count, missing every payload column. Surfaced at
     # sf0.1 (multi-partition plans); single-partition sf0.001 dodges
     # the dedup path. A second table() call gives fresh exprIds.
+    from pyspark.sql import Window
+
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        md5_hash60,
+    )
+
     cols = ("user_id", "ts", "event_id", "event_type", "value")
-    views = (
-        table(spark, sf_dir, "events")
-        .select(*cols)
-        .where(F.col("event_type") == "view")
-    )
-    buys = (
-        table(spark, sf_dir, "events")
-        .select(*cols)
-        .where(F.col("event_type") == "purchase")
-    )
+
+    def side(etype: str) -> DataFrame:
+        # both windows partition on user_id — the cogroup's own key —
+        # so all three exchanges collapse into the one cogroup shuffle
+        per_user = Window.partitionBy("user_id")
+        by_hash = per_user.orderBy(
+            md5_hash60(F.col("event_id").cast("string")), F.col("event_id")
+        )
+        return (
+            table(spark, sf_dir, "events")
+            .select(*cols)
+            .where(F.col("event_type") == etype)
+            .withColumn("side_total", F.count("*").over(per_user))
+            .withColumn("hrn", F.row_number().over(by_hash))
+            .where(F.col("hrn") <= _DTW_CAP)
+            .drop("hrn", "event_type")
+        )
+
+    views = side("view")
+    buys = side("purchase")
 
     def align(key, vdf, bdf):
         import pandas as pd
@@ -93,17 +129,26 @@ def dtw_behavior_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (first hit at 10× scale, where some users never purchase).
         if len(vdf) == 0 or len(bdf) == 0:
             return pd.DataFrame(
-                {"user_id": [], "n_views": [], "n_buys": [], "dtw_dist": []}
+                {
+                    "user_id": [],
+                    "n_views": [],
+                    "n_buys": [],
+                    "dtw_dist": [],
+                    "capped": [],
+                }
             )
         vdf = vdf.sort_values(["ts", "event_id"])
         bdf = bdf.sort_values(["ts", "event_id"])
         d = dtw_distance(vdf["value"].to_numpy(), bdf["value"].to_numpy())
+        v_total = int(vdf["side_total"].iloc[0])
+        b_total = int(bdf["side_total"].iloc[0])
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "n_views": [len(vdf)],
-                "n_buys": [len(bdf)],
+                "n_views": [v_total],
+                "n_buys": [b_total],
                 "dtw_dist": [round(d, 4)],
+                "capped": [v_total > _DTW_CAP or b_total > _DTW_CAP],
             }
         )
 
