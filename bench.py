@@ -98,6 +98,14 @@ HEADLINE = [
     "bootstrap_ci",
     "mips_brute",
     "group_split_audit",
+    # round-7 additions (tracked from round 7 on): the served-index
+    # ANN paths (one-off index build amortized into the warm-up pass,
+    # exactly like the memoized trained constants — production serves
+    # from a frozen artifact) and the newly-capped DTW
+    "ivfpq_ann_served",
+    "ivfpq_residual_ann_served",
+    "pq_adc_ann_served",
+    "dtw_behavior_align",
 ]
 
 

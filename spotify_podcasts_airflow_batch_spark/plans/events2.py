@@ -17,11 +17,6 @@ from spotify_podcasts_airflow_batch_spark.functions.hashing import (
 from spotify_podcasts_airflow_batch_spark.plans.registry import register
 from spotify_podcasts_airflow_batch_spark.sources.readers import table
 
-_DTW_SCHEMA = (
-    "user_id long, n_views long, n_buys long, dtw_dist double, "
-    "capped boolean"
-)
-
 # Max sequence length per side fed to the O(n·m) DP. A single hot user
 # with 10^6 events would otherwise run a 10^12-cell DP in one task
 # (VERDICT r6 item 3); with the cap the worst per-user cost is
@@ -71,28 +66,28 @@ def dtw_distance(a, b):
 def dtw_behavior_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E31 — behavioral-shape drift per user: DTW distance between the
     chronological `view`-value sequence and `purchase`-value sequence.
-    The two streams are COGROUPED on user_id (one shuffle each, Arrow-
-    batched into Python once per key group) — the cogrouped
-    ``applyInPandas`` surface, for per-key logic that needs BOTH
-    relations' rows in order and can't be folded into a join or window
-    (the DP recurrence consumes its own output).
+    Each side aggregates JVM-side into ONE ordered value array per
+    user (sort_array over (ts, event_id, value) structs), the two
+    sides join on user_id, and the DP runs in a BATCHED Arrow scalar
+    ``pandas_udf`` — one Python exchange per ~10k-row Arrow batch.
+    This replaced a cogrouped ``applyInPandas`` formulation: cogroup
+    ships one Arrow batch PER KEY GROUP, and at sf0.1 (1.5k users,
+    ~13 events/side) that per-group round trip alone measured 6-7 s
+    with a TRIVIAL udf — 25× the actual DP cost. Per-key Arrow framing
+    is the wrong shape whenever group payloads are small; batch rows,
+    not groups.
 
     Scale design: state is two per-user sequences, never the corpus;
     cost is Σ_u n_u·m_u, bounded by the per-user activity — hot users
-    are capped at ``_DTW_CAP`` events per side JVM-SIDE (before the
-    Arrow transfer, so a hot user bounds both the DP and the batch
-    bytes) via a deterministic md5(event_id)-ranked subsample that is
-    then re-ordered by (ts, event_id); ``n_views``/``n_buys`` report
-    the TRUE pre-cap counts and ``capped`` flags affected users.
-    Sequences order by (ts, event_id) so results are partition-order
-    independent."""
-    # The two cogroup sides MUST come from separate scans: when both
-    # children share one lineage (same attribute exprIds), Spark's
-    # FlatMapCoGroupsInPandas dedups the overlapping attributes and the
-    # right-side pandas frame arrives with ONLY the grouping key —
-    # correct row count, missing every payload column. Surfaced at
-    # sf0.1 (multi-partition plans); single-partition sf0.001 dodges
-    # the dedup path. A second table() call gives fresh exprIds.
+    are capped at ``_DTW_CAP`` events per side JVM-SIDE (before
+    collect_list, so a hot user bounds the DP, the array cell, and
+    the Arrow batch bytes) via a deterministic md5(event_id)-ranked
+    subsample that is then re-ordered by (ts, event_id);
+    ``n_views``/``n_buys`` report the TRUE pre-cap counts and
+    ``capped`` flags affected users. Array ordering comes from
+    sort_array, so results are partition-order independent."""
+    import pandas as pd
+
     from pyspark.sql import Window
 
     from spotify_podcasts_airflow_batch_spark.functions.hashing import (
@@ -101,9 +96,9 @@ def dtw_behavior_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ("user_id", "ts", "event_id", "event_type", "value")
 
-    def side(etype: str) -> DataFrame:
-        # both windows partition on user_id — the cogroup's own key —
-        # so all three exchanges collapse into the one cogroup shuffle
+    def side(etype: str, out: str) -> DataFrame:
+        # cap window, count window and the groupBy all partition on
+        # user_id, so each side is ONE exchange end-to-end
         per_user = Window.partitionBy("user_id")
         by_hash = per_user.orderBy(
             md5_hash60(F.col("event_id").cast("string")), F.col("event_id")
@@ -115,47 +110,40 @@ def dtw_behavior_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("side_total", F.count("*").over(per_user))
             .withColumn("hrn", F.row_number().over(by_hash))
             .where(F.col("hrn") <= _DTW_CAP)
-            .drop("hrn", "event_type")
-        )
-
-    views = side("view")
-    buys = side("purchase")
-
-    def align(key, vdf, bdf):
-        import pandas as pd
-
-        # A key present on only one side cogroups with an EMPTY frame
-        # that carries no column labels — guard before touching columns
-        # (first hit at 10× scale, where some users never purchase).
-        if len(vdf) == 0 or len(bdf) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": [],
-                    "n_views": [],
-                    "n_buys": [],
-                    "dtw_dist": [],
-                    "capped": [],
-                }
+            .groupBy("user_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "value")
+                        )
+                    ),
+                    lambda s: s["value"],
+                ).alias(f"{out}_seq"),
+                F.first("side_total").alias(f"n_{out}"),
             )
-        vdf = vdf.sort_values(["ts", "event_id"])
-        bdf = bdf.sort_values(["ts", "event_id"])
-        d = dtw_distance(vdf["value"].to_numpy(), bdf["value"].to_numpy())
-        v_total = int(vdf["side_total"].iloc[0])
-        b_total = int(bdf["side_total"].iloc[0])
-        return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_views": [v_total],
-                "n_buys": [b_total],
-                "dtw_dist": [round(d, 4)],
-                "capped": [v_total > _DTW_CAP or b_total > _DTW_CAP],
-            }
         )
 
-    return (
-        views.groupBy("user_id")
-        .cogroup(buys.groupBy("user_id"))
-        .applyInPandas(align, schema=_DTW_SCHEMA)
+    def _dtw_batch(va, vb):
+        return pd.Series(
+            [round(dtw_distance(a, b), 4) for a, b in zip(va, vb)],
+            dtype="float64",  # empty batches must still type as double
+        )
+
+    # no type hints: the module-wide `from __future__ import
+    # annotations` turns them into strings pyspark can't resolve here
+    dtw_udf = F.pandas_udf(_dtw_batch, "double")
+
+    # inner join == the old cogroup's both-sides-present semantics
+    joined = side("view", "views").join(side("purchase", "buys"), "user_id")
+    return joined.select(
+        "user_id",
+        "n_views",
+        "n_buys",
+        dtw_udf(F.col("views_seq"), F.col("buys_seq")).alias("dtw_dist"),
+        (
+            (F.col("n_views") > _DTW_CAP) | (F.col("n_buys") > _DTW_CAP)
+        ).alias("capped"),
     )
 
 

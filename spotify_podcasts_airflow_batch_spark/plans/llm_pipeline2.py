@@ -849,9 +849,24 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__hk", hk)
     )
-    parts = keyed.repartitionByRange(
-        _SHUF_RANGES, F.col("__hk"), F.col("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # persist() the range-partitioned relation BEFORE fanning out:
+    # both consumers below (the local-rank window and the per-pid
+    # count offsets) must see the SAME range boundaries and pid
+    # assignments. Without the pin that only holds via Spark's
+    # exchange-reuse rule — if the exchange re-executed (reuse
+    # disabled, plan canonicalization change, sampler divergence
+    # across RDD instantiations), offsets would not match the
+    # window's pids and shard/pos would be silently wrong (ADVICE
+    # r6). The pinned relation is (doc_id, __hk, pid) — 17 bytes/doc,
+    # spillable — and is exactly the relation a production run would
+    # keep anyway between ranking and the partitionBy(shard) write.
+    parts = (
+        keyed.repartitionByRange(
+            _SHUF_RANGES, F.col("__hk"), F.col("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
     local = parts.withColumn(
         "rn",
         F.row_number().over(
@@ -952,7 +967,10 @@ def group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline applied at the group level."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id")
 
-    def split_of(col, prefix):
+    # Both methods hash under the one 'gsplit:' namespace, matching
+    # the oracle: the audit compares HOW the split key is chosen (row
+    # id vs group id), so the hash family itself is held fixed.
+    def split_of(col):
         hk = md5_hash31(
             F.concat(F.lit("gsplit:"), col.cast("string"))
         )
@@ -964,13 +982,13 @@ def group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("row").alias("method"),
         "event_id",
         "user_id",
-        split_of(F.col("event_id"), "e").alias("split"),
+        split_of(F.col("event_id")).alias("split"),
     ).unionByName(
         ev.select(
             F.lit("user").alias("method"),
             "event_id",
             "user_id",
-            split_of(F.col("user_id"), "u").alias("split"),
+            split_of(F.col("user_id")).alias("split"),
         )
     )
     leaky = (

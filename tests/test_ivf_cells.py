@@ -11,6 +11,7 @@ from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
     _EMBED_DIMS,
     _IVFPQ_CELLS,
     _PQ_TRAIN_ITERS,
+    _PQ_TRAIN_MOD,
     ivf_train_cells,
     ivf_train_cells_cached,
 )
@@ -40,7 +41,7 @@ def _py_full_lloyd(vecs: dict[int, list[float]], iters: int):
     xu = {
         vid: [_q(float(x)) for x in v]
         for vid, v in vecs.items()
-        if vid % 4 == 0
+        if vid % _PQ_TRAIN_MOD == 0
     }
     for _ in range(iters):
         assign: dict[int, int] = {}

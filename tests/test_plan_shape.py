@@ -474,3 +474,43 @@ def test_bootstrap_ci_aggregate_is_partial(spark, sf_dir):
     assert "partial_sum" in plan or "HashAggregate" in plan
     lower = plan.lower()
     assert lower.count("hashaggregate") >= 2  # partial + final
+
+
+def test_served_ann_paths_scan_the_materialized_index(spark, sf_dir):
+    """D24c/D28c/D29c: a served plan must READ its code table from the
+    index store — a parquet scan outside the testdata dir — instead of
+    re-encoding the corpus (whose encode projection would put the
+    trained-codebook argmin on the embeddings scan)."""
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _index_store_root,
+    )
+
+    for name in (
+        "pq_adc_ann_served",
+        "ivfpq_ann_served",
+        "ivfpq_residual_ann_served",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert _index_store_root() in plan, name
+        # serving joins stay broadcast; no corpus-sized sort-merge
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dtw_cap_compiles_to_window_group_limit(spark, sf_dir):
+    """E31: the 512-per-side cap must prune via WindowGroupLimit on
+    the existing per-side shuffle — one exchange per cogroup side,
+    no extra exchange introduced by the cap."""
+    plan = plan_of(spark, sf_dir, "dtw_behavior_align")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_shuffle_shards_pins_range_partitions_once(spark, sf_dir):
+    """C63: both fan-out consumers (local ranks, per-pid offsets) must
+    read the persist()ed range-partitioned relation, not re-run the
+    range sampler (ADVICE r6: exchange reuse is an optimization, not
+    a correctness contract)."""
+    df = QUERIES["corpus_shuffle_shards"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
