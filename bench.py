@@ -105,6 +105,8 @@ HEADLINE = [
     "ivfpq_ann_served",
     "ivfpq_residual_ann_served",
     "pq_adc_ann_served",
+    "sq8_ann_served",
+    "ivfpq_exact_rerank",
     "dtw_behavior_align",
 ]
 

@@ -1662,13 +1662,14 @@ def _ivf_lloyd_sql() -> str:
     return ", ".join(parts)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(k: int = _IVFPQ_K) -> str:
     """IVF-PQ serving twin: TRAINED integer micro-unit coarse
     assignment (the unrolled full-vector Lloyd chain _ivf_lloyd_sql —
     the kmeans_audit discipline, zero float risk in candidate
     generation) + the trained-PQ encode/ADC tail filtered to probed
     cells. The PQ Lloyd chain supplies ``cb``; the coarse chain
-    supplies ``ccents``."""
+    supplies ``ccents``. ``k`` is the per-query cut (default the D28
+    top-k; D28d passes its shortlist depth)."""
     dims = range(_EMBED_DIMS)
 
     def qx(e: str) -> str:
@@ -1731,7 +1732,7 @@ def _ivfpq_oracle() -> str:
     )
     SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
            round(score_u / 1e6, 6) + 0 AS adc_dist
-    FROM ranked WHERE rank <= {_IVFPQ_K}
+    FROM ranked WHERE rank <= {k}
     """
 
 
@@ -1788,11 +1789,15 @@ def _ivfpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_serve(
-    spark: SparkSession, sf_dir: str, encoded: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    encoded: DataFrame,
+    k: int = _IVFPQ_K,
 ) -> DataFrame:
     """The D28 serving tail over any index relation (inline-encoded or
     materialized): probe-cell ranking, broadcast ADC tables, salted
-    two-stage top-k."""
+    two-stage top-k. ``k`` is the per-query cut (default the D28
+    top-k; D28d passes its shortlist depth)."""
     from pyspark.sql import Window
 
     cents = pq_train_codebook_cached(spark, sf_dir)
@@ -1831,9 +1836,9 @@ def _ivfpq_serve(
     final = Window.partitionBy("query_id").orderBy("score_u", "vec_id")
     return (
         scored.withColumn("__srn", F.row_number().over(salted))
-        .where(F.col("__srn") <= _IVFPQ_K)
+        .where(F.col("__srn") <= k)
         .withColumn("rank", F.row_number().over(final))
-        .where(F.col("rank") <= _IVFPQ_K)
+        .where(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("rank").cast("int").alias("rank"),
@@ -1915,30 +1920,48 @@ def _index_store_root() -> str:
 
 
 def materialized_index_path(
-    spark: SparkSession, sf_dir: str, name: str, build
+    spark: SparkSession, sf_dir: str, name: str, build, partition_by=None
 ) -> str:
     """Path of the ``name`` index parquet for ``sf_dir``'s embeddings,
     building it via ``build() -> DataFrame`` on first use (or when the
-    memoized path no longer holds data)."""
+    memoized path no longer holds data). ``partition_by`` lays the
+    index out hive-partitioned on that column — the 100 TB layout for
+    cell-restricted serving (see ivfpq_index_path)."""
     import hashlib
     import os
 
     key = (_embeddings_fingerprint(sf_dir), name)
     path = _INDEX_STORE_CACHE.get(key)
-    if path is not None and os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
+    # a partitioned write leaves only _SUCCESS + cell_id=*/ dirs at the
+    # top level, so validate on the success marker, not *.parquet
+    if path is not None and os.path.isfile(
+        os.path.join(path, "_SUCCESS")
     ):
         return path
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     path = os.path.join(_index_store_root(), f"{name}_{digest}")
-    build().write.mode("overwrite").parquet(path)
+    w = build().write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
     _INDEX_STORE_CACHE[key] = path
     return path
 
 
 def ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """The D28c index, hive-partitioned BY CELL: serving joins the
+    broadcast probe-cell list on the partition column, so Spark's
+    dynamic partition pruning restricts the scan to probed cells —
+    the plan carries a dynamicpruning subquery on the index scan's
+    PartitionFilters (pinned in tests/test_plan_shape.py). At 100 TB
+    this is the lake layout where per-query serving cost is probed
+    occupancy by CONSTRUCTION: unprobed cells are never read."""
     return materialized_index_path(
-        spark, sf_dir, "ivfpq", lambda: _ivfpq_encoded(spark, sf_dir)
+        spark,
+        sf_dir,
+        "ivfpq",
+        lambda: _ivfpq_encoded(spark, sf_dir),
+        partition_by="cell_id",
     )
 
 
@@ -1968,14 +1991,25 @@ def ivfpq_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_serve(spark, sf_dir, encoded)
 
 
-def _ivfpq_recall_oracle() -> str:
+# ADC shortlist depth before the exact rerank (D28d): 3x the final
+# top-k, the usual production ratio — deep enough to recover most
+# code-distortion misses, shallow enough that the exact pass touches
+# 30 vectors/query instead of the corpus.
+_RERANK_SHORT = 30
+
+
+def _ivfpq_recall_oracle(cand_sql: str | None = None) -> str:
     # self-exclusion on BOTH the candidate and the exact side (the
     # D27 vec_id <> query_id discipline): the query is a corpus member
     # and its own cell is always probed, so without it every query
-    # gets a guaranteed self-hit inflating recall_bp (ADVICE r5)
+    # gets a guaranteed self-hit inflating recall_bp (ADVICE r5).
+    # ``cand_sql`` swaps in a different candidate relation (D28e uses
+    # the exact-rerank output) against the SAME exact reference.
+    if cand_sql is None:
+        cand_sql = _ivfpq_oracle()
     return f"""
     WITH cand AS MATERIALIZED (
-        SELECT * FROM ({_ivfpq_oracle()})
+        SELECT * FROM ({cand_sql})
         WHERE vec_id <> query_id
     ),
     q AS (
@@ -2007,6 +2041,148 @@ def _ivfpq_recall_oracle() -> str:
                AS recall_bp
     FROM q LEFT JOIN hits h ON h.query_id = q.query_id
     """
+
+
+def _ivfpq_rerank_oracle() -> str:
+    dims = range(_EMBED_DIMS)
+
+    def qx(e: str) -> str:
+        return f"CAST(round(CAST({e} AS DOUBLE) * 1e6, 0) AS BIGINT)"
+
+    d2u = " + ".join(
+        f"({qx(f'qe.embedding[{j + 1}]')} - {qx(f'ce.embedding[{j + 1}]')})"
+        f" * ({qx(f'qe.embedding[{j + 1}]')} - {qx(f'ce.embedding[{j + 1}]')})"
+        for j in dims
+    )
+    return f"""
+    WITH short AS MATERIALIZED (
+        SELECT query_id, vec_id FROM ({_ivfpq_oracle(_RERANK_SHORT)})
+    ),
+    rescored AS (
+        SELECT s.query_id, s.vec_id, ({d2u}) AS d2u
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.vec_id
+    ),
+    rranked AS (
+        SELECT query_id, vec_id, d2u,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY d2u, vec_id
+               ) AS rank
+        FROM rescored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           round(d2u / 1e12, 6) + 0 AS exact_dist
+    FROM rranked WHERE rank <= {_IVFPQ_K}
+    """
+
+
+@register("ivfpq_exact_rerank", oracle=_ivfpq_rerank_oracle())
+def ivfpq_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28d — IVF-PQ retrieve + EXACT rerank, the two-stage serving
+    pattern production ANN actually runs (FAISS refine / DiskANN
+    rerank): the served code table supplies a cheap ADC shortlist
+    (3x the final k), then ONLY the shortlisted vectors are re-scored
+    against the raw embeddings at full precision and the top-k is cut
+    on the exact distance. Code distortion stops costing recall and
+    starts costing only shortlist depth — D28e measures exactly what
+    that buys over raw ADC ranking (D28b) at identical probe cost.
+
+    Scale shape: the rerank side is shortlist-sized, never
+    corpus-sized — the |queries|x30 id list broadcasts onto the raw
+    embeddings scan (one broadcast hash join), so full-precision
+    vectors are touched for 30 rows/query regardless of corpus size;
+    the exact distance is the integer micro-unit L2 (BIGINT,
+    structural cross-engine equality, 1e-12 units like D29)."""
+    from pyspark.sql import Window
+
+    cents = pq_train_codebook_cached(spark, sf_dir)
+    if not cents or not cents[0]:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, rank int, vec_id bigint, exact_dist double",
+        )
+    encoded = spark.read.parquet(ivfpq_index_path(spark, sf_dir))
+    short = _ivfpq_serve(spark, sf_dir, encoded, k=_RERANK_SHORT).select(
+        "query_id", "vec_id"
+    )
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = F.broadcast(
+        e_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            _ivfpq_xu_of(F.col("embedding")).alias("__qu"),
+        )
+    )
+    cand = (
+        F.broadcast(short)
+        .join(e_1t, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _ivfpq_xu_of(F.col("embedding")).alias("__cu"),
+        )
+    )
+    scored = cand.join(qv, "query_id").select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("__cu", "__qu", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2u"),
+    )
+    final = Window.partitionBy("query_id").orderBy("d2u", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= _IVFPQ_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            (F.round(F.col("d2u") / 1e12, 6) + F.lit(0.0)).alias(
+                "exact_dist"
+            ),
+        )
+    )
+
+
+@register(
+    "ivfpq_rerank_recall",
+    oracle=_ivfpq_recall_oracle(_ivfpq_rerank_oracle()),
+)
+def ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28e — recall@10 of the rerank pipeline (D28d) against exact
+    L2, self-excluded like D28b: the dial that prices the rerank
+    stage. Read against D28b (raw ADC ranking at the same
+    cells/nprobe/codebook): the delta IS what 30 exact distance
+    computations per query buy back from code distortion — on this
+    corpus at sf0.1 it recovers most of it (see SURVEY §6). Same
+    exact reference, same report shape as the other recall dials."""
+    cand = (
+        ivfpq_exact_rerank(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    emb_1t = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qdf = emb_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _pq_exact_topk(emb_1t, qdf=qdf, k=_IVFPQ_K, exclude_self=True)
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = qdf.select("query_id")
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_IVFPQ_K}").alias(
+            "recall_bp"
+        ),
+    )
 
 
 @register("ivfpq_recall", oracle=_ivfpq_recall_oracle())
@@ -2682,8 +2858,14 @@ def ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    # cell-partitioned like ivfpq_index_path: dynamic partition
+    # pruning restricts the serving scan to probed cells
     return materialized_index_path(
-        spark, sf_dir, "rpq", lambda: _rpq_encoded(spark, sf_dir)
+        spark,
+        sf_dir,
+        "rpq",
+        lambda: _rpq_encoded(spark, sf_dir),
+        partition_by="cell_id",
     )
 
 
@@ -2876,23 +3058,34 @@ def sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe rows against the encoded corpus and runs the salted
     two-stage top-k. Index size: 64 B/vector + one 128-number bounds
     row — at 100 TB the byte codes are the only thing serving ever
-    scans."""
-    from pyspark.sql import Window
+    scans. (This inline form re-derives bounds and codes per run;
+    D31c ``sq8_ann_served`` materializes them once — identical rows,
+    same oracle.)"""
+    encoded = _sq8_encoded(spark, sf_dir)
+    return _sq8_serve(spark, sf_dir, encoded)
 
+
+def _sq8_xu_of(col):
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.round(x * _SQ_SCALE, 0).cast("long"),
+    )
+
+
+def _sq8_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D31 index relation (vec_id, mns, mxs, codes): per-dim byte
+    codes plus the global bounds constant carried on every row (RLE
+    compresses the constant columns to nothing in parquet, and
+    keeping them beside the codes makes the index self-contained —
+    production's frozen SQ artifact is exactly codes + bounds)."""
     e = table(spark, sf_dir, "embeddings", fan_out="force").select(
         "vec_id", "embedding"
     )
     e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def xu_of(col):
-        return F.transform(
-            col.cast("array<double>"),
-            lambda x: F.round(x * _SQ_SCALE, 0).cast("long"),
-        )
-
     dims = range(_EMBED_DIMS)
     bounds_row = F.broadcast(
-        e_1t.select(xu_of(F.col("embedding")).alias("__xu"))
+        e_1t.select(_sq8_xu_of(F.col("embedding")).alias("__xu"))
         .agg(
             *[F.min(F.element_at("__xu", j + 1)).alias(f"mn{j}") for j in dims],
             *[F.max(F.element_at("__xu", j + 1)).alias(f"mx{j}") for j in dims],
@@ -2905,9 +3098,9 @@ def sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # integer floor-division: numerator is nonnegative (x >= min), so
     # Spark's truncating `div` equals DuckDB's `//` here
-    encoded = (
+    return (
         e.crossJoin(bounds_row)
-        .withColumn("__xu", xu_of(F.col("embedding")))
+        .withColumn("__xu", _sq8_xu_of(F.col("embedding")))
         .select(
             "vec_id",
             "mns",
@@ -2923,12 +3116,22 @@ def sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes"),
         )
     )
+
+
+def _sq8_serve(
+    spark: SparkSession, sf_dir: str, encoded: DataFrame
+) -> DataFrame:
+    """The D31 serving tail over any (vec_id, mns, mxs, codes)
+    relation — inline-encoded or materialized."""
+    from pyspark.sql import Window
+
+    e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probes = F.broadcast(
         e_1t.orderBy("vec_id")
         .limit(_PQ_NQ)
         .select(
             F.col("vec_id").alias("query_id"),
-            xu_of(F.col("embedding")).alias("__qu"),
+            _sq8_xu_of(F.col("embedding")).alias("__qu"),
         )
     )
     scored = probes.join(encoded).select(
@@ -2963,6 +3166,26 @@ def sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_su").cast("long").alias("score_su"),
         )
     )
+
+
+def sq8_index_path(spark: SparkSession, sf_dir: str) -> str:
+    return materialized_index_path(
+        spark, sf_dir, "sq8", lambda: _sq8_encoded(spark, sf_dir)
+    )
+
+
+@register("sq8_ann_served", oracle=_sq8_oracle())
+def sq8_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D31c — SQ8 serving from a MATERIALIZED code table: completes
+    the encode-vs-serve split across the whole quantizer family (D24c
+    flat PQ, D28c IVF-PQ, D29c residual IVF-PQ, here the codebook-free
+    control). The one-off build writes (vec_id, mns, mxs, codes) —
+    byte codes plus the RLE-compressed global bounds, the frozen SQ
+    artifact production ships — and every run after scans codes only:
+    no bounds rollup over the raw corpus, no re-encode. Identical rows
+    to D31 under the identical oracle."""
+    encoded = spark.read.parquet(sq8_index_path(spark, sf_dir))
+    return _sq8_serve(spark, sf_dir, encoded)
 
 
 @register("sq8_recall", oracle=_pq_recall_oracle(_sq8_oracle()))

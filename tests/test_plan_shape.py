@@ -497,6 +497,16 @@ def test_served_ann_paths_scan_the_materialized_index(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_cell_partitioned_index_prunes_dynamically(spark, sf_dir):
+    """D28c/D29c: the index is hive-partitioned by cell_id and the
+    probe-cell join runs dynamic partition pruning — the index scan's
+    PartitionFilters must carry a dynamicpruning subquery, so at scale
+    unprobed cells are never read."""
+    for name in ("ivfpq_ann_served", "ivfpq_residual_ann_served"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "dynamicpruning" in plan.lower(), name
+
+
 def test_dtw_cap_compiles_to_window_group_limit(spark, sf_dir):
     """E31: the 512-per-side cap must prune via WindowGroupLimit on
     the existing per-side shuffle — one exchange per cogroup side,
