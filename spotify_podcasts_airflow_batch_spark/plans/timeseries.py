@@ -824,6 +824,80 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- E65
+@register(
+    "anova_f",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        GROUP BY event_type
+    ),
+    g AS (
+        SELECT count(*) AS k,
+               sum(n) AS n_tot,
+               sum(n * m) AS snm,
+               sum(n * m * m) AS snmm,
+               sum((n - 1) * v) AS ssw
+        FROM s
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_tot AS BIGINT) AS n_total,
+           round(((snmm - snm * snm / n_tot) / (k - 1))
+                 / (ssw / (n_tot - k)), 4) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_tot - k AS BIGINT) AS df_within,
+           round((snmm - snm * snm / n_tot)
+                 / ((snmm - snm * snm / n_tot) + ssw), 6) AS eta_sq
+    FROM g
+    """,
+)
+def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E65 — one-way ANOVA across ALL event types (k-group extension
+    of E37's two-arm Welch test): does value differ by event_type at
+    all, before pairwise tests say where? F = MS_between / MS_within
+    plus the eta-squared effect size. The k-group sums of squares
+    reduce ALGEBRAICALLY to per-group (n, mean, var_samp) — one
+    map-side-combinable aggregate per group, then
+    SS_b = Σ n·m² − (Σ n·m)²/N over the k-row relation — so at 100 TB
+    the whole test is one scan with constant per-task state, the E37
+    shape generalized. Same cross-engine discipline: identical
+    streaming aggregate forms, identical formula text, round absorbs
+    ulps."""
+    s = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    g = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("n") * F.col("m")).alias("snm"),
+        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("snmm"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+    )
+    ssb = F.col("snmm") - F.col("snm") * F.col("snm") / F.col("n_tot")
+    return g.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_tot").cast("long").alias("n_total"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
 # ---------------------------------------------------------------- E38
 @register(
     "ols_trend",
