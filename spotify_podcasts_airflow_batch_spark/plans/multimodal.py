@@ -165,3 +165,107 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode("counts").alias("bin_idx", "n_bytes_in_bin"),
     )
+
+
+@register(
+    "media_dedup",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(text) AS payload_md5 FROM documents
+    ),
+    g AS (
+        SELECT payload_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM h GROUP BY payload_md5
+    )
+    SELECT h.doc_id, h.payload_md5, g.keep_id,
+           CAST(g.n_copies AS BIGINT) AS n_copies,
+           h.doc_id = g.keep_id AS is_kept
+    FROM h JOIN g USING (payload_md5)
+    """,
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — exact media dedup by CONTENT DIGEST: the image/audio twin
+    of C4's text dedup — identical payload bytes keep one canonical
+    copy (lowest doc_id), every row reports its digest group's keeper
+    and size. Digesting is JVM-side md5 over the binary column (the
+    payload never crosses into Python); the group rollup shuffles
+    16-byte digests, not payloads — at 100 TB of media the shuffle
+    carries ~1/10^6 of the corpus bytes, which is the only shape
+    content-dedup can afford at that scale."""
+    h = attach_media(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("payload").alias("payload_md5")
+    )
+    g = h.groupBy("payload_md5").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return h.join(g, "payload_md5").select(
+        "doc_id",
+        "payload_md5",
+        "keep_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+    )
+
+
+_MEDIA_CHUNK = 4096  # bytes per transfer/processing chunk
+
+
+@register(
+    "media_chunk_plan",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_bytes,
+               CAST(unnest(range(0,
+                   (n_bytes + {_MEDIA_CHUNK - 1}) // {_MEDIA_CHUNK}))
+                   AS INT) AS chunk_idx
+        FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * {_MEDIA_CHUNK} AS BIGINT) AS byte_offset,
+           CAST(least({_MEDIA_CHUNK},
+                      n_bytes - chunk_idx * {_MEDIA_CHUNK}) AS BIGINT)
+               AS n_chunk_bytes
+    FROM c
+    """,
+)
+def media_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — byte-range chunk planning for large payloads: every
+    payload splits into fixed 4 KiB ranges (offset + length per
+    chunk), the plan a loader uses to stream media through
+    bounded-memory decode/transfer without materializing whole files.
+    The expansion is a JVM-side explode of a generated sequence over
+    the LENGTH only — payload bytes are never touched, so the plan
+    costs the same whether chunks are 4 KiB of 100 TB of video or of
+    synthesized test bytes (the F3 frame-sampling discipline applied
+    to the byte axis). Zero-byte payloads produce no chunks on both
+    engines."""
+    d = attach_media(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.length("payload").alias("n_bytes")
+    )
+    n_chunks = F.ceil(F.col("n_bytes") / F.lit(_MEDIA_CHUNK)).cast("int")
+    return (
+        d.where(F.col("n_bytes") > 0)
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * _MEDIA_CHUNK).alias(
+                "byte_offset"
+            ),
+            F.least(
+                F.lit(_MEDIA_CHUNK).cast("long"),
+                F.col("n_bytes") - F.col("chunk_idx") * _MEDIA_CHUNK,
+            ).alias("n_chunk_bytes"),
+        )
+    )
