@@ -1,0 +1,478 @@
+"""Experimentation / hypothesis-testing statistics beyond the basic
+two-sample tests (SURVEY.md §2 E66-E69) — the second tier of an
+in-engine A/B analysis stack: variance-homogeneity screening
+(Brown–Forsythe), ordinal association on binned contingency tables
+(Goodman–Kruskal gamma / Kendall tau-b), CUPED variance reduction
+with a pre-period covariate, and power / minimum-detectable-effect
+planning from observed moments. Everything reduces to algebraic
+one-pass aggregate state plus scalar math on tiny relations, so each
+test costs one scan at any fact size — the E37/E65 discipline
+extended to the rest of the experimentation toolbox.
+
+Reference parity: the reference publishes daily chart observations
+(`spotify_eps_dag.py`) whose consumers run exactly these
+notebook-style analyses downstream; here they run distributed, inside
+the engine, over the raw events instead of an extracted CSV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+    md5_hash31,
+    oracle_hash31,
+)
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+
+# ---------------------------------------------------------------- E66
+@register(
+    "levene_bf",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT e.event_type, abs(e.value - med.med) AS z
+        FROM events e JOIN med USING (event_type)
+    ),
+    s AS (
+        SELECT event_type,
+               count(*) AS n, avg(z) AS m, var_samp(z) AS v
+        FROM z GROUP BY event_type
+    ),
+    g AS (
+        SELECT count(*) AS k, sum(n) AS n_tot,
+               sum(n * m) AS snm, sum(n * m * m) AS snmm,
+               sum((n - 1) * v) AS ssw
+        FROM s
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_tot AS BIGINT) AS n_total,
+           round(((snmm - snm * snm / n_tot) / (k - 1))
+                 / (ssw / (n_tot - k)), 4) AS bf_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_tot - k AS BIGINT) AS df_within
+    FROM g
+    """,
+)
+def levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E66 — Brown–Forsythe homogeneity-of-variance test across event
+    types: ANOVA's equal-variance assumption, tested before trusting
+    E65's F (and the robust, median-centred variant of Levene's test —
+    deviations from the group MEDIAN, not the mean, so heavy tails
+    don't masquerade as variance differences). Two scans: one exact
+    per-group median (interpolating percentile — a selection, so
+    order-independent and bit-identical across engines), then the E65
+    one-way-ANOVA algebra applied to |value − median| with the group
+    medians joined back as a broadcast k-row relation. At 100 TB the
+    second pass carries constant per-task aggregate state; the first
+    is the same exact-percentile cost B17/`quantiles` already prices.
+    Identical formula text in both engines; round absorbs ulps."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    s = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("z").alias("m"),
+        F.var_samp("z").alias("v"),
+    )
+    g = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("n") * F.col("m")).alias("snm"),
+        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("snmm"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+    )
+    ssb = F.col("snmm") - F.col("snm") * F.col("snm") / F.col("n_tot")
+    return g.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_tot").cast("long").alias("n_total"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            4,
+        ).alias("bf_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
+    )
+
+
+# ---------------------------------------------------------------- E67
+_RANK_BINS = 8  # equi-width value bins for the contingency table
+
+
+@register(
+    "rank_assoc_binned",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ),
+    binned AS (
+        SELECT hour(ts) AS xb,
+               CAST(least(floor((value - bounds.vmin)
+                                / ((bounds.vmax - bounds.vmin)
+                                   / {_RANK_BINS})),
+                          {_RANK_BINS - 1}) AS BIGINT) AS yb
+        FROM events, bounds
+    ),
+    cells AS (
+        SELECT xb, yb, count(*) AS n FROM binned GROUP BY xb, yb
+    ),
+    pairs AS (
+        SELECT
+            CAST(sum(CASE WHEN c2.xb > c1.xb AND c2.yb > c1.yb
+                     THEN c1.n * c2.n ELSE 0 END) AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN c2.xb > c1.xb AND c2.yb < c1.yb
+                     THEN c1.n * c2.n ELSE 0 END) AS BIGINT) AS disc
+        FROM cells c1, cells c2
+    ),
+    ties AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+               CAST(sum(n) * (sum(n) - 1) / 2 AS BIGINT) AS t0,
+               CAST((SELECT sum(nx * (nx - 1) / 2) FROM (
+                    SELECT sum(n) AS nx FROM cells GROUP BY xb))
+                    AS BIGINT) AS t1,
+               CAST((SELECT sum(ny * (ny - 1) / 2) FROM (
+                    SELECT sum(n) AS ny FROM cells GROUP BY yb))
+                    AS BIGINT) AS t2
+        FROM cells
+    )
+    SELECT n_tot AS n_total, conc AS concordant, disc AS discordant,
+           round(CAST(conc - disc AS DOUBLE) / (conc + disc), 6)
+               AS gamma,
+           round(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(t0 - t1 AS DOUBLE)
+                        * CAST(t0 - t2 AS DOUBLE)), 6) AS tau_b
+    FROM pairs, ties
+    """,
+)
+def rank_assoc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E67 — ordinal association between hour-of-day and value via a
+    binned contingency table: Goodman–Kruskal gamma and Kendall tau-b
+    computed EXACTLY on the (hour × {bins} equi-width value bins)
+    grid. Naive Kendall is O(n²) pairs; on a contingency table the
+    concordant/discordant counts collapse to a cells×cells join —
+    ≤192² rows regardless of fact size — so the whole test is one
+    map-side-combinable groupBy plus scalar math on a tiny broadcast
+    relation (Spark plans the theta self-join as a
+    BroadcastNestedLoopJoin over ≤192 rows). Pair counts stay exact in
+    int64 up to ~1e9 rows (n(n−1)/2 < 2⁶³); beyond that cast the
+    products to double (DuckDB silently escalates to HUGEINT — the
+    kmeans_audit int64-headroom lesson). Bin edges derive from exact
+    global min/max (order-independent aggregates), so both engines
+    compute identical doubles through the same IEEE expression text.
+    """
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(_RANK_BINS)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.hour("ts").alias("xb"),
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width),
+            F.lit(_RANK_BINS - 1),
+        )
+        .cast("long")
+        .alias("yb"),
+    )
+    cells = binned.groupBy("xb", "yb").agg(F.count(F.lit(1)).alias("n"))
+    c1 = cells.alias("c1")
+    c2 = cells.alias("c2")
+    pairs = c1.crossJoin(F.broadcast(c2)).agg(
+        F.sum(
+            F.when(
+                (F.col("c2.xb") > F.col("c1.xb"))
+                & (F.col("c2.yb") > F.col("c1.yb")),
+                F.col("c1.n") * F.col("c2.n"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("c2.xb") > F.col("c1.xb"))
+                & (F.col("c2.yb") < F.col("c1.yb")),
+                F.col("c1.n") * F.col("c2.n"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    xm = cells.groupBy("xb").agg(F.sum("n").alias("nx"))
+    ym = cells.groupBy("yb").agg(F.sum("n").alias("ny"))
+    ties = (
+        cells.agg(
+            F.sum("n").cast("long").alias("n_tot"),
+            (F.sum("n") * (F.sum("n") - 1) / 2).cast("long").alias("t0"),
+        )
+        .crossJoin(
+            F.broadcast(
+                xm.agg(
+                    F.sum(F.col("nx") * (F.col("nx") - 1) / 2)
+                    .cast("long")
+                    .alias("t1")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ym.agg(
+                    F.sum(F.col("ny") * (F.col("ny") - 1) / 2)
+                    .cast("long")
+                    .alias("t2")
+                )
+            )
+        )
+    )
+    return pairs.crossJoin(F.broadcast(ties)).select(
+        F.col("n_tot").alias("n_total"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / (F.col("conc") + F.col("disc")),
+            6,
+        ).alias("gamma"),
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (F.col("t0") - F.col("t1")).cast("double")
+                * (F.col("t0") - F.col("t2")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------- E68
+_CUPED_ARM = oracle_hash31("'cuped:' || CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "cuped_adjust",
+    oracle=f"""
+    WITH span AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+    ),
+    mid AS (SELECT lo + (hi - lo) // 2 AS m FROM span),
+    per_user AS (
+        SELECT user_id,
+               {_CUPED_ARM} % 2 AS arm,
+               sum(CASE WHEN epoch_us(ts) < mid.m THEN value
+                        ELSE 0 END) AS x,
+               sum(CASE WHEN epoch_us(ts) >= mid.m THEN value
+                        ELSE 0 END) AS y
+        FROM events, mid
+        GROUP BY user_id, mid.m
+    ),
+    pooled AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS theta,
+               avg(x) AS xbar
+        FROM per_user
+    ),
+    adj AS (
+        SELECT u.arm, u.y,
+               u.y - pooled.theta * (u.x - pooled.xbar) AS y_adj,
+               pooled.theta AS theta
+        FROM per_user u, pooled
+    ),
+    vr AS (
+        SELECT 1 - var_pop(y_adj) / var_pop(y) AS var_reduction
+        FROM adj
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y), 4) AS mean_y,
+           round(avg(y_adj), 4) AS mean_y_adj,
+           round(any_value(theta), 6) AS theta,
+           round(any_value(vr.var_reduction), 6) AS var_reduction
+    FROM adj, vr
+    GROUP BY arm
+    ORDER BY arm
+    """,
+)
+def cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E68 — CUPED variance reduction (Deng et al., WSDM'13): adjust
+    each user's experiment-period outcome with their pre-period
+    covariate, y_adj = y − θ(x − x̄), θ = cov(x,y)/var(x) pooled. The
+    observation span is split at its midpoint (exact integer-µs
+    arithmetic on order-independent min/max, so both engines cut the
+    same instant); per-user pre/post sums are ONE conditional
+    aggregate pass; θ and x̄ are one more algebraic aggregate over the
+    per-user relation, broadcast back as a 1-row constant. Three
+    map-side-combinable scans of user-grain state — at 100 TB the
+    per-user relation is the only shuffle, keyed on user_id, and every
+    moment (covar_pop, var_pop) is constant-size streaming state.
+    Reports per-arm raw vs adjusted means plus the pooled θ and the
+    variance-reduction fraction CUPED buys (the % of experiment
+    runtime saved at equal power). Arms are the deterministic
+    hash-split discipline of C64 `group_split_audit`."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) / 2).cast("long")
+        ).alias("m")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") < F.col("m"), F.col("value")
+                ).otherwise(F.lit(0.0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") >= F.col("m"), F.col("value")
+                ).otherwise(F.lit(0.0))
+            ).alias("y"),
+        )
+        .select(
+            (
+                md5_hash31(
+                    F.concat(
+                        F.lit("cuped:"), F.col("user_id").cast("string")
+                    )
+                )
+                % 2
+            ).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    pooled = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        "y",
+        (
+            F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))
+        ).alias("y_adj"),
+        "theta",
+    )
+    vr = adj.agg(
+        (1 - F.var_pop("y_adj") / F.var_pop("y")).alias("var_reduction")
+    )
+    return (
+        adj.crossJoin(F.broadcast(vr))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg("y_adj"), 4).alias("mean_y_adj"),
+            F.round(F.any_value("theta"), 6).alias("theta"),
+            F.round(F.any_value("var_reduction"), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n_users",
+            "mean_y",
+            "mean_y_adj",
+            "theta",
+            "var_reduction",
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------- E69
+_Z_975 = 1.959963984540054  # Φ⁻¹(0.975): two-sided α = 0.05
+_Z_80 = 0.8416212335729143  # Φ⁻¹(0.80): power = 0.80
+_REL_LIFT = 0.05  # planning target: detect a 5% lift on control mean
+
+
+@register(
+    "power_mde",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, count(*) AS n, avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY event_type
+    ),
+    a AS (SELECT n AS n_a, m AS m_a, v AS v_a FROM s
+          WHERE event_type = 'view'),
+    b AS (SELECT n AS n_b, v AS v_b FROM s
+          WHERE event_type = 'purchase')
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(m_a, 4) AS control_mean,
+           round(({_Z_975} + {_Z_80})
+                 * sqrt(v_a / n_a + v_b / n_b), 4) AS mde_abs,
+           round(({_Z_975} + {_Z_80})
+                 * sqrt(v_a / n_a + v_b / n_b) / m_a, 6) AS mde_rel,
+           CAST(ceil(({_Z_975} + {_Z_80}) * ({_Z_975} + {_Z_80})
+                     * (v_a + v_b)
+                     / (({_REL_LIFT} * m_a) * ({_REL_LIFT} * m_a)))
+                AS BIGINT) AS n_per_arm_5pct
+    FROM a, b
+    """,
+)
+def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E69 — power analysis from observed moments: the minimum
+    detectable effect at the CURRENT sample sizes (α=0.05 two-sided,
+    power 0.80) and the per-arm n needed to detect a 5% lift on the
+    control mean — the 'how long must this experiment run' planning
+    query, answered in-engine from the same (n, mean, var) sufficient
+    statistics E37's Welch test already computes. One
+    map-side-combinable aggregate per arm, then pure scalar algebra
+    with the normal quantiles as literals — identical constant text in
+    both engines, so the doubles agree bit-for-bit before rounding.
+    At 100 TB: one scan, two aggregate rows, zero additional shuffle
+    state."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = s.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("v").alias("v_b")
+    )
+    zsum = F.lit(_Z_975) + F.lit(_Z_80)
+    mde = zsum * F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    delta = F.lit(_REL_LIFT) * F.col("m_a")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("m_a"), 4).alias("control_mean"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("m_a"), 6).alias("mde_rel"),
+        F.ceil(
+            zsum * zsum * (F.col("v_a") + F.col("v_b")) / (delta * delta)
+        )
+        .cast("long")
+        .alias("n_per_arm_5pct"),
+    )
