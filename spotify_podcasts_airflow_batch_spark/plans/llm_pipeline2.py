@@ -1029,3 +1029,71 @@ def group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- C65
+_CTX_LENGTHS = (64, 256, 1024)  # context windows priced by the plan
+
+
+@register(
+    "truncation_loss",
+    oracle=f"""
+    WITH lens AS (
+        SELECT unnest([{", ".join(str(c) for c in _CTX_LENGTHS)}]) AS ctx
+    ),
+    toks AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    )
+    SELECT source, ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens > ctx THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_truncated,
+           CAST(sum(greatest(n_tokens - ctx, 0)) AS BIGINT)
+               AS tokens_lost,
+           round(CAST(sum(greatest(n_tokens - ctx, 0)) AS DOUBLE)
+                 / sum(n_tokens), 6) AS loss_rate
+    FROM toks, lens
+    GROUP BY source, ctx
+    """,
+)
+def truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C65 — context-window truncation loss per source: for each
+    candidate training context length, how many documents exceed it
+    and what fraction of the corpus' tokens a hard truncation throws
+    away — the planning table behind choosing a context length (and
+    behind deciding which sources need chunking, C-doc_chunk, instead
+    of truncation). One scan computes per-doc whitespace token counts
+    (the C42 convention), a 3-row lengths relation fans each doc to
+    its (source, ctx) cells, and the rollup is one
+    map-side-combinable aggregate — shuffle rows = sources × context
+    lengths at any corpus size. All counts integer; the single double
+    division is identical text in both engines."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    lens = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _CTX_LENGTHS])
+        ).alias("ctx")
+    )
+    lost = F.greatest(F.col("n_tokens") - F.col("ctx"), F.lit(0))
+    return (
+        d.crossJoin(F.broadcast(lens))
+        .groupBy("source", "ctx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_tokens") > F.col("ctx"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_truncated"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            F.round(
+                F.sum(lost).cast("double") / F.sum("n_tokens"), 6
+            ).alias("loss_rate"),
+        )
+    )
