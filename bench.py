@@ -108,6 +108,16 @@ HEADLINE = [
     "sq8_ann_served",
     "ivfpq_exact_rerank",
     "dtw_behavior_align",
+    # round-7 late wave: experimentation stats, vector serving,
+    # training-data planning
+    "levene_bf",
+    "rank_assoc_binned",
+    "cuped_adjust",
+    "power_mde",
+    "truncation_loss",
+    "ann_filtered",
+    "centroid_drift",
+    "mmr_diversify",
 ]
 
 
