@@ -118,6 +118,7 @@ HEADLINE = [
     "ann_filtered",
     "centroid_drift",
     "mmr_diversify",
+    "hybrid_rrf_fusion",
 ]
 
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spotify_podcasts_airflow_batch_spark.functions.vectors import cosine
 from spotify_podcasts_airflow_batch_spark.operators.similarity import (
     knn_brute_force,
 )
@@ -265,110 +264,218 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Goldstein, SIGIR'98): retrieve a top-8 shortlist per probe with
     the exact GEMM scan (D1), then greedily pick 4 results maximizing
     λ·relevance − (1−λ)·max-similarity-to-already-picked — the
-    standard diversity re-rank between the index and the user. The
-    greedy loop is a FIXED pick count unrolled as four DataFrame
-    steps (argmax via per-query row_number windows, set-membership
-    via broadcast anti-joins), mirrored exactly by an unrolled CTE
-    chain in the oracle. Corpus-sized cost is retrieval only; the
-    re-rank touches shortlist²-per-query rows (≤ q·k² = 192 here), so
-    at 100 TB MMR adds nothing to the scan and everything here is a
-    broadcast join on driver-bounded relations. All similarities are
-    rounded to 6 dp before scoring, so both engines run identical
-    IEEE arithmetic through the greedy recursion — equality is exact,
-    not approximate."""
+    standard diversity re-rank between the index and the user.
+
+    Shape (the E31/DTW lesson applied): the greedy recursion runs in
+    ONE Arrow batch — each query's shortlist packs into a single row
+    (collect_list over ≤ k candidates), and one mapInPandas computes
+    every query's k×k sims + 4 greedy picks vectorized. A first cut
+    unrolled the 4 picks as DataFrame anti-join/window steps: correct,
+    but ~20 tiny broadcast jobs of pure scheduling overhead (4.4-5.9 s
+    at sf0.1 for 192 candidate rows). Per-query greedy state is k
+    vectors — embarrassingly parallel, no cross-query traffic — so the
+    batched-Arrow form is both the fast local shape and the right
+    100 TB shape (one shuffle of shortlist rows, then map-only).
+    Similarities are quantized to the 1e-6 grid with the same
+    shortest-repr HALF_UP rule as the JVM round before every greedy
+    comparison, so the selection recursion is exact against the
+    oracle's unrolled CTE chain, not approximate."""
     e = table(spark, sf_dir, "embeddings")
     shortlist = knn_brute_force(
         corpus=e,
         queries=e.where(F.col("vec_id") < _MMR_QUERIES),
         k=_MMR_SHORTLIST,
     ).select("query_id", F.col("neighbor_id").alias("cid"))
-    # Re-derive relevance at the re-ranker's 6-dp working precision
-    # (knn_brute_force reports 4 dp) on the ≤ q·k-row shortlist.
     qv = e.where(F.col("vec_id") < _MMR_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    cv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    short = (
-        shortlist.join(F.broadcast(qv), "query_id")
-        .join(cv, "cid")
-        .select(
-            "query_id",
-            "cid",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("rel"),
-            "cvec",
-        )
+    cv = e.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    s1 = short.alias("s1")
-    s2 = short.alias("s2")
-    pairs = (
-        s1.join(
-            s2,
-            (F.col("s1.query_id") == F.col("s2.query_id"))
-            & (F.col("s1.cid") != F.col("s2.cid")),
-        )
-        .select(
-            F.col("s1.query_id").alias("query_id"),
-            F.col("s1.cid").alias("a"),
-            F.col("s2.cid").alias("b"),
-            F.round(cosine(F.col("s1.cvec"), F.col("s2.cvec")), 6).alias(
-                "sim"
-            ),
-        )
+    # candidate vectors attach by broadcasting the ≤ q·k-row shortlist
+    # against the corpus scan — the corpus is never shuffled
+    enriched = cv.join(
+        F.broadcast(shortlist.join(F.broadcast(qv), "query_id")), "cid"
     )
-    short = short.drop("cvec")
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("cid")
+    packed = enriched.groupBy("query_id").agg(
+        F.any_value("qvec").alias("qvec"),
+        F.collect_list(F.struct("cid", "cvec")).alias("cands"),
     )
-    sel = (
-        short.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "cid",
-            "rel",
-            F.lit(1).alias("pick"),
-            F.col("rel").alias("score"),
-        )
-    )
-    picked = sel.select("query_id", "cid")
-    out = [sel]
+
     lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
-    for t in range(2, _MMR_PICKS + 1):
-        cand = (
-            short.join(picked, ["query_id", "cid"], "anti")
-            .join(
-                pairs.join(
-                    picked.select(
-                        "query_id", F.col("cid").alias("b")
-                    ),
-                    ["query_id", "b"],
-                ).select("query_id", F.col("a").alias("cid"), "sim"),
-                ["query_id", "cid"],
+    picks = _MMR_PICKS
+
+    def greedy(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        grid = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            # shortest-repr HALF_UP — the JVM F.round(x, 6) rule
+            return float(
+                Decimal(repr(float(x))).quantize(grid, ROUND_HALF_UP)
             )
-            .groupBy("query_id", "cid", "rel")
-            .agg(
-                F.round(
-                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.max("sim"), 6
-                ).alias("score")
-            )
-        )
-        wt = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("cid")
-        )
-        sel = (
-            cand.withColumn("rn", F.row_number().over(wt))
-            .where(F.col("rn") == 1)
-            .select("query_id", "cid", "rel", F.lit(t).alias("pick"), "score")
-        )
-        picked = picked.unionByName(sel.select("query_id", "cid"))
-        out.append(sel)
-    result = out[0]
-    for s in out[1:]:
-        result = result.unionByName(s)
-    return result.select(
-        "query_id",
-        F.col("pick").cast("int").alias("pick"),
-        F.col("cid").alias("neighbor_id"),
-        F.col("rel").alias("relevance"),
-        "score",
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "query_id": [], "pick": [], "neighbor_id": [],
+                "relevance": [], "score": [],
+            }
+            for _, row in pdf.iterrows():
+                q = np.asarray(row["qvec"], dtype=np.float64)
+                ids = np.array([c["cid"] for c in row["cands"]])
+                X = np.array(
+                    [c["cvec"] for c in row["cands"]], dtype=np.float64
+                )
+                qn = q / np.linalg.norm(q)
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                rel = [r6(v) for v in Xn @ qn]
+                S = Xn @ Xn.T
+                n = len(ids)
+                picked: list[int] = []
+                for pick in range(1, min(picks, n) + 1):
+                    if pick == 1:
+                        best = min(
+                            range(n), key=lambda i: (-rel[i], ids[i])
+                        )
+                        score = rel[best]
+                    else:
+                        best, score = None, None
+                        for i in range(n):
+                            if i in picked:
+                                continue
+                            pen = max(r6(S[i, p]) for p in picked)
+                            sc = r6(lam * rel[i] - mu * pen)
+                            if best is None or (-sc, ids[i]) < (
+                                -score, ids[best]
+                            ):
+                                best, score = i, sc
+                    picked.append(best)
+                    rows["query_id"].append(row["query_id"])
+                    rows["pick"].append(pick)
+                    rows["neighbor_id"].append(ids[best])
+                    rows["relevance"].append(rel[best])
+                    rows["score"].append(score)
+            yield pd.DataFrame(rows)
+
+    return packed.mapInPandas(
+        greedy,
+        schema=(
+            "query_id long, pick int, neighbor_id long, "
+            "relevance double, score double"
+        ),
     ).orderBy("query_id", "pick")
+
+
+# ---------------------------------------------------------------- D36
+_RRF_K = 60  # the standard RRF constant (Cormack et al., SIGIR'09)
+_RRF_DEPTH = 20  # per-ranker depth fed to the fusion
+_RRF_TOPK = 10  # fused results returned
+
+
+def _rrf_oracle() -> str:
+    from spotify_podcasts_airflow_batch_spark.plans.text3 import (
+        _bm25_oracle,
+    )
+
+    return f"""
+    WITH bm AS ({_bm25_oracle()}),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM bm
+        QUALIFY lex_rank <= {_RRF_DEPTH}
+    ),
+    vecr AS (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                       DESC, c.vec_id
+               ) AS vec_rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0
+        QUALIFY vec_rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(l.lex_rank, 0) AS lex_rank,
+               coalesce(v.vec_rank, 0) AS vec_rank,
+               coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + v.vec_rank), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(vec_rank AS INT) AS vec_rank,
+           round(rrf, 6) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+               AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_TOPK}
+    """
+
+
+@register("hybrid_rrf_fusion", oracle=_rrf_oracle())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D36 — hybrid retrieval via reciprocal-rank fusion (Cormack et
+    al., SIGIR'09; the default hybrid mode in every current search
+    stack): the C33 BM25 keyword ranking and a vector cosine ranking
+    are fused by score = Σ 1/(60 + rank), docs appearing in either
+    top-20 list, top-10 fused returned. Ranks — not raw scores — make
+    the fusion scale-free, so no score normalization crosses the two
+    modalities. Shape: each ranker's corpus-sized work is its existing
+    operator (posting-list BM25 aggregate; D1 GEMM scan); the global
+    top-20 cutoffs are TakeOrderedAndProject (distributed heap top-k,
+    no single-task window over the corpus), and re-ranking + fusion
+    run on ≤ 2·depth rows. Absent-in-one-list ranks surface as 0, not
+    NULL — nullable ints decay to float64/NaN asymmetrically in the
+    two engines' pandas bridges. 1/(60+rank) is identical rational
+    arithmetic on both engines, so fused ordering is deterministic
+    with the doc_id tie-break."""
+    from spotify_podcasts_airflow_batch_spark.plans.text3 import bm25_search
+
+    bm = bm25_search(spark, sf_dir)
+    lex_top = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_DEPTH)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    vec = knn_brute_force(
+        corpus=e, queries=e.where(F.col("vec_id") == 0), k=_RRF_DEPTH
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+    w_f = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("vec_rank").cast("int").alias("vec_rank"),
+        F.round("rrf", 6).alias("rrf_score"),
+        F.row_number().over(w_f).cast("int").alias("fused_rank"),
+    )
