@@ -119,6 +119,7 @@ HEADLINE = [
     "centroid_drift",
     "mmr_diversify",
     "hybrid_rrf_fusion",
+    "permutation_test",
 ]
 
 

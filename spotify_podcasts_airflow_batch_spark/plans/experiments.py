@@ -476,3 +476,196 @@ def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_5pct"),
     )
+
+
+# ---------------------------------------------------------------- E70
+# Randomization test: the permutation twin of E64's Poisson bootstrap.
+# A classical permutation test shuffles the arm labels B times —
+# uncoordinatable across a distributed scan, exactly like classical
+# resampling. The scalable form reassigns each row to a pseudo-arm by
+# an independent deterministic hash bit per (row, replicate): every
+# row computes its B bits locally, the per-(replicate, arm) sums ride
+# ONE map-side-combinable aggregate, and the shuffle carries B·2 rows
+# at any fact size. (Random reassignment approximates the permutation
+# distribution without fixing arm sizes — the standard randomization-
+# test form of the test.)
+_PERM_B = 40  # replicates; p-value resolution 1/(B+1)
+
+
+def _perm_bit_sql(h31: str, b: str) -> str:
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        universal_family,
+    )
+
+    fam = universal_family(_PERM_B)
+    arms = " ".join(
+        f"WHEN {k} THEN ((({a} * {h31} + {bb}) % 2147483647) % 2)"
+        for k, (a, bb) in enumerate(fam)
+    )
+    return f"(CASE {b} {arms} END)"
+
+
+@register(
+    "permutation_test",
+    oracle=f"""
+    WITH rows_u AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu,
+               {oracle_hash31("'perm:' || CAST(event_id AS VARCHAR)")}
+                   AS h31
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ),
+    obs AS (
+        SELECT
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+            (sum(CASE WHEN event_type = 'view' THEN vu ELSE 0 END)
+                 // sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+            - (sum(CASE WHEN event_type = 'purchase' THEN vu ELSE 0 END)
+                 // sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))
+                AS obs_diff_u
+        FROM rows_u
+    ),
+    reps AS (
+        SELECT b.b,
+               CASE WHEN sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 0
+                                  THEN 1 ELSE 0 END) = 0 THEN 0
+                    ELSE sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 0
+                                  THEN r.vu ELSE 0 END)
+                         // sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 0
+                                     THEN 1 ELSE 0 END) END
+               - CASE WHEN sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 1
+                                    THEN 1 ELSE 0 END) = 0 THEN 0
+                      ELSE sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 1
+                                    THEN r.vu ELSE 0 END)
+                           // sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 1
+                                       THEN 1 ELSE 0 END) END AS diff_u
+        FROM rows_u r
+        CROSS JOIN (SELECT unnest(range({_PERM_B})) AS b) b
+        GROUP BY b.b
+    ),
+    ext AS (
+        SELECT CAST(sum(CASE WHEN abs(reps.diff_u) >= abs(obs.obs_diff_u)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM reps, obs
+    )
+    SELECT obs.n_a, obs.n_b,
+           CAST(obs.obs_diff_u AS BIGINT) AS obs_diff_u,
+           CAST({_PERM_B} AS INT) AS n_replicates,
+           ext.n_extreme,
+           round(CAST(1 + ext.n_extreme AS DOUBLE) / ({_PERM_B} + 1), 6)
+               AS p_value
+    FROM obs, ext
+    """,
+)
+def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E70 — randomization test for the view-vs-purchase mean
+    difference (the non-parametric twin of E37's Welch t-test, and the
+    permutation member of the resampling family E64 bootstrap / E48
+    jackknife): B=40 hash-derived pseudo-arm reassignments, p-value =
+    (1 + #{|diff_b| ≥ |observed|}) / (B+1). See the section comment
+    for why per-(row, replicate) hash bits are THE distributed form:
+    one md5 per row + B universal-family bits (the E64 discipline),
+    one map-side-combinable aggregate, shuffle = B·2 rows at any
+    scale. Exactness: values quantize to integer micro-units per row;
+    arm means use truncating `div`//`//` on both engines; the p-value
+    is an exact small-rational division — every comparison happens on
+    exact BIGINTs, so the count of extreme replicates is engine-
+    independent by construction."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        MERSENNE_31,
+        md5_hash31,
+        universal_family,
+    )
+
+    rows_u = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000000 + 0.5)
+            .cast("long")
+            .alias("vu"),
+            md5_hash31(
+                F.concat(F.lit("perm:"), F.col("event_id").cast("string"))
+            ).alias("h31"),
+        )
+    )
+    obs = rows_u.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        (
+            F.expr(
+                "sum(CASE WHEN event_type = 'view' THEN vu ELSE 0 END) div "
+                "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            )
+            - F.expr(
+                "sum(CASE WHEN event_type = 'purchase' THEN vu ELSE 0 END)"
+                " div "
+                "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            )
+        ).alias("obs_diff_u"),
+    )
+    fam = universal_family(_PERM_B)
+    a_arr = F.array(*[F.lit(a) for a, _ in fam])
+    b_arr = F.array(*[F.lit(bb) for _, bb in fam])
+    bit = (
+        (
+            F.element_at(a_arr, F.col("b") + 1) * F.col("h31")
+            + F.element_at(b_arr, F.col("b") + 1)
+        )
+        % F.lit(MERSENNE_31)
+    ) % 2
+    reps = (
+        rows_u.select(
+            "vu",
+            "h31",
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        )
+        .withColumn("__bit", bit)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__bit") == 0, F.col("vu")).otherwise(0))
+            .alias("s0"),
+            F.sum(F.when(F.col("__bit") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("__bit") == 1, F.col("vu")).otherwise(0))
+            .alias("s1"),
+            F.sum(F.when(F.col("__bit") == 1, 1).otherwise(0)).alias("n1"),
+        )
+        .select(
+            (
+                F.when(F.col("n0") == 0, F.lit(0).cast("long")).otherwise(
+                    F.expr("s0 div n0")
+                )
+                - F.when(F.col("n1") == 0, F.lit(0).cast("long")).otherwise(
+                    F.expr("s1 div n1")
+                )
+            ).alias("diff_u")
+        )
+    )
+    ext = reps.crossJoin(F.broadcast(obs.select("obs_diff_u"))).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("diff_u")) >= F.abs(F.col("obs_diff_u")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme")
+    )
+    return obs.crossJoin(F.broadcast(ext)).select(
+        "n_a",
+        "n_b",
+        F.col("obs_diff_u").cast("long").alias("obs_diff_u"),
+        F.lit(_PERM_B).cast("int").alias("n_replicates"),
+        "n_extreme",
+        F.round(
+            (1 + F.col("n_extreme")).cast("double") / F.lit(_PERM_B + 1), 6
+        ).alias("p_value"),
+    )

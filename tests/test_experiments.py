@@ -166,3 +166,47 @@ def test_rank_assoc_matches_bruteforce_pairs(spark):
     assert r.discordant == disc
     assert abs(r.gamma - gamma) < 1e-5
     assert abs(r.tau_b - tau_b) < 1e-5
+
+
+def test_permutation_test_matches_numpy_replica(spark):
+    """Recompute the observed diff, every replicate's pseudo-arm
+    reassignment, and the p-value from the raw parquet with numpy +
+    the same md5/universal-family arithmetic — validates the statistic
+    itself (bit derivation, integer means, extreme count), which the
+    SQL oracle (same formulas, different engine) cannot."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        MERSENNE_31,
+        universal_family,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, event_id, value FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type IN ('view','purchase')"
+    ).fetchall()
+    vu = np.array(
+        [math.floor(v * 1_000_000 + 0.5) for _, _, v in rows], dtype=np.int64
+    )
+    is_view = np.array([t == "view" for t, _, _ in rows])
+    h31 = np.array(
+        [_hash31(f"perm:{eid}") for _, eid, _ in rows], dtype=np.int64
+    )
+    obs = int(vu[is_view].sum()) // int(is_view.sum()) - int(
+        vu[~is_view].sum()
+    ) // int((~is_view).sum())
+    fam = universal_family(40)
+    n_ext = 0
+    for a, b in fam:
+        bit = ((a * h31 + b) % MERSENNE_31) % 2
+        m0, m1 = bit == 0, bit == 1
+        d0 = int(vu[m0].sum()) // int(m0.sum()) if m0.any() else 0
+        d1 = int(vu[m1].sum()) // int(m1.sum()) if m1.any() else 0
+        if abs(d0 - d1) >= abs(obs):
+            n_ext += 1
+    [r] = QUERIES["permutation_test"].spark_fn(spark, SF_DIR).collect()
+    assert r.n_a == int(is_view.sum())
+    assert r.n_b == int((~is_view).sum())
+    assert r.obs_diff_u == obs
+    assert r.n_extreme == n_ext
+    # the plan reports p rounded to 6 dp
+    assert abs(r.p_value - (1 + n_ext) / 41) < 5e-7
