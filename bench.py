@@ -120,6 +120,9 @@ HEADLINE = [
     "mmr_diversify",
     "hybrid_rrf_fusion",
     "permutation_test",
+    "mcnemar_paired",
+    "fold_balance_audit",
+    "rater_agreement_kappa",
 ]
 
 

@@ -669,3 +669,122 @@ def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 + F.col("n_extreme")).cast("double") / F.lit(_PERM_B + 1), 6
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------- E71
+@register(
+    "mcnemar_paired",
+    oracle="""
+    WITH span AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+    ),
+    mid AS (SELECT lo + (hi - lo) // 2 AS m FROM span),
+    per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                         AND epoch_us(ts) < mid.m THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN event_type = 'purchase'
+                         AND epoch_us(ts) >= mid.m THEN 1 ELSE 0 END) AS p2
+        FROM events, mid
+        GROUP BY user_id, mid.m
+    ),
+    cells AS (
+        SELECT
+            CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n00,
+            CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n11
+        FROM per_user
+    )
+    SELECT n00, n01, n10, n11,
+           CASE WHEN n01 + n10 = 0 THEN NULL
+                ELSE round(CAST((n01 - n10) * (n01 - n10) AS DOUBLE)
+                           / (n01 + n10), 4) END AS mcnemar_stat,
+           CASE WHEN n01 + n10 = 0 THEN NULL
+                ELSE round(CAST((abs(n01 - n10) - 1)
+                                * (abs(n01 - n10) - 1)
+                           AS DOUBLE) / (n01 + n10), 4) END AS mcnemar_cc
+    FROM cells
+    """,
+)
+def mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E71 — McNemar's test on paired binary outcomes: did each
+    user's conversion state (any purchase) CHANGE between the first
+    and second half of the observation span? The within-subject
+    counterpart of E40's two-proportion z-test — only the discordant
+    users (converted in exactly one period) carry information, and
+    the statistic (n01−n10)²/(n01+n10) (plus the continuity-corrected
+    variant) is χ²(1) under no-change. Shape: the span midpoint from
+    exact integer-µs min/max (the E68 cut), ONE conditional max per
+    user (map-side combinable), one 4-cell rollup — two scans,
+    constant state, shuffle = |users| then 1 row at any fact size.
+    Every cell count is an exact BIGINT, so the statistic's inputs
+    are engine-identical by construction."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) / 2).cast("long")
+        ).alias("m")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") < F.col("m")),
+                    1,
+                ).otherwise(0)
+            ).alias("p1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("m")),
+                    1,
+                ).otherwise(0)
+            ).alias("p2"),
+        )
+    )
+    cells = per_user.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("p1") == a) & (F.col("p2") == b), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n{a}{b}")
+            for a in (0, 1)
+            for b in (0, 1)
+        ]
+    )
+    d = F.col("n01") - F.col("n10")
+    tot = F.col("n01") + F.col("n10")
+    return cells.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        # 0 discordant users → the test is undefined, not a crash
+        # (ANSI mode raises on the division a NULL-tolerant CASE skips)
+        F.when(
+            tot == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round((d * d).cast("double") / tot, 4)
+        ).alias("mcnemar_stat"),
+        F.when(
+            tot == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(((F.abs(d) - 1) * (F.abs(d) - 1)).cast("double") / tot, 4)
+        ).alias("mcnemar_cc"),
+    )

@@ -1097,3 +1097,194 @@ def truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loss_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------- C66
+_N_FOLDS = 5
+_FOLD_HASH = oracle_hash31("'fold:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "fold_balance_audit",
+    oracle=f"""
+    WITH folds AS (
+        SELECT {_FOLD_HASH} % {_N_FOLDS} AS fold,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    ),
+    per_fold AS (
+        SELECT fold,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM folds GROUP BY fold
+    ),
+    tot AS (
+        SELECT sum(n_tokens) AS tok_total,
+               max(n_tokens) AS tok_max,
+               min(n_tokens) AS tok_min
+        FROM per_fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot.tok_total, 6)
+               AS token_share,
+           round(CAST(tot.tok_max AS DOUBLE) / tot.tok_min, 4)
+               AS imbalance_ratio
+    FROM per_fold, tot
+    ORDER BY fold
+    """,
+)
+def fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66 — k-fold assignment + balance audit: every doc lands in a
+    deterministic hash fold (the C16 train_split discipline extended
+    to k=5), and the audit answers the question that decides whether
+    hash folding is usable for cross-validation at this corpus — how
+    even are the folds in DOCUMENT and TOKEN mass? (Folds balance in
+    doc count by hash uniformity, but token mass follows the length
+    distribution; imbalance_ratio = heaviest/lightest fold is the
+    number a CV harness checks before trusting per-fold metrics.)
+    Fold assignment is a scan-local hash expression, the rollup is
+    one map-side-combinable aggregate to k rows, and the ratio
+    attaches from a 1-row broadcast — one scan at any corpus size.
+    Counts exact BIGINT; the two divisions are identical text both
+    engines."""
+    d = table(spark, sf_dir, "documents").select(
+        (
+            md5_hash31(
+                F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))
+            )
+            % _N_FOLDS
+        ).alias("fold"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    per_fold = d.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = per_fold.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.max("n_tokens").alias("tok_max"),
+        F.min("n_tokens").alias("tok_min"),
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tok_total"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("tok_max").cast("double") / F.col("tok_min"), 4
+            ).alias("imbalance_ratio"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------- C67
+_KAPPA_LEN_MIN = 300  # rater A: raw length rule
+_KAPPA_TOK_MIN = 50  # rater B: token-count rule
+
+
+@register(
+    "rater_agreement_kappa",
+    oracle=f"""
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= {_KAPPA_LEN_MIN} THEN 1 ELSE 0 END AS ra,
+               CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text),
+                                                           '\\s+'))
+                          END) >= {_KAPPA_TOK_MIN} THEN 1 ELSE 0 END AS rb
+        FROM documents
+    ),
+    cells AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n00
+        FROM rated
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_observed,
+           round((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+           CASE WHEN CAST(n11 + n00 AS DOUBLE) / n = 1.0
+                 AND (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                      + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                     / (CAST(n AS DOUBLE) * n) = 1.0 THEN NULL
+                ELSE round((CAST(n11 + n00 AS DOUBLE) / n
+                            - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                               + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                              / (CAST(n AS DOUBLE) * n))
+                           / (1.0
+                              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                                 + CAST(n01 + n00 AS DOUBLE)
+                                   * (n10 + n00))
+                                / (CAST(n AS DOUBLE) * n)), 6) END
+               AS kappa
+    FROM cells
+    """,
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67 — Cohen's kappa between two quality heuristics (a raw
+    char-length rule and a token-count rule) treated as binary
+    raters: chance-corrected agreement, the standard question when a
+    cheap filter is proposed to replace an expensive one (or a model
+    judge to replace a human pass) — raw agreement overstates it
+    whenever both raters mostly say 'keep'. One scan computes both
+    verdicts per doc (scan-local expressions), one 4-cell rollup, and
+    kappa = (p_o − p_e)/(1 − p_e) is scalar math on exact BIGINT
+    cells — engine-identical inputs by construction, degenerate
+    perfect-agreement-with-perfect-chance pinned NULL on both
+    engines. At 100 TB: one map-side-combinable aggregate, 1-row
+    shuffle."""
+    t = F.size(tokens(F.col("text")))
+    rated = table(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= _KAPPA_LEN_MIN, 1)
+        .otherwise(0)
+        .alias("ra"),
+        F.when(t >= _KAPPA_TOK_MIN, 1).otherwise(0).alias("rb"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(
+                F.when((F.col("ra") == a) & (F.col("rb") == b), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"n{a}{b}")
+            for a in (1, 0)
+            for b in (1, 0)
+        ],
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.when((po == 1.0) & (pe == 1.0), F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / (1.0 - pe), 6))
+        .alias("kappa"),
+    )
