@@ -284,9 +284,14 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = ev.join(F.broadcast(b), "event_type").withColumn(
         "bin",
+        # try_divide ≡ DuckDB's NULL-on-zero: a constant value column
+        # makes the bin width 0 — one NULL bin, not an ANSI crash
         F.least(
             F.floor(
-                (F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)
+                F.try_divide(
+                    F.col("value") - F.col("mn"),
+                    (F.col("mx") - F.col("mn")) / 10,
+                )
             ),
             F.lit(9).cast("long"),
         ),

@@ -574,7 +574,17 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("rv", "rt"), 4).alias("spearman_rho"),
+            # Pearson spelled out with try_divide instead of F.corr:
+            # ANSI corr raises on zero rank variance (all-tied values,
+            # i.e. a constant metric) where DuckDB corr yields NULL —
+            # found by tests/test_degenerate_inputs.py
+            F.round(
+                F.try_divide(
+                    F.covar_samp("rv", "rt"),
+                    F.stddev_samp("rv") * F.stddev_samp("rt"),
+                ),
+                4,
+            ).alias("spearman_rho"),
         )
     )
 

@@ -97,9 +97,15 @@ def levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.col("k").cast("long").alias("k"),
         F.col("n_tot").cast("long").alias("n_total"),
+        # try_divide ≡ DuckDB's NULL-on-zero: constant values give
+        # zero within-group deviation mass — undefined, not a crash
         F.round(
-            (ssb / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(
+                    F.col("ssw"), F.col("n_tot") - F.col("k")
+                ),
+            ),
             4,
         ).alias("bf_stat"),
         (F.col("k") - 1).cast("long").alias("df_between"),
@@ -179,8 +185,10 @@ def rank_assoc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("vmax") - F.col("vmin")) / F.lit(_RANK_BINS)
     binned = ev.crossJoin(F.broadcast(bounds)).select(
         F.hour("ts").alias("xb"),
+        # try_divide: a constant value column makes the bin width 0 —
+        # the bin is then NULL (as in DuckDB), not an ANSI crash
         F.least(
-            F.floor((F.col("value") - F.col("vmin")) / width),
+            F.floor(F.try_divide(F.col("value") - F.col("vmin"), width)),
             F.lit(_RANK_BINS - 1),
         )
         .cast("long")
@@ -240,15 +248,19 @@ def rank_assoc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conc").alias("concordant"),
         F.col("disc").alias("discordant"),
         F.round(
-            (F.col("conc") - F.col("disc")).cast("double")
-            / (F.col("conc") + F.col("disc")),
+            F.try_divide(
+                (F.col("conc") - F.col("disc")).cast("double"),
+                F.col("conc") + F.col("disc"),
+            ),
             6,
         ).alias("gamma"),
         F.round(
-            (F.col("conc") - F.col("disc")).cast("double")
-            / F.sqrt(
-                (F.col("t0") - F.col("t1")).cast("double")
-                * (F.col("t0") - F.col("t2")).cast("double")
+            F.try_divide(
+                (F.col("conc") - F.col("disc")).cast("double"),
+                F.sqrt(
+                    (F.col("t0") - F.col("t1")).cast("double")
+                    * (F.col("t0") - F.col("t2")).cast("double")
+                ),
             ),
             6,
         ).alias("tau_b"),
@@ -358,7 +370,11 @@ def cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pooled = per_user.agg(
-        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        # try_divide: a constant covariate (e.g. every event in the
+        # second half) gives var(x) = 0 — θ undefined, as in DuckDB
+        F.try_divide(F.covar_pop("x", "y"), F.var_pop("x")).alias(
+            "theta"
+        ),
         F.avg("x").alias("xbar"),
     )
     adj = per_user.crossJoin(F.broadcast(pooled)).select(
@@ -370,7 +386,9 @@ def cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "theta",
     )
     vr = adj.agg(
-        (1 - F.var_pop("y_adj") / F.var_pop("y")).alias("var_reduction")
+        (1 - F.try_divide(F.var_pop("y_adj"), F.var_pop("y"))).alias(
+            "var_reduction"
+        )
     )
     return (
         adj.crossJoin(F.broadcast(vr))
@@ -469,9 +487,14 @@ def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("long").alias("n_b"),
         F.round(F.col("m_a"), 4).alias("control_mean"),
         F.round(mde, 4).alias("mde_abs"),
-        F.round(mde / F.col("m_a"), 6).alias("mde_rel"),
+        F.round(F.try_divide(mde, F.col("m_a")), 6).alias("mde_rel"),
+        # try_divide: a zero control mean makes the relative-lift
+        # target 0 — the required n is undefined, as in DuckDB
         F.ceil(
-            zsum * zsum * (F.col("v_a") + F.col("v_b")) / (delta * delta)
+            F.try_divide(
+                zsum * zsum * (F.col("v_a") + F.col("v_b")),
+                delta * delta,
+            )
         )
         .cast("long")
         .alias("n_per_arm_5pct"),

@@ -810,14 +810,20 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        # try_divide ≡ DuckDB's NULL-on-zero division: zero-variance
+        # arms (a constant metric) make the test undefined, not a
+        # crash under ANSI mode
         F.round(
-            (F.col("m_a") - F.col("m_b")) / F.sqrt(se2_a + se2_b), 4
+            F.try_divide(
+                F.col("m_a") - F.col("m_b"), F.sqrt(se2_a + se2_b)
+            ),
+            4,
         ).alias("t_stat"),
         F.round(
-            F.pow(se2_a + se2_b, 2)
-            / (
-                F.pow(se2_a, 2) / (F.col("n_a") - 1)
-                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            F.try_divide(
+                F.pow(se2_a + se2_b, 2),
+                F.try_divide(F.pow(se2_a, 2), F.col("n_a") - 1)
+                + F.try_divide(F.pow(se2_b, 2), F.col("n_b") - 1),
             ),
             2,
         ).alias("welch_df"),
@@ -887,14 +893,21 @@ def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.col("k").cast("long").alias("k"),
         F.col("n_tot").cast("long").alias("n_total"),
+        # try_divide ≡ DuckDB's NULL-on-zero: all-constant values give
+        # SS_within = 0 (and SS_total = 0 for eta²) — undefined, not
+        # an ANSI divide-by-zero crash
         F.round(
-            (ssb / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(
+                    F.col("ssw"), F.col("n_tot") - F.col("k")
+                ),
+            ),
             4,
         ).alias("f_stat"),
         (F.col("k") - 1).cast("long").alias("df_between"),
         (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
-        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+        F.round(F.try_divide(ssb, ssb + F.col("ssw")), 6).alias("eta_sq"),
     )
 
 
@@ -927,12 +940,20 @@ def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group) — at 100 TB the shuffle carries d² doubles per type."""
     ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
     x = F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
-    slope = F.covar_samp(x, F.col("value")) / F.var_samp(x)
+    slope = F.try_divide(F.covar_samp(x, F.col("value")), F.var_samp(x))
+    # Pearson spelled out with try_divide instead of F.corr: Spark 4's
+    # ANSI-mode corr RAISES on a zero-variance input (constant metric)
+    # where DuckDB's corr yields NULL — found by the degenerate-input
+    # sweep (tests/test_degenerate_inputs.py)
+    r = F.try_divide(
+        F.covar_samp(x, F.col("value")),
+        F.stddev_samp(x) * F.stddev_samp("value"),
+    )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(slope, 6).alias("slope_per_day"),
         F.round(F.avg("value") - slope * F.avg(x), 4).alias("intercept"),
-        F.round(F.pow(F.corr(x, F.col("value")), 2), 4).alias("r2"),
+        F.round(F.pow(r, 2), 4).alias("r2"),
     )
 
 

@@ -1,0 +1,100 @@
+"""Degenerate-input robustness: constant-valued metrics.
+
+The empty-input sweep (test_empty_inputs) covers 0-row tables; this
+covers the OTHER routine degeneracy at 100 TB — a metric column that
+is constant over the scanned slice (a stuck sensor, a single-price
+SKU, a filtered stratum with one value). Zero variance turns every
+variance-normalized statistic's denominator to 0, and Spark's ANSI
+mode raises DIVIDE_BY_ZERO where DuckDB yields NULL — this sweep
+caught exactly that in four shipped tests (ab_welch_ttest, anova_f,
+levene_bf, rank_assoc_binned), fixed with try_divide (≡ DuckDB's
+NULL-on-zero semantics).
+
+Two layers: (1) the FULL registry must execute without raising on a
+constant-value events table; (2) the variance-sensitive statistics
+must be driver-strict EQUAL to their DuckDB oracles on it — NULLs
+included — so both engines agree on what "undefined" looks like.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+from tests.test_queries_oracle import _spark_pdf, canon_pdf
+
+QUERIES = all_queries()
+
+# every oracle-bearing statistic whose denominator is a variance /
+# deviation mass / pair count that a constant metric zeroes out
+STATS_KEYS = (
+    "ab_welch_ttest",
+    "anova_f",
+    "levene_bf",
+    "rank_assoc_binned",
+    "cuped_adjust",
+    "permutation_test",
+    "mcnemar_paired",
+    "power_mde",
+    "spearman_corr",
+    "ols_trend",
+    "value_histogram",
+)
+
+
+@pytest.fixture(scope="module")
+def const_sf_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_const"))
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        shutil.copy(f, os.path.join(out, os.path.basename(f)))
+    n = 200
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [1_600_000_000_000_000 + i * 1_000_000 for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                ["view", "purchase", "click", "error", "signup"][i % 5]
+                for i in range(n)
+            ),
+            "value": pa.array([2.5] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "events.parquet"))
+    return out
+
+
+def test_every_query_survives_constant_values(spark, const_sf_dir):
+    failures = []
+    for name, q in QUERIES.items():
+        try:
+            q.spark_fn(spark, const_sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:  # pragma: no cover - failure reporting
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_stats_agree_with_oracle_on_constant_values(spark, const_sf_dir):
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(const_sf_dir, "*.parquet")):
+        t = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
+    for name in STATS_KEYS:
+        q = QUERIES[name]
+        sdf = _spark_pdf(q.spark_fn(spark, const_sf_dir))
+        odf = con.execute(q.oracle).df()
+        assert canon_pdf(sdf, name) == canon_pdf(odf, name), name
