@@ -25,7 +25,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero (failed-embedding) vector has no direction —
+    # cosine is NULL, not an ANSI divide-by-zero crash; NULLs sort
+    # last under desc, so zero vectors never rank as neighbors
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_normalized(df, vec_col: str, out_col: str):
@@ -41,8 +44,12 @@ def l2_normalized(df, vec_col: str, out_col: str):
         df.withColumn("__norm", n)
         .withColumn(
             out_col,
+            # try_divide: a zero vector normalizes to NULL elements
+            # (→ NULL downstream dots, sorted last) instead of an
+            # ANSI divide-by-zero crash
             F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")
+                F.col(vec_col),
+                lambda x: F.try_divide(x.cast("double"), F.col("__norm")),
             ),
         )
         .drop("__norm")

@@ -98,3 +98,46 @@ def test_stats_agree_with_oracle_on_constant_values(spark, const_sf_dir):
         sdf = _spark_pdf(q.spark_fn(spark, const_sf_dir))
         odf = con.execute(q.oracle).df()
         assert canon_pdf(sdf, name) == canon_pdf(odf, name), name
+
+
+@pytest.fixture(scope="module")
+def zerovec_sf_dir(tmp_path_factory):
+    """Corpus where every 10th embedding (including probe vec_id 0) is
+    the zero vector — a failed/absent embedding, routine at scale."""
+    out = str(tmp_path_factory.mktemp("sf_zerovec"))
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        shutil.copy(f, os.path.join(out, os.path.basename(f)))
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = t["embedding"].to_pylist()
+    for i in range(0, len(emb), 10):
+        emb[i] = [0.0] * len(emb[i])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.array(emb, pa.list_(pa.float32())),
+                "label": t["label"],
+            }
+        ),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    return out
+
+
+def test_vector_queries_survive_zero_vectors(spark, zerovec_sf_dir):
+    """A zero vector has no direction: cosine against it is NULL
+    (functions/vectors.py try_divide), never an ANSI crash — this
+    sweep caught 5 live DIVIDE_BY_ZEROs on first run (ivf_ann,
+    ann_lsh, ann_recall, ivf_nprobe_recall, ann_hamming_rerank)."""
+    failures = []
+    for name, q in QUERIES.items():
+        mod = q.spark_fn.__module__
+        if "similarity" not in mod and "analytics" not in mod:
+            continue
+        try:
+            q.spark_fn(spark, zerovec_sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:  # pragma: no cover - failure reporting
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
