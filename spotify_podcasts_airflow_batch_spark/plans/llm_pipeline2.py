@@ -442,7 +442,9 @@ def output_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "est_bytes",
         n_files.alias("n_files"),
-        F.floor((F.col("n_docs") + n_files - 1) / n_files)
+        # try_divide ≡ DuckDB NULL-on-zero: an all-blank partition
+        # estimates 0 bytes → 0 files → NULL rows_per_file
+        F.floor(F.try_divide(F.col("n_docs") + n_files - 1, n_files))
         .cast("long")
         .alias("rows_per_file"),
     )
@@ -1092,8 +1094,13 @@ def truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("docs_truncated"),
             F.sum(lost).cast("long").alias("tokens_lost"),
+            # try_divide ≡ DuckDB NULL-on-zero: an all-blank source
+            # has 0 tokens → NULL loss rate
             F.round(
-                F.sum(lost).cast("double") / F.sum("n_tokens"), 6
+                F.try_divide(
+                    F.sum(lost).cast("double"), F.sum("n_tokens")
+                ),
+                6,
             ).alias("loss_rate"),
         )
     )
@@ -1173,11 +1180,19 @@ def fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fold").cast("long").alias("fold"),
             "n_docs",
             "n_tokens",
+            # try_divide ≡ DuckDB NULL-on-zero: an all-blank corpus
+            # has 0 total tokens (and a 0-token lightest fold)
             F.round(
-                F.col("n_tokens").cast("double") / F.col("tok_total"), 6
+                F.try_divide(
+                    F.col("n_tokens").cast("double"), F.col("tok_total")
+                ),
+                6,
             ).alias("token_share"),
             F.round(
-                F.col("tok_max").cast("double") / F.col("tok_min"), 4
+                F.try_divide(
+                    F.col("tok_max").cast("double"), F.col("tok_min")
+                ),
+                4,
             ).alias("imbalance_ratio"),
         )
         .orderBy("fold")

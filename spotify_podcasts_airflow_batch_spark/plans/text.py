@@ -48,20 +48,21 @@ def _hits(words: tuple[str, ...]) -> str:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, length(text) AS n_chars, {_TOKS} AS w,
-               length(replace(regexp_replace(text, '\\s', '', 'g'),'','')) AS _unused,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS}) END AS nt,
                regexp_replace(text, '\\s', '', 'g') AS squeezed
         FROM documents
     )
     SELECT doc_id,
-           len(w) AS n_tokens,
+           nt AS n_tokens,
            n_chars,
            {_hits(LANG_STOPWORDS["en"])} AS stop_hits,
-           round({_hits(LANG_STOPWORDS["en"])} / len(w), 4) AS stop_ratio,
+           round({_hits(LANG_STOPWORDS["en"])} / nt, 4) AS stop_ratio,
            round(CASE WHEN length(squeezed) = 0 THEN 0.0
                  ELSE length(regexp_replace(squeezed, '[a-z0-9]', '', 'g')) / length(squeezed)
                  END, 4) AS punct_ratio,
-           round(least(len(w) / 64.0, 1.0)
-                 * (0.5 + 0.5 * least(({_hits(LANG_STOPWORDS["en"])} / len(w)) * 4.0, 1.0))
+           round(least(nt / 64.0, 1.0)
+                 * (0.5 + 0.5 * least(({_hits(LANG_STOPWORDS["en"])} / nt) * 4.0, 1.0))
                  * (1.0 - CASE WHEN length(squeezed) = 0 THEN 0.0
                           ELSE length(regexp_replace(squeezed, '[a-z0-9]', '', 'g')) / length(squeezed)
                           END), 4) AS quality
@@ -95,7 +96,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__nwlen"),
     )
     n = F.col("n_tokens")
-    stop_ratio = F.col("stop_hits") / n
+    # try_divide ≡ DuckDB NULL-on-zero: a blank doc has 0 tokens
+    stop_ratio = F.try_divide(F.col("stop_hits"), n)
     p = F.when(F.col("__sqlen") == 0, F.lit(0.0)).otherwise(
         F.col("__nwlen") / F.col("__sqlen")
     )
@@ -127,7 +129,9 @@ _LANG_CASE_SQL = (
     "lang_id",
     oracle=f"""
     WITH scored AS (
-        SELECT doc_id, lang AS declared_lang, len(w) AS n_tokens,
+        SELECT doc_id, lang AS declared_lang,
+               CASE WHEN len(w) = 1 AND w[1] = '' THEN 0
+                    ELSE len(w) END AS n_tokens,
                {", ".join(f"{_hits(LANG_STOPWORDS[lang])} AS h_{lang}" for lang in LANGS)}
         FROM (SELECT doc_id, lang, {_TOKS} AS w FROM documents)
     )
@@ -167,7 +171,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "declared_lang",
         pred.alias("pred_lang"),
-        F.round(best / F.col("n_tokens"), 4).alias("confidence"),
+        # try_divide: a blank doc has 0 tokens → NULL confidence
+        F.round(F.try_divide(best, F.col("n_tokens")), 4).alias(
+            "confidence"
+        ),
     )
 
 
@@ -606,7 +613,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_confusion",
     oracle=f"""
     WITH scored AS (
-        SELECT doc_id, lang AS declared_lang, len(w) AS n_tokens,
+        SELECT doc_id, lang AS declared_lang,
+               CASE WHEN len(w) = 1 AND w[1] = '' THEN 0
+                    ELSE len(w) END AS n_tokens,
                {", ".join(f"{_hits(LANG_STOPWORDS[lang])} AS h_{lang}" for lang in LANGS)}
         FROM (SELECT doc_id, lang, {_TOKS} AS w FROM documents)
     ),

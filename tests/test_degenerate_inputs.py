@@ -141,3 +141,72 @@ def test_vector_queries_survive_zero_vectors(spark, zerovec_sf_dir):
         except Exception as ex:  # pragma: no cover - failure reporting
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
+
+
+BLANK_TEXT_KEYS = (
+    "text_stats",
+    "lang_id",
+    "truncation_loss",
+    "fold_balance_audit",
+    "output_file_plan",
+)
+
+
+@pytest.fixture(scope="module")
+def blanktext_sf_dir(tmp_path_factory):
+    """Corpus where every document's text is blank (a scrape that
+    returned headers only / an over-aggressive cleaning pass)."""
+    out = str(tmp_path_factory.mktemp("sf_blanktext"))
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        shutil.copy(f, os.path.join(out, os.path.basename(f)))
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    n = t.num_rows
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array([""] * n),
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": pa.array([0] * n, pa.int64()),
+            }
+        ),
+        os.path.join(out, "documents.parquet"),
+    )
+    return out
+
+
+def test_text_queries_survive_blank_documents(spark, blanktext_sf_dir):
+    """First run caught 5 live DIVIDE_BY_ZEROs (text_stats, lang_id,
+    truncation_loss, fold_balance_audit, output_file_plan) plus a
+    token-convention mismatch: the C1/C2 oracles counted a blank doc
+    as ONE token (len(split('')) = 1) while tokens() counts 0."""
+    failures = []
+    for name, q in QUERIES.items():
+        mod = q.spark_fn.__module__.split(".")[-1]
+        if mod not in (
+            "text", "text2", "text3", "llm_pipeline", "llm_pipeline2",
+            "multimodal",
+        ):
+            continue
+        try:
+            q.spark_fn(spark, blanktext_sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:  # pragma: no cover - failure reporting
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_text_stats_agree_with_oracle_on_blank_documents(
+    spark, blanktext_sf_dir
+):
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(blanktext_sf_dir, "*.parquet")):
+        t = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
+    for name in BLANK_TEXT_KEYS:
+        q = QUERIES[name]
+        sdf = _spark_pdf(q.spark_fn(spark, blanktext_sf_dir))
+        odf = con.execute(q.oracle).df()
+        assert canon_pdf(sdf, name) == canon_pdf(odf, name), name
