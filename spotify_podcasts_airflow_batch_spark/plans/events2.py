@@ -1189,9 +1189,13 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.5D)"), 0)
         .cast("long")
         .alias("median_gap_us"),
+        # try_divide ≡ DuckDB NULL-on-zero: simultaneous events give
+        # all-zero gaps → zero mean gap → CV undefined, not a crash
         F.round(
-            F.stddev_samp("gap_us")
-            / (F.sum("gap_us") * F.lit(1.0) / n),
+            F.try_divide(
+                F.stddev_samp("gap_us"),
+                F.sum("gap_us") * F.lit(1.0) / n,
+            ),
             4,
         ).alias("cv"),
     )

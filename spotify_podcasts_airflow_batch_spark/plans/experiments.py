@@ -624,15 +624,22 @@ def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("n_b"),
+        # the CASE guards mirror DuckDB's NULL on `// 0` when one arm
+        # has no rows (single-event-type slice) — ANSI `div` raises
         (
             F.expr(
+                "CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1"
+                " ELSE 0 END) = 0 THEN NULL ELSE "
                 "sum(CASE WHEN event_type = 'view' THEN vu ELSE 0 END) div "
-                "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+                "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) END"
             )
             - F.expr(
+                "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1"
+                " ELSE 0 END) = 0 THEN NULL ELSE "
                 "sum(CASE WHEN event_type = 'purchase' THEN vu ELSE 0 END)"
                 " div "
                 "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+                " END"
             )
         ).alias("obs_diff_u"),
     )

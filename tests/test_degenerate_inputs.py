@@ -210,3 +210,70 @@ def test_text_stats_agree_with_oracle_on_blank_documents(
         sdf = _spark_pdf(q.spark_fn(spark, blanktext_sf_dir))
         odf = con.execute(q.oracle).df()
         assert canon_pdf(sdf, name) == canon_pdf(odf, name), name
+
+
+def _events_variant(tmp_path_factory, name: str, **overrides):
+    out = str(tmp_path_factory.mktemp(name))
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        shutil.copy(f, os.path.join(out, os.path.basename(f)))
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    cols = {c: t[c] for c in t.column_names}
+    cols.update(overrides(t) if callable(overrides) else overrides)
+    pq.write_table(pa.table(cols), os.path.join(out, "events.parquet"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def onetype_sf_dir(tmp_path_factory):
+    """Every event the same type — a filtered slice (one funnel step)."""
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    return _events_variant(
+        tmp_path_factory,
+        "sf_onetype",
+        event_type=pa.array(["view"] * t.num_rows),
+    )
+
+
+@pytest.fixture(scope="module")
+def oneinstant_sf_dir(tmp_path_factory):
+    """Every event at the same instant — a bulk backfill batch."""
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    return _events_variant(
+        tmp_path_factory,
+        "sf_oneinstant",
+        ts=pa.array(
+            [1_600_000_000_000_000] * t.num_rows, pa.timestamp("us")
+        ),
+    )
+
+
+_EVENT_MODULES = (
+    "events", "events2", "timeseries", "experiments", "analytics",
+    "analytics2", "recsys",
+)
+
+
+def _sweep_event_queries(spark, sf_dir):
+    failures = []
+    for name, q in QUERIES.items():
+        if q.spark_fn.__module__.split(".")[-1] not in _EVENT_MODULES:
+            continue
+        try:
+            q.spark_fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:  # pragma: no cover - failure reporting
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_event_queries_survive_single_type(spark, onetype_sf_dir):
+    """First run caught permutation_test's observed-diff `div` on an
+    empty arm (DuckDB `// 0` is NULL; ANSI div raises)."""
+    _sweep_event_queries(spark, onetype_sf_dir)
+
+
+def test_event_queries_survive_single_instant(spark, oneinstant_sf_dir):
+    """First run caught interarrival_stats' CV division by an all-zero
+    mean gap."""
+    _sweep_event_queries(spark, oneinstant_sf_dir)
