@@ -285,7 +285,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = ev.join(F.broadcast(b), "event_type").withColumn(
         "bin",
         # try_divide ≡ DuckDB's NULL-on-zero: a constant value column
-        # makes the bin width 0 — one NULL bin, not an ANSI crash
+        # makes the bin width 0; least() skips the NULL ratio on BOTH
+        # engines, so every row collapses into the top bin (9) — the
+        # point is the engines agree and neither crashes
         F.least(
             F.floor(
                 F.try_divide(

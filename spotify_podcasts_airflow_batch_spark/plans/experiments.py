@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spotify_podcasts_airflow_batch_spark.functions.stats import (
+    anova_tail,
+    anova_tail_sql,
+)
 from spotify_podcasts_airflow_batch_spark.functions.hashing import (
     md5_hash31,
     oracle_hash31,
@@ -31,7 +35,7 @@ from spotify_podcasts_airflow_batch_spark.sources.readers import table
 # ---------------------------------------------------------------- E66
 @register(
     "levene_bf",
-    oracle="""
+    oracle=f"""
     WITH med AS (
         SELECT event_type,
                quantile_cont(value, 0.5) AS med
@@ -46,19 +50,7 @@ from spotify_podcasts_airflow_batch_spark.sources.readers import table
                count(*) AS n, avg(z) AS m, var_samp(z) AS v
         FROM z GROUP BY event_type
     ),
-    g AS (
-        SELECT count(*) AS k, sum(n) AS n_tot,
-               sum(n * m) AS snm, sum(n * m * m) AS snmm,
-               sum((n - 1) * v) AS ssw
-        FROM s
-    )
-    SELECT CAST(k AS BIGINT) AS k,
-           CAST(n_tot AS BIGINT) AS n_total,
-           round(((snmm - snm * snm / n_tot) / (k - 1))
-                 / (ssw / (n_tot - k)), 4) AS bf_stat,
-           CAST(k - 1 AS BIGINT) AS df_between,
-           CAST(n_tot - k AS BIGINT) AS df_within
-    FROM g
+    {anova_tail_sql("bf_stat", include_eta=False)}
     """,
 )
 def levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,31 +78,7 @@ def levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("z").alias("m"),
         F.var_samp("z").alias("v"),
     )
-    g = s.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n").alias("n_tot"),
-        F.sum(F.col("n") * F.col("m")).alias("snm"),
-        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("snmm"),
-        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
-    )
-    ssb = F.col("snmm") - F.col("snm") * F.col("snm") / F.col("n_tot")
-    return g.select(
-        F.col("k").cast("long").alias("k"),
-        F.col("n_tot").cast("long").alias("n_total"),
-        # try_divide ≡ DuckDB's NULL-on-zero: constant values give
-        # zero within-group deviation mass — undefined, not a crash
-        F.round(
-            F.try_divide(
-                F.try_divide(ssb, F.col("k") - 1),
-                F.try_divide(
-                    F.col("ssw"), F.col("n_tot") - F.col("k")
-                ),
-            ),
-            4,
-        ).alias("bf_stat"),
-        (F.col("k") - 1).cast("long").alias("df_between"),
-        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
-    )
+    return anova_tail(s, "bf_stat", include_eta=False)
 
 
 # ---------------------------------------------------------------- E67
@@ -185,8 +153,9 @@ def rank_assoc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("vmax") - F.col("vmin")) / F.lit(_RANK_BINS)
     binned = ev.crossJoin(F.broadcast(bounds)).select(
         F.hour("ts").alias("xb"),
-        # try_divide: a constant value column makes the bin width 0 —
-        # the bin is then NULL (as in DuckDB), not an ANSI crash
+        # try_divide: a constant value column makes the bin width 0;
+        # least() skips the NULL ratio on BOTH engines, so every row
+        # collapses into the top bin — engines agree, neither crashes
         F.least(
             F.floor(F.try_divide(F.col("value") - F.col("vmin"), width)),
             F.lit(_RANK_BINS - 1),

@@ -155,7 +155,12 @@ def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("nb").alias("n_b"),
         )
     )
-    cos = F.col("ab") / F.sqrt(F.col("aa") * F.col("bb"))
+    # try_divide: an all-zero batch centroid (failed-encoder ingest —
+    # exactly the case this monitor exists to catch) has no direction;
+    # drift is NULL on both engines, not an ANSI crash
+    cos = F.try_divide(
+        F.col("ab"), F.sqrt(F.col("aa") * F.col("bb"))
+    )
     return j.select(
         "label",
         F.col("n_a").cast("long").alias("n_a"),

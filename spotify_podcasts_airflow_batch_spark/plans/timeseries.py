@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spotify_podcasts_airflow_batch_spark.functions.stats import (
+    anova_tail,
+    anova_tail_sql,
+)
 from spotify_podcasts_airflow_batch_spark.plans.registry import register
 from spotify_podcasts_airflow_batch_spark.plans.events import window_start
 from spotify_podcasts_airflow_batch_spark.sources.readers import table
@@ -833,7 +837,7 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- E65
 @register(
     "anova_f",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT event_type,
                count(*) AS n,
@@ -842,23 +846,7 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type
     ),
-    g AS (
-        SELECT count(*) AS k,
-               sum(n) AS n_tot,
-               sum(n * m) AS snm,
-               sum(n * m * m) AS snmm,
-               sum((n - 1) * v) AS ssw
-        FROM s
-    )
-    SELECT CAST(k AS BIGINT) AS k,
-           CAST(n_tot AS BIGINT) AS n_total,
-           round(((snmm - snm * snm / n_tot) / (k - 1))
-                 / (ssw / (n_tot - k)), 4) AS f_stat,
-           CAST(k - 1 AS BIGINT) AS df_between,
-           CAST(n_tot - k AS BIGINT) AS df_within,
-           round((snmm - snm * snm / n_tot)
-                 / ((snmm - snm * snm / n_tot) + ssw), 6) AS eta_sq
-    FROM g
+    {anova_tail_sql("f_stat", include_eta=True)}
     """,
 )
 def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,33 +870,7 @@ def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.var_samp("value").alias("v"),
         )
     )
-    g = s.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n").alias("n_tot"),
-        F.sum(F.col("n") * F.col("m")).alias("snm"),
-        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("snmm"),
-        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
-    )
-    ssb = F.col("snmm") - F.col("snm") * F.col("snm") / F.col("n_tot")
-    return g.select(
-        F.col("k").cast("long").alias("k"),
-        F.col("n_tot").cast("long").alias("n_total"),
-        # try_divide ≡ DuckDB's NULL-on-zero: all-constant values give
-        # SS_within = 0 (and SS_total = 0 for eta²) — undefined, not
-        # an ANSI divide-by-zero crash
-        F.round(
-            F.try_divide(
-                F.try_divide(ssb, F.col("k") - 1),
-                F.try_divide(
-                    F.col("ssw"), F.col("n_tot") - F.col("k")
-                ),
-            ),
-            4,
-        ).alias("f_stat"),
-        (F.col("k") - 1).cast("long").alias("df_between"),
-        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
-        F.round(F.try_divide(ssb, ssb + F.col("ssw")), 6).alias("eta_sq"),
-    )
+    return anova_tail(s, "f_stat", include_eta=True)
 
 
 # ---------------------------------------------------------------- E38

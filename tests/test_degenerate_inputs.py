@@ -109,8 +109,15 @@ def zerovec_sf_dir(tmp_path_factory):
         shutil.copy(f, os.path.join(out, os.path.basename(f)))
     t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
     emb = t["embedding"].to_pylist()
+    labels = t["label"].to_pylist()
     for i in range(0, len(emb), 10):
         emb[i] = [0.0] * len(emb[i])
+    # ...and one WHOLE label's batch zeroed (a failed-encoder ingest),
+    # so (label, side) centroid aggregates are zero vectors too — the
+    # centroid_drift case the review caught
+    for i, lab in enumerate(labels):
+        if lab == 0:
+            emb[i] = [0.0] * len(emb[i])
     pq.write_table(
         pa.table(
             {

@@ -50,12 +50,24 @@ def build(sf_dir: str, out_dir: str, times: int) -> None:
             continue
         t = pq.read_table(src)
         idx = t.schema.get_field_index(col)
+        # keep replica blocks collision-free even when the SOURCE is
+        # itself a replicate (ids already above the default step):
+        # grow the step to clear the observed id range
+        max_id = pc.max(t[col]).as_py() or 0
+        step = OFFSET_STEP
+        while step <= max_id:
+            step *= 10
         parts = [
-            t.set_column(idx, col, pc.add(t[col], i * OFFSET_STEP))
+            t.set_column(idx, col, pc.add(t[col], i * step))
             for i in range(times)
         ]
-        pq.write_table(pa.concat_tables(parts), dst)
-        print(f"{fname}: {t.num_rows} -> {t.num_rows * times} rows")
+        out = pa.concat_tables(parts)
+        assert len(pc.unique(out[col])) == t.num_rows * times, (
+            f"{fname}: id collision after offsetting (step={step})"
+        )
+        pq.write_table(out, dst)
+        print(f"{fname}: {t.num_rows} -> {t.num_rows * times} rows "
+              f"(step {step})")
 
 
 def main() -> None:
