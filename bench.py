@@ -228,6 +228,25 @@ def main() -> None:
                 k: round(v / base["queries"][k], 2) for k, v in common.items()
             }
     print(json.dumps(out))
+    # The driver records only a ~2000-char stdout TAIL; the grown
+    # per-query map overflows that, truncating the totals at the FRONT
+    # of the line (BENCH_r07 "parsed": null). Print a compact summary
+    # as the LAST line so truncation can never eat the headline
+    # numbers: total, vs_baseline, and the 5 worst per-floor ratios.
+    ratios = out.get("queries_vs_baseline", {})
+    worst = dict(
+        sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+    )
+    summary = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf_num,
+        "n_queries": len(times),
+        "vs_baseline": out.get("vs_baseline"),
+        "worst5_vs_baseline": worst,
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

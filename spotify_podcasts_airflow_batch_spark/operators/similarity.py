@@ -26,6 +26,31 @@ from spotify_podcasts_airflow_batch_spark.functions.vectors import (
 
 NUM_PLANES = 8
 
+# Cosine involving a zero-norm (failed-embedding) vector. DuckDB's
+# list_cosine_similarity returns -1.0 whenever EITHER side is the
+# zero vector; -1.0 also ranks last under desc in both engines. The
+# raw numpy form (X / ||X||) instead yields NaN — and Spark sorts NaN
+# FIRST under desc, so a dead embedding would rank as everyone's top
+# neighbor (ADVICE r7). Every GEMM kernel in this repo masks zero
+# norms to this sentinel so the numpy paths agree with their DuckDB
+# oracles bit-for-bit, zero vectors included. (The JVM expression
+# paths use try_divide → NULL instead; their oracles are hand-written
+# divisions that also yield NULL, so each pairing is internally
+# consistent.)
+ZERO_NORM_COS = -1.0
+
+
+def unit_rows(X):
+    """Row-normalize a (n, d) float matrix without NaN: zero-norm rows
+    come back all-zero, and the returned boolean mask marks them so
+    callers can stamp ``ZERO_NORM_COS`` on their similarity entries.
+    Returns (Xn, zero_mask)."""
+    import numpy as np
+
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    zero = nrm.ravel() == 0.0
+    return X / np.where(nrm == 0.0, 1.0, nrm), zero
+
 
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random value in [-1, 1] from the shared
@@ -81,8 +106,12 @@ def blocked_allpairs_cosine(
         ids = pdf["__id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Xn, xzero = unit_rows(X)
         G = Xn @ Xn.T
+        # zero-norm rows: cos = -1.0 (DuckDB list_cosine convention),
+        # excluded by any tau > -1 — never NaN (see ZERO_NORM_COS)
+        G[xzero, :] = ZERO_NORM_COS
+        G[:, xzero] = ZERO_NORM_COS
         iu, ju = np.triu_indices(len(ids), k=1)
         ia, ib = ids[iu], ids[ju]
         swap = ia > ib
@@ -155,7 +184,7 @@ def knn_brute_force(
         return corpus.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in qrows])
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn, qzero = unit_rows(Q)
 
     def score(batches):
         for pdf in batches:
@@ -163,8 +192,13 @@ def knn_brute_force(
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            Xn, xzero = unit_rows(X)
             S = Xn @ Qn.T  # (batch, n_queries)
+            # zero-norm side → cos = -1.0, ranks LAST like the DuckDB
+            # oracle — never NaN, which Spark would rank FIRST under
+            # desc (see ZERO_NORM_COS)
+            S[xzero, :] = ZERO_NORM_COS
+            S[:, qzero] = ZERO_NORM_COS
             n_c, n_q = S.shape
             yield pd.DataFrame(
                 {

@@ -112,11 +112,11 @@ _RANK_BINS = 8  # equi-width value bins for the contingency table
     ),
     ties AS (
         SELECT CAST(sum(n) AS BIGINT) AS n_tot,
-               CAST(sum(n) * (sum(n) - 1) / 2 AS BIGINT) AS t0,
-               CAST((SELECT sum(nx * (nx - 1) / 2) FROM (
+               CAST(sum(n) * (sum(n) - 1) // 2 AS BIGINT) AS t0,
+               CAST((SELECT sum(nx * (nx - 1) // 2) FROM (
                     SELECT sum(n) AS nx FROM cells GROUP BY xb))
                     AS BIGINT) AS t1,
-               CAST((SELECT sum(ny * (ny - 1) / 2) FROM (
+               CAST((SELECT sum(ny * (ny - 1) // 2) FROM (
                     SELECT sum(n) AS ny FROM cells GROUP BY yb))
                     AS BIGINT) AS t2
         FROM cells
@@ -139,10 +139,14 @@ def rank_assoc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤192² rows regardless of fact size — so the whole test is one
     map-side-combinable groupBy plus scalar math on a tiny broadcast
     relation (Spark plans the theta self-join as a
-    BroadcastNestedLoopJoin over ≤192 rows). Pair counts stay exact in
-    int64 up to ~1e9 rows (n(n−1)/2 < 2⁶³); beyond that cast the
-    products to double (DuckDB silently escalates to HUGEINT — the
-    kmeans_audit int64-headroom lesson). Bin edges derive from exact
+    BroadcastNestedLoopJoin over ≤192 rows). Tie terms n(n−1)/2 use
+    INTEGER halving (shiftright / DuckDB ``//`` — the pair count is
+    always even) so they are exact for the whole int64 range: the
+    earlier ``/2``-as-double form silently lost ulps past n(n−1) >
+    2⁵³ (~9.5e7 rows, ADVICE r7). Beyond n ≈ 3e9 rows the n(n−1)
+    product overflows int64 — Spark ANSI raises LOUDLY there while
+    DuckDB escalates to HUGEINT; at that scale move the tie terms to
+    double deliberately. Bin edges derive from exact
     global min/max (order-independent aggregates), so both engines
     compute identical doubles through the same IEEE expression text.
     """
@@ -191,12 +195,16 @@ def rank_assoc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties = (
         cells.agg(
             F.sum("n").cast("long").alias("n_tot"),
-            (F.sum("n") * (F.sum("n") - 1) / 2).cast("long").alias("t0"),
+            F.shiftright(F.sum("n") * (F.sum("n") - 1), 1)
+            .cast("long")
+            .alias("t0"),
         )
         .crossJoin(
             F.broadcast(
                 xm.agg(
-                    F.sum(F.col("nx") * (F.col("nx") - 1) / 2)
+                    F.sum(
+                        F.shiftright(F.col("nx") * (F.col("nx") - 1), 1)
+                    )
                     .cast("long")
                     .alias("t1")
                 )
@@ -205,7 +213,9 @@ def rank_assoc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             F.broadcast(
                 ym.agg(
-                    F.sum(F.col("ny") * (F.col("ny") - 1) / 2)
+                    F.sum(
+                        F.shiftright(F.col("ny") * (F.col("ny") - 1), 1)
+                    )
                     .cast("long")
                     .alias("t2")
                 )

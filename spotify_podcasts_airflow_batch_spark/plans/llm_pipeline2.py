@@ -1284,13 +1284,20 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in (1, 0)
         ],
     )
-    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
-    pe = (
+    # try_divide throughout: on an EMPTY documents slice n = 0 and
+    # plain double division yields NaN on Spark (ANSI only errors on
+    # integral division) where DuckDB yields NULL — the same
+    # NULL-on-zero discipline as every other statistic here
+    po = F.try_divide(
+        (F.col("n11") + F.col("n00")).cast("double"), F.col("n")
+    )
+    pe = F.try_divide(
         (F.col("n11") + F.col("n10")).cast("double")
         * (F.col("n11") + F.col("n01"))
         + (F.col("n01") + F.col("n00")).cast("double")
-        * (F.col("n10") + F.col("n00"))
-    ) / (F.col("n").cast("double") * F.col("n"))
+        * (F.col("n10") + F.col("n00")),
+        F.col("n").cast("double") * F.col("n"),
+    )
     return cells.select(
         "n",
         "n11",
@@ -1300,6 +1307,6 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("p_observed"),
         F.round(pe, 6).alias("p_expected"),
         F.when((po == 1.0) & (pe == 1.0), F.lit(None).cast("double"))
-        .otherwise(F.round((po - pe) / (1.0 - pe), 6))
+        .otherwise(F.round(F.try_divide(po - pe, 1.0 - pe), 6))
         .alias("kappa"),
     )

@@ -57,76 +57,40 @@ class Query:
 # round 3 the A/C-core/D/E/F representatives, round 4 the text/
 # recsys/events/statistics wave, round 5 the sampling/PQ-ANN/
 # E-statistics wave, round 6 the analytics/timeseries/ANN-serving
-# wave. This round-7 window is generated by
-# ``python tools/rotate_window.py`` (which unions CORRECTNESS_r*.json
-# so the counts cannot go stale by hand-editing): the 3 B sentinels
-# kept as cross-round regression anchors, then the 25 oracle-bearing
-# keys without a driver hash row (the 4 registered after the round-6
-# head was cut — group_split_audit, ivfpq_ann_served, mips_brute,
-# bootstrap_ci — plus round 7's served-ANN split pq_adc_ann_served /
-# ivfpq_residual_ann_served / sq8_ann_served / ivfpq_exact_rerank /
-# ivfpq_rerank_recall, E65 anova_f, F6/F7 media_dedup /
-# media_chunk_plan, the experimentation wave levene_bf /
-# rank_assoc_binned / cuped_adjust / power_mde, the vector-serving
-# wave ann_filtered / centroid_drift / mmr_diversify / D36
-# hybrid_rrf_fusion, E70 permutation_test, E71 mcnemar_paired,
-# C65 truncation_loss, C66 fold_balance_audit and C67
-# rater_agreement_kappa), then the 10 rows-only
-# keys the driver has never executed (ann_lsh, ann_recall,
-# dtw_behavior_align, file_inventory, hll_daily_union, ivf_ann,
-# kmeans_lloyd, minhash_lsh, pca_project, pq_trained_recall), then
-# the 3 rows-only keys whose only historical rows carry the r1/r2
-# driver's "no_oracle" err marker (approx_distinct, approx_quantiles,
-# heavy_hitters — VERDICT r6 item 6: they deserve one clean
-# execution row). The remaining 9 slots refill with already-verified
-# oracle-bearing keys in registry order so the window never runs
-# short. After this round EVERY catalog entry has a driver row.
-# Queries outside the head keep their registration order and stay
-# covered by the local driver-strict suite
+# wave, round 7 the served-quantizer/experimentation wave — after
+# which every catalog entry had at least one driver row. The
+# round-8 window therefore pivots from "never verified" to
+# "verified, then CHANGED": the 3 B sentinels, then the 10 queries
+# whose plan or oracle was rewritten by the round-7 degenerate-input
+# sweeps AFTER their last driver hash row (VERDICT r7 item 1 —
+# text_stats / lang_id blank-token oracle convention, value_histogram,
+# spearman_corr / ols_trend / ab_welch_ttest / output_file_plan /
+# interarrival_stats / ivf_nprobe_recall / ann_hamming_rerank
+# try_divide and zero-vector-NULL rewrites), then the round-8
+# additions, then refill with already-verified oracle-bearing keys in
+# registry order so the window never runs short. Queries outside the
+# head stay covered by the local driver-strict suite
 # (tests/test_queries_oracle.py), which runs the same row-count /
 # schema / canonicalized-hash comparison on every registered query.
 _DRIVER_HEAD = (
     "q1_pricing_summary",  # sentinel
     "q9_product_profit",  # sentinel
     "salted_join",  # sentinel
-    "group_split_audit",
-    "truncation_loss",
-    "fold_balance_audit",
-    "rater_agreement_kappa",
-    "pq_adc_ann_served",
-    "ivfpq_ann_served",
-    "ivfpq_exact_rerank",
-    "ivfpq_rerank_recall",
-    "ivfpq_residual_ann_served",
-    "sq8_ann_served",
-    "mips_brute",
-    "ann_filtered",
-    "centroid_drift",
-    "mmr_diversify",
-    "hybrid_rrf_fusion",
-    "bootstrap_ci",
-    "anova_f",
-    "levene_bf",
-    "rank_assoc_binned",
-    "cuped_adjust",
-    "power_mde",
-    "permutation_test",
-    "mcnemar_paired",
-    "media_dedup",
-    "media_chunk_plan",
-    "file_inventory",
-    "minhash_lsh",
-    "kmeans_lloyd",
-    "pca_project",
-    "ivf_ann",
-    "ann_lsh",
-    "ann_recall",
-    "pq_trained_recall",
-    "dtw_behavior_align",
-    "hll_daily_union",
-    "approx_distinct",
-    "approx_quantiles",
-    "heavy_hitters",
+    # -- changed after their last driver row (round-7 degenerate fixes)
+    "text_stats",
+    "lang_id",
+    "value_histogram",
+    "spearman_corr",
+    "ols_trend",
+    "ab_welch_ttest",
+    "output_file_plan",
+    "interarrival_stats",
+    "ivf_nprobe_recall",
+    "ann_hamming_rerank",
+    # -- round-8 additions (inserted as they land)
+    # -- refill: verified keys (family reps first, then registry order)
+    "top_eps_report",
+    "media_meta",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q10_returned_items",
@@ -136,6 +100,32 @@ _DRIVER_HEAD = (
     "window_running",
     "sessionize",
     "count_distinct",
+    "asof_join",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "quantiles",
+    "rank_variants",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_join",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "cube_agg",
+    "grouping_sets_agg",
+    "unpivot_metrics",
+    "set_ops_retention",
+    "range_join",
+    "mode_per_group",
+    "latest_event_argmax",
+    "fuzzy_name_match",
+    "global_row_number",
+    "pareto_frontier",
 )
 
 

@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_podcasts_airflow_batch_spark.operators.similarity import (
+    ZERO_NORM_COS,
     knn_brute_force,
+    unit_rows,
 )
 from spotify_podcasts_airflow_batch_spark.plans.registry import register
 from spotify_podcasts_airflow_batch_spark.sources.readers import table
@@ -335,10 +337,20 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 X = np.array(
                     [c["cvec"] for c in row["cands"]], dtype=np.float64
                 )
-                qn = q / np.linalg.norm(q)
-                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-                rel = [r6(v) for v in Xn @ qn]
+                # zero-norm guard (ADVICE r7): cos involving a dead
+                # embedding is -1.0 (the DuckDB list_cosine sentinel,
+                # ranks last), never NaN (Spark ranks NaN first)
+                Qn, qz = unit_rows(q.reshape(1, -1))
+                qn = Qn[0]
+                Xn, xz = unit_rows(X)
+                rel_raw = Xn @ qn
+                rel_raw[xz] = ZERO_NORM_COS
+                if qz[0]:
+                    rel_raw[:] = ZERO_NORM_COS
+                rel = [r6(v) for v in rel_raw]
                 S = Xn @ Xn.T
+                S[xz, :] = ZERO_NORM_COS
+                S[:, xz] = ZERO_NORM_COS
                 n = len(ids)
                 picked: list[int] = []
                 for pick in range(1, min(picks, n) + 1):

@@ -133,9 +133,11 @@ def zerovec_sf_dir(tmp_path_factory):
 
 def test_vector_queries_survive_zero_vectors(spark, zerovec_sf_dir):
     """A zero vector has no direction: cosine against it is NULL
-    (functions/vectors.py try_divide), never an ANSI crash — this
-    sweep caught 5 live DIVIDE_BY_ZEROs on first run (ivf_ann,
-    ann_lsh, ann_recall, ivf_nprobe_recall, ann_hamming_rerank)."""
+    (functions/vectors.py try_divide) on the JVM paths and the -1.0
+    DuckDB-list_cosine sentinel on the GEMM paths, never an ANSI
+    crash — this sweep caught 5 live DIVIDE_BY_ZEROs on first run
+    (ivf_ann, ann_lsh, ann_recall, ivf_nprobe_recall,
+    ann_hamming_rerank)."""
     failures = []
     for name, q in QUERIES.items():
         mod = q.spark_fn.__module__
@@ -148,6 +150,35 @@ def test_vector_queries_survive_zero_vectors(spark, zerovec_sf_dir):
         except Exception as ex:  # pragma: no cover - failure reporting
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
+
+
+# GEMM-kernel-backed keys: their numpy cosine must agree with the
+# DuckDB list_cosine_similarity oracle VALUE-for-value on a corpus
+# with zero vectors — not merely not-crash. Before the ZERO_NORM_COS
+# guard (operators/similarity.py), X/||X|| produced NaN and Spark
+# ranks NaN FIRST under desc, so a dead embedding ranked as every
+# query's top neighbor while DuckDB ranked it last (ADVICE r7).
+GEMM_ORACLE_KEYS = (
+    "knn_brute",
+    "ann_filtered",
+    "mmr_diversify",
+    "hybrid_rrf_fusion",
+    "embed_near_dup",
+)
+
+
+def test_gemm_keys_agree_with_oracle_on_zero_vectors(
+    spark, zerovec_sf_dir
+):
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(zerovec_sf_dir, "*.parquet")):
+        t = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
+    for name in GEMM_ORACLE_KEYS:
+        q = QUERIES[name]
+        sdf = _spark_pdf(q.spark_fn(spark, zerovec_sf_dir))
+        odf = con.execute(q.oracle).df()
+        assert canon_pdf(sdf, name) == canon_pdf(odf, name), name
 
 
 BLANK_TEXT_KEYS = (

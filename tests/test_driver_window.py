@@ -3,17 +3,17 @@
 Rounds 1-2 only ever sampled the relational B head; round 3 rotated in
 the A/C-core/D/E/F representatives; round 4 the text/recsys/events/
 statistics wave; round 5 the sampling/PQ-ANN/E-statistics wave; round
-6 the analytics/timeseries/ANN-serving wave. The round-7 head
-(generated by tools/rotate_window.py) holds the 3 B sentinels, the 4
-oracle-bearing keys registered after the round-6 head was cut, all 10
-never-executed rows-only keys (an execution crash should be caught by
-the driver, not only locally — VERDICT r5 item 6), the 3 rows-only
-keys whose only historical rows carry the r1/r2 "no_oracle" err
-marker (VERDICT r6 item 6), and refills the remaining slots with
-already-verified oracle-bearing keys. The invariant this file pins:
-no window slot is wasted on an already-verified non-sentinel key
-while unverified oracle-bearing keys remain, and rows-only fills
-appear only AFTER every unverified oracle-bearing key is in the head.
+6 the analytics/timeseries/ANN-serving wave; round 7 the
+served-quantizer/experimentation wave — after which every catalog
+entry had at least one driver row. The round-8 head therefore pivots
+from "never verified" to "verified, then CHANGED": the 3 B sentinels,
+the 10 queries whose plan or oracle was rewritten by the round-7
+degenerate-input sweeps AFTER their last driver hash row (VERDICT r7
+item 1), the round-8 additions, then verified refill. The invariant
+this file pins: no window slot is wasted on an already-verified
+non-sentinel key while unverified oracle-bearing keys remain, and
+rows-only fills appear only AFTER every unverified oracle-bearing key
+is in the head.
 """
 
 from __future__ import annotations
@@ -28,14 +28,14 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import (
 )
 
 # family representatives in the CURRENT head: key -> family letter
-# (see SURVEY §2); F (multimodal) has no remaining unverified or
-# never-clean keys and is intentionally absent
+# (see SURVEY §2)
 _FAMILY_OF = {
-    "file_inventory": "A",
+    "top_eps_report": "A",
     "q1_pricing_summary": "B",
-    "minhash_lsh": "C",
-    "ivfpq_ann_served": "D",
-    "bootstrap_ci": "E",
+    "text_stats": "C",
+    "ivf_nprobe_recall": "D",
+    "spearman_corr": "E",
+    "media_meta": "F",
 }
 
 

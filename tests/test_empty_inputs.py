@@ -52,3 +52,27 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     assert not failures, "queries crashed on empty input:\n" + "\n".join(
         failures
     )
+
+
+def test_kappa_matches_oracle_on_empty_corpus(spark, empty_sf_dir):
+    """rater_agreement_kappa divides by n: on a 0-row documents slice
+    plain double division is NaN on Spark but NULL on DuckDB (ADVICE
+    r7) — the try_divide form must make the one emitted row NULL-equal
+    across engines, not just not-crash."""
+    import duckdb
+
+    from spotify_podcasts_airflow_batch_spark.plans.registry import (
+        all_queries,
+    )
+    from tests.test_queries_oracle import _spark_pdf, canon_pdf
+
+    q = all_queries()["rater_agreement_kappa"]
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(empty_sf_dir, "*.parquet")):
+        t = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
+    sdf = _spark_pdf(q.spark_fn(spark, empty_sf_dir))
+    odf = con.execute(q.oracle).df()
+    assert canon_pdf(sdf, "rater_agreement_kappa") == canon_pdf(
+        odf, "rater_agreement_kappa"
+    )

@@ -39,6 +39,21 @@ OFFSET_STEP = 10_000_000
 
 def build(sf_dir: str, out_dir: str, times: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    # ONE shared step across every offset table (ADVICE r7): the step
+    # clears the max id over ALL of them, not each table's own — a
+    # per-table step on an already-replicated source could give
+    # documents and embeddings different strides, silently breaking
+    # the doc_id = vec_id correspondence the doc/vec joins
+    # (ann_filtered, hybrid_rrf_fusion, ...) rely on.
+    max_id = 0
+    for fname, col in OFFSET_COLS.items():
+        src = os.path.join(sf_dir, fname)
+        if os.path.exists(src):
+            t_max = pc.max(pq.read_table(src, columns=[col])[col]).as_py()
+            max_id = max(max_id, t_max or 0)
+    step = OFFSET_STEP
+    while step <= max_id:
+        step *= 10
     for fname in sorted(os.listdir(sf_dir)):
         if not fname.endswith(".parquet"):
             continue
@@ -50,13 +65,6 @@ def build(sf_dir: str, out_dir: str, times: int) -> None:
             continue
         t = pq.read_table(src)
         idx = t.schema.get_field_index(col)
-        # keep replica blocks collision-free even when the SOURCE is
-        # itself a replicate (ids already above the default step):
-        # grow the step to clear the observed id range
-        max_id = pc.max(t[col]).as_py() or 0
-        step = OFFSET_STEP
-        while step <= max_id:
-            step *= 10
         parts = [
             t.set_column(idx, col, pc.add(t[col], i * step))
             for i in range(times)
