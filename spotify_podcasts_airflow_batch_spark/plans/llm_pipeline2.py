@@ -309,6 +309,117 @@ def quantile_normalize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- C45b
+_QNORM_GRID = 64  # percentile-grid size (fixed, corpus-independent)
+
+
+@register(
+    "quantile_normalize_grid",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    cnt AS (SELECT n_chars AS v, count(*) AS c FROM documents
+            GROUP BY n_chars),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM cnt),
+    gi AS (SELECT unnest(range({_QNORM_GRID})) AS i),
+    gidx AS (SELECT gi.i, (n.n - 1) * gi.i // {_QNORM_GRID - 1} AS pos
+             FROM gi, n),
+    grid AS (
+        SELECT g.i, min(c.v) AS gv
+        FROM gidx g JOIN cum c ON c.cum > g.pos
+        GROUP BY g.i
+    ),
+    r AS (
+        SELECT doc_id, source, n_chars,
+               percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS p
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.n_chars,
+           round(CAST(lo.gv AS DOUBLE)
+                 + (r.p * {_QNORM_GRID - 1}
+                    - floor(r.p * {_QNORM_GRID - 1}))
+                   * (CAST(hi.gv AS DOUBLE) - CAST(lo.gv AS DOUBLE)),
+                 4) AS normalized_len
+    FROM r
+    JOIN grid lo
+      ON lo.i = CAST(floor(r.p * {_QNORM_GRID - 1}) AS INT)
+    JOIN grid hi
+      ON hi.i = least(CAST(floor(r.p * {_QNORM_GRID - 1}) AS INT) + 1,
+                      {_QNORM_GRID - 1})
+    """,
+)
+def quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45b — quantile normalization through a FIXED-SIZE percentile
+    grid: the 100 TB path C45's docstring promised. C45 materializes
+    the full global sorted array (driver state = corpus size — fine at
+    test SF, impossible at scale); this variant contracts the global
+    distribution to {_QNORM_GRID} EXACT order statistics and
+    interpolates each document's within-source percentile onto that
+    grid, so driver/broadcast state is {_QNORM_GRID} values at ANY
+    corpus size.
+
+    The grid stays exact (not t-digest-approximate) by exploiting
+    n_chars being a discrete column: a groupBy(n_chars) count shuffles
+    only DISTINCT values, a cumulative sum over that value histogram
+    locates the order statistic at grid index i = floor((n−1)·i/(G−1))
+    as the smallest value whose cumulative count exceeds it — all
+    integer logic, identical on both engines (the same
+    equi-depth-histogram contraction as E18). The per-doc lookup is
+    the C45 interpolation written with the identical operation order
+    (lo + f·(hi−lo)), so both engines emit the same doubles. Shuffles:
+    one distinct-value histogram + one per-source window over the
+    fact — the full-array collect is gone."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    nrow = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    cnt = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    # cumulative count over the DISTINCT-value histogram: the one
+    # single-partition window, sized by distinct values, not rows
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.select(
+        F.col("n_chars").alias("v"), F.sum("c").over(wcum).alias("cum")
+    )
+    gi = spark.range(_QNORM_GRID).select(F.col("id").cast("int").alias("i"))
+    gidx = gi.crossJoin(F.broadcast(nrow)).select(
+        "i",
+        F.expr(f"(n - 1) * i div {_QNORM_GRID - 1}").alias("pos"),
+    )
+    grid = (
+        F.broadcast(gidx)
+        .join(cum, F.col("cum") > F.col("pos"))
+        .groupBy("i")
+        .agg(F.min("v").alias("gv"))
+    )
+    garr = grid.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "gv"))),
+            lambda s: s["gv"],
+        ).alias("gvals")
+    )
+    p = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    )
+    r = d.select("doc_id", "source", "n_chars", p.alias("p"))
+    pos = F.col("p") * F.lit(_QNORM_GRID - 1)
+    i0 = F.floor(pos).cast("int")
+    frac = pos - F.floor(pos)
+    lo = F.element_at(F.col("gvals"), i0 + 1).cast("double")
+    hi = F.element_at(
+        F.col("gvals"), F.least(i0 + 2, F.lit(_QNORM_GRID))
+    ).cast("double")
+    return r.crossJoin(F.broadcast(garr)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(lo + frac * (hi - lo), 4).alias("normalized_len"),
+    )
+
+
 # ---------------------------------------------------------------- C46
 _HELDOUT_HASH = oracle_hash31("'split:' || CAST(doc_id AS VARCHAR)")
 

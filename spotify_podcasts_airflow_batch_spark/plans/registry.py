@@ -88,6 +88,7 @@ _DRIVER_HEAD = (
     "ivf_nprobe_recall",
     "ann_hamming_rerank",
     # -- round-8 additions (inserted as they land)
+    "quantile_normalize_grid",
     # -- refill: verified keys (family reps first, then registry order)
     "top_eps_report",
     "media_meta",
@@ -125,7 +126,6 @@ _DRIVER_HEAD = (
     "latest_event_argmax",
     "fuzzy_name_match",
     "global_row_number",
-    "pareto_frontier",
 )
 
 

@@ -1499,7 +1499,20 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- D28
-_IVFPQ_CELLS = 16
+# IVF coarse-cell count scales with the corpus: cells ≈ √n (the FAISS
+# nlist convention the docstrings cite), clamped to [1, cap]. A
+# frozen cell count couples per-cell occupancy — and therefore
+# probed-cell serving cost — to corpus size (measured: ×100 corpus →
+# ×100 serving wall at 16 cells, VERDICT r7 item 2); √n holds the
+# probed fraction shrinking as the corpus grows, so the served-index
+# walls stay ~flat. The count is chosen at INDEX-BUILD time from
+# count(embeddings) with the same ceil(sqrt(double)) expression on
+# both engines (IEEE sqrt is correctly rounded — perfect squares are
+# exact, and off-by-one at the ceil needs an error ≥ 1/(2√n), 10
+# orders above sqrt's half-ulp for any feasible corpus), so the
+# unrolled-Lloyd oracle derives the SAME k from the data without a
+# literal in the SQL.
+_IVF_CELL_CAP = 4096  # bounds the broadcast centroid constant (~1 MB)
 _IVFPQ_NPROBE = 2
 _IVFPQ_K = 10
 _IVFPQ_MOD = 31  # deterministic probe sample: vec_id % 31 == 0
@@ -1528,20 +1541,42 @@ def ivf_train_cells_cached(
     return _IVF_CC_CACHE[key]
 
 
+def ivf_n_cells(n: int) -> int:
+    """Coarse-cell count for an ``n``-vector corpus: ceil(sqrt(n))
+    clamped to [1, _IVF_CELL_CAP]. Python mirrors the oracle's
+    ``ceil(sqrt(CAST(n AS DOUBLE)))`` through the same IEEE double
+    sqrt, so both engines choose the identical k."""
+    import math
+
+    return max(1, min(_IVF_CELL_CAP, int(math.ceil(math.sqrt(float(n))))))
+
+
+def ivf_train_mod(n: int) -> int:
+    """Coarse-training sample stride: FAISS-style bounded sample of
+    ~96 points per centroid — max(_PQ_TRAIN_MOD, n // (96·cells)),
+    floor division on both engines. Below ~150k vectors this IS
+    _PQ_TRAIN_MOD (the fixed point at every test SF is unchanged);
+    past it the stride grows so training cost is ~96·cells² ≈ 96·n —
+    linear in the corpus instead of the n·√n the fixed stride gave."""
+    return max(_PQ_TRAIN_MOD, n // (96 * ivf_n_cells(n)))
+
+
 def ivf_train_cells(spark: SparkSession, sf_dir: str) -> list[list[int]]:
-    """Lloyd over FULL 64-dim quantized vectors for the _IVFPQ_CELLS
+    """Lloyd over FULL 64-dim quantized vectors for ivf_n_cells(n)
     coarse centroids: sample vec_id % _PQ_TRAIN_MOD == 0, seeds = the
     lexicographically-first cells (the round-5 untrained quantizer is
     exactly iteration 0), _PQ_TRAIN_ITERS updates. Returns
-    cents_u[cell][j] BIGINT micro-units."""
+    cents_u[cell][j] BIGINT micro-units; len(result) carries the
+    chosen cell count to every downstream consumer."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     xu = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * 1e6, 0).cast("long"),
     )
+    n = emb.count()
     init = (
         emb.orderBy("vec_id")
-        .limit(_IVFPQ_CELLS)
+        .limit(ivf_n_cells(n))
         .select("vec_id", xu.alias("xu"))
         .collect()
     )
@@ -1550,33 +1585,18 @@ def ivf_train_cells(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     init.sort(key=lambda r: r.vec_id)
     cents_u = [[int(v) for v in r.xu] for r in init]
     sub = (
-        emb.where(F.col("vec_id") % _PQ_TRAIN_MOD == 0)
-        .select("vec_id", xu.alias("xu"))
+        emb.where(F.col("vec_id") % ivf_train_mod(n) == 0)
         # sample-sized, consumed once per Lloyd iteration — the
         # persist-pays regime (see pq_train_codebook)
         .persist()
     )
-    d2u = F.aggregate(
-        F.zip_with("xu", "cu", lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     for _ in range(_PQ_TRAIN_ITERS):
-        cdf = spark.createDataFrame(
-            [(k, cents_u[k]) for k in range(len(cents_u))],
-            "cell_id int, cu array<bigint>",
-        )
+        # assignment via the Arrow GEMM kernel (exact integer
+        # distances, lowest-cell ties — see ivf_assign_arrow); the
+        # interpreted fold was sample × cells × 64 element evals and
+        # dominated the ×100 index build
         upd = (
-            sub.join(F.broadcast(cdf))
-            .withColumn("__d2u", d2u)
-            .groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(F.col("__d2u"), F.col("cell_id"))
-                ).alias("__b"),
-                F.first("xu").alias("xu"),
-            )
-            .select(F.col("__b.cell_id").alias("cell_id"), "xu")
+            ivf_assign_arrow(sub, cents_u, emit="cell+xu")
             .groupBy("cell_id")
             .agg(
                 *[
@@ -1596,22 +1616,6 @@ def ivf_train_cells(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     return cents_u
 
 
-def _ivf_cells_row(spark: SparkSession, cells_u: list) -> DataFrame:
-    """The trained coarse centroids as ONE constant-folded broadcast
-    row ``ccs[cell][j]`` (BIGINT micro-units) — the serving-side
-    frozen artifact."""
-    return F.broadcast(
-        spark.range(1).select(
-            F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in c])
-                    for c in cells_u
-                ]
-            ).alias("ccs")
-        )
-    )
-
-
 def _ivf_lloyd_sql() -> str:
     """Unrolled full-vector Lloyd for the coarse cells, the SQL twin
     of ``ivf_train_cells``. Assumes a CTE ``pts(vec_id, x0..x63)``
@@ -1623,13 +1627,22 @@ def _ivf_lloyd_sql() -> str:
         f"(s.x{j} - c.c{j}) * (s.x{j} - c.c{j})" for j in dims
     )
     parts = [
-        f"""csamp AS MATERIALIZED (
-        SELECT * FROM pts WHERE vec_id % {_PQ_TRAIN_MOD} = 0
+        f"""cn AS (
+        SELECT greatest(1, least({_IVF_CELL_CAP},
+            CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k
+        FROM pts
+    ), cm AS (
+        SELECT greatest({_PQ_TRAIN_MOD},
+            (SELECT count(*) FROM pts) // (96 * k)) AS md
+        FROM cn
+    ), csamp AS MATERIALIZED (
+        SELECT * FROM pts WHERE vec_id % (SELECT md FROM cm) = 0
     ), ccents0 AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+        SELECT rn - 1 AS cell_id,
                {', '.join(f'x{j} AS c{j}' for j in dims)}
-        FROM (SELECT * FROM pts ORDER BY vec_id
-              LIMIT {_IVFPQ_CELLS}) s0
+        FROM (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn
+              FROM pts) s0
+        WHERE rn <= (SELECT k FROM cn)
     )"""
     ]
     for i in range(1, _PQ_TRAIN_ITERS + 1):
@@ -1743,15 +1756,143 @@ def _ivfpq_xu_of(col):
     )
 
 
-def _ivfpq_cell_dists(xu):
-    return F.transform(
-        F.col("ccs"),
-        lambda c: F.aggregate(
-            F.zip_with(xu, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
-    )
+def ivf_assign_arrow(
+    df: DataFrame,
+    cells_u: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top: int = 1,
+    emit: str = "cell",
+) -> DataFrame:
+    """Integer-exact coarse-cell assignment as ONE Arrow GEMM pass —
+    the √n-cells replacement for the per-row ``zip_with`` fold.
+
+    Catalyst's higher-order functions are interpreted per ELEMENT, so
+    the JVM-side fold costs rows × cells × 64 element evaluations —
+    fine at 16 cells, but with cells ≈ √n the probe-ranking step alone
+    grew to ~20 s of the ×100 serving wall. This kernel computes the
+    same BIGINT micro-unit squared distances via the expansion
+    ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² in float64 BLAS: every operand is an
+    exact integer (|xu| ≤ ~7e6 → products ≤ ~5e13 and 64-term sums
+    < 2⁵³), so each distance is the EXACT integer the fold computes —
+    argmin ties are genuine ties and resolve to the lowest cell_id via
+    stable ordering, identical to the (d2u, cell_id) discipline the
+    oracle unrolls. Quantization mirrors F.round(x·1e6, 0) HALF-UP
+    away from zero (floor(s+0.5) / ceil(s−0.5) — the pinned _q spec in
+    tests/test_ivf_cells.py).
+
+    ``top`` rows per input row, best cells first. ``emit``:
+      "cell"     → (id, cell_id)
+      "cell+vec" → (id, vec_col passthrough, cell_id)  [top must be 1]
+      "cell+ru"  → (id, cell_id, ru array<bigint>) — ru = xu −
+                    cu[cell], the exact integer residual; with
+                    top > 1, one row per probed cell, each with the
+                    residual w.r.t. THAT cell (what the serving ADC
+                    needs — keeping the 448×64 centroid constant out
+                    of the JVM expression tree, which blew past
+                    codegen limits at √n cells)
+      "cell+xu"  → (id, cell_id, xu array<bigint>)     [top must be 1;
+                    the quantized vector, for Lloyd update sums]
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cells_u, dtype=np.float64)  # (k, d) exact micro-units
+    k = len(cells_u)
+    top_n = min(top, k)
+    C2 = (C * C).sum(axis=1)
+    bound = float(np.abs(C).max(initial=0.0))
+    if emit == "cell":
+        schema = f"{id_col} long, cell_id int"
+    elif emit == "cell+vec":
+        schema = f"{id_col} long, {vec_col} array<float>, cell_id int"
+    elif emit == "cell+ru":
+        schema = f"{id_col} long, cell_id int, ru array<bigint>"
+    elif emit == "cell+xu":
+        schema = f"{id_col} long, cell_id int, xu array<bigint>"
+    else:  # pragma: no cover - programming error
+        raise ValueError(f"unknown emit: {emit}")
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            s = X * 1e6
+            XU = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
+            # exactness guard: 64·(|xu|+|cu|)² must stay under 2^53
+            b = max(bound, float(np.abs(XU).max(initial=0.0)))
+            if 192.0 * b * b >= 2.0**53:  # pragma: no cover - huge values
+                raise ValueError(
+                    "ivf_assign_arrow: |x|·1e6 too large for exact "
+                    f"float64 integer arithmetic (max {b:.3g})"
+                )
+            X2 = (XU * XU).sum(axis=1)
+            D = X2[:, None] - 2.0 * (XU @ C.T) + C2[None, :]
+            ids = pdf[id_col].to_numpy()
+            if top_n == 1:
+                # argmin returns the FIRST minimum → lowest cell_id
+                best = D.argmin(axis=1)
+                if emit == "cell":
+                    yield pd.DataFrame(
+                        {id_col: ids, "cell_id": best.astype(np.int32)}
+                    )
+                elif emit == "cell+vec":
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids,
+                            vec_col: pdf[vec_col],
+                            "cell_id": best.astype(np.int32),
+                        }
+                    )
+                elif emit == "cell+ru":
+                    RU = XU.astype(np.int64) - C.astype(np.int64)[best]
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "cell_id": best.astype(np.int32),
+                            "ru": list(RU),
+                        }
+                    )
+                else:  # cell+xu
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "cell_id": best.astype(np.int32),
+                            "xu": list(XU.astype(np.int64)),
+                        }
+                    )
+            else:
+                # stable sort on exact-integer doubles → ties keep the
+                # lower cell_id, the oracle's (d2u, cell_id) order
+                order = np.argsort(D, axis=1, kind="stable")[:, :top_n]
+                if emit == "cell":
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.repeat(ids, top_n),
+                            "cell_id": order.ravel().astype(np.int32),
+                        }
+                    )
+                else:  # cell+ru: residual w.r.t. each probed cell
+                    flat = order.ravel()
+                    RU = (
+                        XU.astype(np.int64)[
+                            np.repeat(np.arange(len(ids)), top_n)
+                        ]
+                        - C.astype(np.int64)[flat]
+                    )
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.repeat(ids, top_n),
+                            "cell_id": flat.astype(np.int32),
+                            "ru": list(RU),
+                        }
+                    )
+
+    if emit in ("cell+vec", "cell+xu") and top != 1:
+        raise ValueError(f"{emit} emits the single best cell only")
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def _ivfpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1760,7 +1901,6 @@ def _ivfpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast trained constants."""
     cents = pq_train_codebook_cached(spark, sf_dir)
     cb_row = _pq_trained_cb_row(spark, cents)
-    cells_row = _ivf_cells_row(spark, ivf_train_cells_cached(spark, sf_dir))
     e = table(spark, sf_dir, "embeddings", fan_out="force").select(
         "vec_id", "embedding"
     )
@@ -1769,22 +1909,23 @@ def _ivfpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         dists = F.transform(F.col("cbs"), lambda c: _pq_sub_dist(v, c, m))
         return F.array_position(dists, F.array_min(dists)) - 1
 
-    return (
-        e.crossJoin(cb_row)
-        .crossJoin(cells_row)
-        .withColumn("__xu", _ivfpq_xu_of(F.col("embedding")))
-        .withColumn("__cd", _ivfpq_cell_dists(F.col("__xu")))
-        .select(
-            "vec_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-                lambda m: argmin_code(F.col("embedding"), m),
-            ).alias("codes"),
-            (
-                F.array_position(F.col("__cd"), F.array_min(F.col("__cd")))
-                - 1
-            ).cast("int").alias("cell_id"),
-        )
+    # coarse cell via the Arrow GEMM kernel (√n cells × 64 dims per
+    # row is too hot for the interpreted fold); the embedding passes
+    # through the Arrow exchange losslessly, so the float PQ-code
+    # argmin stays JVM-side in the SAME expression order as the
+    # oracle's CASE chain — no float ever crosses an engine boundary
+    assigned = ivf_assign_arrow(
+        e,
+        ivf_train_cells_cached(spark, sf_dir),
+        emit="cell+vec",
+    )
+    return assigned.crossJoin(cb_row).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: argmin_code(F.col("embedding"), m),
+        ).alias("codes"),
+        "cell_id",
     )
 
 
@@ -1802,26 +1943,20 @@ def _ivfpq_serve(
 
     cents = pq_train_codebook_cached(spark, sf_dir)
     cb_row = _pq_trained_cb_row(spark, cents)
-    cells_row = _ivf_cells_row(spark, ivf_train_cells_cached(spark, sf_dir))
     e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qsel = e_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    q_cells = (
-        qsel.crossJoin(cells_row)
-        .withColumn("__xu", _ivfpq_xu_of(F.col("embedding")))
-        .select(
-            "query_id",
-            F.posexplode(_ivfpq_cell_dists(F.col("__xu"))).alias(
-                "cell_id", "__d2u"
-            ),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy("__d2u", "cell_id")
-    probe_cells = (
-        q_cells.withColumn("__r", F.row_number().over(wq))
-        .where(F.col("__r") <= _IVFPQ_NPROBE)
-        .select("query_id", F.col("cell_id").cast("int").alias("cell_id"))
+    # probe ranking via the Arrow GEMM kernel: with cells ≈ √n the old
+    # posexplode-over-cell-dists fold was queries × cells × 64
+    # interpreted evals + a window shuffle — the dominant term of the
+    # ×100 serving wall; the kernel emits the top-nprobe cells per
+    # query directly in (d2u, cell_id) order
+    probe_cells = ivf_assign_arrow(
+        qsel,
+        ivf_train_cells_cached(spark, sf_dir),
+        id_col="query_id",
+        top=_IVFPQ_NPROBE,
     )
     adc = _pq_adc_table(qsel, cb_row)
     scored = (
@@ -1854,7 +1989,8 @@ def _ivfpq_serve(
 def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D28 — IVF-PQ, the composition production ANN actually ships
     (FAISS IVFPQ): an inverted-file coarse quantizer restricts each
-    query to its nprobe=2 best cells out of 16, and scoring inside the
+    query to its nprobe=2 best of the ~sqrt(n) trained cells, and
+    scoring inside the
     probed cells runs the trained-PQ asymmetric distance over 4-bit
     codes — search cost drops from |corpus| ADC sums per query (D24)
     to the probed cells' occupancy, recall tuned by the D27 nprobe
@@ -1975,10 +2111,12 @@ def ivfpq_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode cost lands: measured at 200k vectors with 6.5k probe
     queries, inline D28 costs 66 s per run while this path serves in
     24 s per run after a 31 s one-off build — and the remaining 24 s
-    is pure probed-occupancy ADC scoring (~3.7 ms/query), the cost
-    that the CELL-COUNT dial controls (16 cells is the toy constant;
-    production scales cells ~sqrt(n) so occupancy, and with it
-    per-query cost, stays flat as the corpus grows). At 100 TB the
+    is pure probed-occupancy ADC scoring (~3.7 ms/query at the
+    measurement's then-16-cell layout), the cost the CELL-COUNT dial
+    controls — and since round 8 the cell count IS sqrt(n)
+    (ivf_n_cells, chosen at index-build time from the corpus count),
+    so occupancy, and with it per-query cost, stays flat as the
+    corpus grows. At 100 TB the
     index lives in the lake like any other table — partition by
     cell_id and partition pruning does the cell restriction for
     free."""
@@ -2298,8 +2436,9 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid rows; counts are exact integers — fully hash-checked,
     the seeded variant doubling as the oracle's iteration-0
     cross-check of the Lloyd chain. Scale shape: one shuffle-free
-    projection per variant against a broadcast 16-row constant, then
-    a 16-row map-side-combinable rollup; the report is 2·cells rows."""
+    projection per variant against a broadcast cells-row constant,
+    then a cells-row map-side-combinable rollup; the report is
+    2·cells rows (cells = ivf_n_cells(n) ≈ √n since round 8)."""
     trained = ivf_train_cells_cached(spark, sf_dir)
     if not trained:
         return spark.createDataFrame(
@@ -2315,7 +2454,7 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seeded_rows = (
         e_1t.orderBy("vec_id")
-        .limit(_IVFPQ_CELLS)
+        .limit(len(trained))
         .select("vec_id", xu_of(F.col("embedding")).alias("xu"))
         .collect()
     )
@@ -2324,34 +2463,11 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = None
     for variant, cells in (("seeded", seeded), ("trained", trained)):
-        cells_row = _ivf_cells_row(spark, cells)
         e = table(spark, sf_dir, "embeddings", fan_out="force").select(
             "vec_id", "embedding"
         )
         assigned = (
-            e.crossJoin(cells_row)
-            .withColumn("__xu", xu_of(F.col("embedding")))
-            .withColumn(
-                "__cd",
-                F.transform(
-                    F.col("ccs"),
-                    lambda c: F.aggregate(
-                        F.zip_with(
-                            F.col("__xu"), c, lambda x, y: (x - y) * (x - y)
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ),
-                ),
-            )
-            .select(
-                (
-                    F.array_position(
-                        F.col("__cd"), F.array_min(F.col("__cd"))
-                    )
-                    - 1
-                ).cast("int").alias("cell_id"),
-            )
+            ivf_assign_arrow(e, cells, emit="cell")
             .groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit(variant).alias("variant"), "cell_id", "n")
@@ -2531,57 +2647,23 @@ def _rpq_oracle() -> str:
     """
 
 
-def _rpq_residuals(spark: SparkSession, sf_dir: str, fan_out=None):
+def _rpq_residuals(
+    spark: SparkSession, sf_dir: str, fan_out=None, where=None
+):
     """(vec_id, cell_id, ru): exact integer residual of every vector
-    from its integer-argmin coarse cell. Shuffle-free: one projection
-    against the broadcast quantized-centroid constant."""
+    from its integer-argmin coarse cell, via the Arrow GEMM kernel
+    (shuffle-free map pass). ``where`` filters the SCAN before the
+    Python exchange — a post-kernel filter would not push through
+    mapInPandas, so probe-sized consumers must pass it here."""
     e = table(spark, sf_dir, "embeddings", fan_out=fan_out).select(
         "vec_id", "embedding"
     )
-
-    def xu_of(col):
-        return F.transform(
-            col.cast("array<double>"),
-            lambda x: F.round(x * 1e6, 0).cast("long"),
-        )
-
+    if where is not None:
+        e = e.where(where)
     cells_u = ivf_train_cells_cached(spark, sf_dir)
     if not cells_u:
         return None
-    cells_row = _ivf_cells_row(spark, cells_u)
-
-    def cell_dists(xu):
-        return F.transform(
-            F.col("ccs"),
-            lambda c: F.aggregate(
-                F.zip_with(xu, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-
-    return (
-        e.crossJoin(cells_row)
-        .withColumn("__xu", xu_of(F.col("embedding")))
-        .withColumn("__cd", cell_dists(F.col("__xu")))
-        .withColumn(
-            "cell_id",
-            (
-                F.array_position(F.col("__cd"), F.array_min(F.col("__cd")))
-                - 1
-            ).cast("int"),
-        )
-        .select(
-            "vec_id",
-            "cell_id",
-            F.zip_with(
-                F.col("__xu"),
-                F.element_at(F.col("ccs"), F.col("cell_id") + 1),
-                lambda x, c: x - c,
-            ).alias("ru"),
-            "__cd",
-        )
-    )
+    return ivf_assign_arrow(e, cells_u, emit="cell+ru")
 
 
 def _rpq_train(spark: SparkSession, sf_dir: str) -> list:
@@ -2595,8 +2677,12 @@ def _rpq_train(spark: SparkSession, sf_dir: str) -> list:
     if res is None:
         _RPQ_CB_CACHE[key] = []
         return []
+    # training sample filtered at the SCAN (inside the helper — a
+    # .where() after the Arrow kernel would not push through)
     sub = (
-        res.where(F.col("vec_id") % _PQ_TRAIN_MOD == 0)
+        _rpq_residuals(
+            spark, sf_dir, where=F.col("vec_id") % _PQ_TRAIN_MOD == 0
+        )
         .select(
             "vec_id",
             F.posexplode(
@@ -2701,27 +2787,43 @@ def _rpq_sub_d2u(ru, m, cvec):
 
 def _rpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     """The D29 index relation (vec_id, cell_id, codes): residual PQ
-    codes + coarse cell in one shuffle-free projection against the
-    broadcast trained constants."""
+    codes + coarse cell in one shuffle-free map pass. Unlike the RAW
+    PQ encode (whose subspace distances are FLOAT expressions that
+    must stay JVM-side in the oracle's exact evaluation order), the
+    residual path is integer end-to-end — so the code argmin is
+    computed exactly in the same Arrow pass that assigns the cell:
+    d2u products ≤ (4e6)²·8 < 2⁵³ stay exact in float64, argmin's
+    first-minimum rule IS the lowest-cid tie-break. The JVM
+    transform-over-rcbs form cost corpus × 8·16 interpreted 8-term
+    folds (~60 s of the ×100 index build)."""
     res = _rpq_residuals(spark, sf_dir, fan_out="force")
     if res is None:
         return None
-    rcb_row = _rpq_cb_row(spark, _rpq_train(spark, sf_dir))
+    rcb = _rpq_train(spark, sf_dir)
+    import numpy as np
+    import pandas as pd
 
-    def argmin_code(ru, m):
-        dists = F.transform(
-            F.element_at(F.col("rcbs"), m + 1),
-            lambda c: _rpq_sub_d2u(ru, m, c),
-        )
-        return F.array_position(dists, F.array_min(dists)) - 1
+    CB = np.asarray(rcb, dtype=np.float64)  # (m, k, sub) micro-units
 
-    return res.crossJoin(rcb_row).select(
-        "vec_id",
-        "cell_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-            lambda m: argmin_code(F.col("ru"), m),
-        ).alias("codes"),
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            RU = np.array(pdf["ru"].tolist(), dtype=np.float64).reshape(
+                len(pdf), _PQ_M, 1, _PQ_SUB
+            )
+            D = ((RU - CB[None, :, :, :]) ** 2).sum(axis=3)
+            codes = D.argmin(axis=2).astype(np.int64)  # first-min = low cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell_id": pdf["cell_id"],
+                    "codes": list(codes),
+                }
+            )
+
+    return res.mapInPandas(
+        encode, "vec_id long, cell_id int, codes array<bigint>"
     )
 
 
@@ -2739,60 +2841,41 @@ def _rpq_serve(
     from pyspark.sql import Window
 
     rcb_row = _rpq_cb_row(spark, _rpq_train(spark, sf_dir))
-    # no fan-out staging here: the probe filter must reach the scan
-    qres = _rpq_residuals(spark, sf_dir).where(
-        F.col("vec_id") % _IVFPQ_MOD == 0
+    cells_u = ivf_train_cells_cached(spark, sf_dir)
+    # probe filter applied at the SCAN, then ONE Arrow pass emits the
+    # top-nprobe cells per query WITH the query's exact integer
+    # residual w.r.t. each probed cell (rq = xu − cu[probed]). The
+    # earlier JVM reconstruction re-inlined the cells constant into
+    # the expression tree twice — ~29k literals at √n cells, which
+    # blew past codegen limits and ran interpreted (137 s of the ×100
+    # serving wall); the kernel keeps the centroid matrix a numpy
+    # constant and the JVM sees only (query_id, cell_id, ru) rows.
+    e_q = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % _IVFPQ_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    q_cells = qres.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(F.col("__cd")).alias("pcell", "__d2u"),
+    probe_rq = ivf_assign_arrow(
+        e_q,
+        cells_u,
+        id_col="query_id",
+        top=_IVFPQ_NPROBE,
+        emit="cell+ru",
     )
-    wq = Window.partitionBy("query_id").orderBy("__d2u", "pcell")
-    probe_sel = (
-        q_cells.withColumn("__r", F.row_number().over(wq))
-        .where(F.col("__r") <= _IVFPQ_NPROBE)
-        .select("query_id", F.col("pcell").cast("int").alias("cell_id"))
-    )
-    # query residual w.r.t. EACH probed cell: rq = xu_q - cu[cell];
-    # xu_q = ru + cu[own_cell] reconstructs exactly in integers
-    # (served from the same trained-cell memo as the corpus side)
-    cells_row = _ivf_cells_row(spark, ivf_train_cells_cached(spark, sf_dir))
     adc = F.broadcast(
-        qres.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cell_id").alias("own_cell"),
-            "ru",
-        )
-        .join(
-            probe_sel.withColumnRenamed("cell_id", "pcell_id"), "query_id"
-        )
-        .crossJoin(cells_row)
-        .crossJoin(rcb_row)
-        .withColumn(
-            "__rq",
-            F.zip_with(
-                # xu_q = ru + cu[own]; rq = xu_q - cu[probed]
-                F.zip_with(
-                    F.col("ru"),
-                    F.element_at(F.col("ccs"), F.col("own_cell") + 1),
-                    lambda r, c: r + c,
-                ),
-                F.element_at(F.col("ccs"), F.col("pcell_id") + 1),
-                lambda x, c: x - c,
-            ),
-        )
-        .select(
+        probe_rq.crossJoin(rcb_row).select(
             "query_id",
-            F.col("pcell_id").alias("cell_id"),
+            "cell_id",
             F.transform(
                 F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
                 lambda m: F.transform(
                     F.element_at(F.col("rcbs"), m + 1),
-                    lambda c: _rpq_sub_d2u(F.col("__rq"), m, c),
+                    lambda c: _rpq_sub_d2u(F.col("ru"), m, c),
                 ),
             ).alias("adc"),
         )
     )
+    probe_sel = probe_rq.select("query_id", "cell_id")
     scored = (
         F.broadcast(probe_sel)
         .join(encoded, "cell_id")

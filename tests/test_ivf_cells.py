@@ -9,9 +9,9 @@ import os
 
 from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
     _EMBED_DIMS,
-    _IVFPQ_CELLS,
     _PQ_TRAIN_ITERS,
     _PQ_TRAIN_MOD,
+    ivf_n_cells,
     ivf_train_cells,
     ivf_train_cells_cached,
 )
@@ -36,7 +36,7 @@ def _py_full_lloyd(vecs: dict[int, list[float]], iters: int):
     integer micro-unit Lloyd spec (third implementation besides the
     Spark plan and the unrolled SQL twin — a shared spec bug in those
     two would still diverge from this one)."""
-    seeds = sorted(vecs)[: _IVFPQ_CELLS]
+    seeds = sorted(vecs)[: ivf_n_cells(len(vecs))]
     cents = [[_q(float(x)) for x in vecs[s]] for s in seeds]
     xu = {
         vid: [_q(float(x)) for x in v]
@@ -144,11 +144,66 @@ def test_occupancy_conserves_corpus_and_covers_both_variants(
     rows = (
         all_queries()["ivf_cell_occupancy"].spark_fn(spark, sf_dir).collect()
     )
+    n_cells = ivf_n_cells(n_corpus)
     by_variant: dict[str, int] = {}
     for r in rows:
-        assert 0 <= r.cell_id < _IVFPQ_CELLS
+        assert 0 <= r.cell_id < n_cells
         assert r.n_vectors >= 0
         by_variant[r.variant] = by_variant.get(r.variant, 0) + r.n_vectors
     # cells PARTITION the corpus under both quantizers
     assert by_variant == {"seeded": n_corpus, "trained": n_corpus}
-    assert len(rows) == 2 * _IVFPQ_CELLS
+    # ...and the report covers the √n-scaled cell grid (VERDICT r7
+    # item 2: D30 reads the corpus-derived cell count, not a frozen
+    # constant)
+    assert len(rows) == 2 * n_cells
+
+
+def test_cell_count_formula_matches_sql_twin():
+    """ivf_n_cells (Python) and the oracle's cn CTE (DuckDB) must
+    choose the IDENTICAL k for any corpus count — both compute
+    clamp(ceil(sqrt(double(n)))) through the same IEEE expression."""
+    import duckdb
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _IVF_CELL_CAP,
+    )
+
+    con = duckdb.connect()
+    ns = (
+        list(range(0, 70))
+        + [99, 100, 101, 255, 256, 257, 1 << 20, (1 << 20) + 1]
+        + [x * x for x in (23, 45, 100, 448, 1000)]
+        + [x * x - 1 for x in (23, 45, 448)]
+        + [_IVF_CELL_CAP**2, _IVF_CELL_CAP**2 + 1, 10**12]
+    )
+    for n in ns:
+        (got,) = con.execute(
+            f"SELECT greatest(1, least({_IVF_CELL_CAP}, "
+            f"CAST(ceil(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)))"
+        ).fetchone()
+        assert got == ivf_n_cells(n), n
+
+
+def test_train_stride_formula_matches_sql_twin():
+    """ivf_train_mod (Python) and the cm CTE (DuckDB) must pick the
+    identical sample stride for any corpus count — and the stride must
+    stay _PQ_TRAIN_MOD at every test SF so pre-round-8 driver rows
+    remain valid."""
+    import duckdb
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _IVF_CELL_CAP,
+        ivf_train_mod,
+    )
+
+    con = duckdb.connect()
+    for n in [0, 1, 4, 500, 2000, 150_000, 200_000, 10**6, 10**9]:
+        (got,) = con.execute(
+            f"""WITH cn AS (SELECT greatest(1, least({_IVF_CELL_CAP},
+                CAST(ceil(sqrt(CAST({n} AS DOUBLE))) AS BIGINT))) AS k)
+                SELECT greatest({_PQ_TRAIN_MOD}, {n} // (96 * k))
+                FROM cn"""
+        ).fetchone()
+        assert got == ivf_train_mod(n), n
+    assert ivf_train_mod(500) == _PQ_TRAIN_MOD
+    assert ivf_train_mod(2000) == _PQ_TRAIN_MOD
