@@ -89,6 +89,8 @@ _DRIVER_HEAD = (
     "ann_hamming_rerank",
     # -- round-8 additions (inserted as they land)
     "quantile_normalize_grid",
+    "opq_ann",
+    "opq_recall",
     # -- refill: verified keys (family reps first, then registry order)
     "top_eps_report",
     "media_meta",
@@ -124,8 +126,6 @@ _DRIVER_HEAD = (
     "range_join",
     "mode_per_group",
     "latest_event_argmax",
-    "fuzzy_name_match",
-    "global_row_number",
 )
 
 
