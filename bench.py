@@ -123,6 +123,11 @@ HEADLINE = [
     "mcnemar_paired",
     "fold_balance_audit",
     "rater_agreement_kappa",
+    # round-8 additions (tracked from round 8 on): the grid quantile
+    # normalizer and the gated-OPQ pair
+    "quantile_normalize_grid",
+    "opq_ann",
+    "opq_recall",
 ]
 
 

@@ -164,6 +164,13 @@ GEMM_ORACLE_KEYS = (
     "mmr_diversify",
     "hybrid_rrf_fusion",
     "embed_near_dup",
+    # served-ANN representatives (ADVICE r7): L2/ADC paths never
+    # divide by a norm, so zero vectors are ordinary points — pinned
+    # strict here so a future cosine-flavored rewrite can't silently
+    # break the degenerate corpus
+    "pq_adc_ann_served",
+    "sq8_ann_served",
+    "ivfpq_ann_served",
 )
 
 
