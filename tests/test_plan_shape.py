@@ -610,3 +610,29 @@ def test_centroid_drift_aggregates_partially(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "centroid_drift")
     assert "Generate explode" in plan or "Generate posexplode" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_grid_quantile_single_partitions_are_value_sized(spark, sf_dir):
+    """C45b's promise: the only single-partition stages are the
+    DISTINCT-VALUE cumulative count and the 64-row grid assembly —
+    never a corpus-sized sort. The fact side must keep its per-source
+    window exchange, and nothing sort-merges or goes cartesian."""
+    plan = plan_of(spark, sf_dir, "quantile_normalize_grid")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the non-equi grid-locate join broadcasts the 64-row side
+    assert "BroadcastNestedLoopJoin" in plan
+    # per-source percent_rank still partitions by source (fact-sized
+    # work stays distributed)
+    assert "hashpartitioning(source" in plan
+
+
+def test_opq_serves_like_pq_no_corpus_shuffle(spark, sf_dir):
+    """D37 inherits D24's serving shape: rotation is a projection,
+    encode is a map pass against broadcast constants, the only hash
+    exchanges are the salted/final top-k windows — no sort-merge, no
+    cartesian, no single-partition stage."""
+    plan = plan_of(spark, sf_dir, "opq_ann")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
