@@ -1421,3 +1421,89 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.try_divide(po - pe, 1.0 - pe), 6))
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------- C68
+_LB_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _lb_bucket_sql(n: str) -> str:
+    arms = " ".join(
+        f"WHEN {n} <= {b} THEN {b}" for b in _LB_BUCKETS[:-1]
+    )
+    return f"(CASE {arms} ELSE {_LB_BUCKETS[-1]} END)"
+
+
+@register(
+    "length_bucket_batches",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT {_lb_bucket_sql('n_tok')} AS bucket,
+               least(n_tok, {_LB_BUCKETS[-1]}) AS used
+        FROM t WHERE n_tok > 0
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(used) AS BIGINT) AS used_tokens,
+           CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST((count(*) * bucket - sum(used)) * 10000
+                // (count(*) * bucket) AS BIGINT) AS waste_bp
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C68 — length-bucketed batching plan: assign each document to
+    the smallest power-of-two token-length bucket (16…2048, longer
+    docs truncate into the top bucket) and report per-bucket counts,
+    used vs padded token slots, and padding waste in basis points —
+    the report that decides a training run's bucket boundaries, since
+    padding waste is pure wasted FLOPs and bucket count trades waste
+    against batch-shape churn. Blank docs (0 tokens, the C1
+    convention) are excluded — they never reach a batch.
+
+    Engine-exactness: the bucket is an integer CASE ladder (no
+    log2/pow float trap at exact powers of two), waste is exact
+    integer arithmetic with truncating division. Scale shape: one
+    scan, one 8-group map-side-combinable aggregate; nothing else
+    shuffles."""
+    t = F.size(tokens(F.col("text")))
+    d = table(spark, sf_dir, "documents").select(t.alias("n_tok"))
+    d = d.where(F.col("n_tok") > 0)
+    bucket = F.lit(_LB_BUCKETS[-1])
+    for b in reversed(_LB_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b)).otherwise(bucket)
+    return (
+        d.select(
+            bucket.cast("int").alias("bucket"),
+            F.least(F.col("n_tok"), F.lit(_LB_BUCKETS[-1])).alias("used"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("used").cast("long").alias("used_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "used_tokens",
+            (F.col("n_docs") * F.col("bucket"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr(
+                "(n_docs * bucket - used_tokens) * 10000"
+                " div (n_docs * bucket)"
+            )
+            .cast("long")
+            .alias("waste_bp"),
+        )
+        .orderBy("bucket")
+    )

@@ -91,6 +91,8 @@ _DRIVER_HEAD = (
     "quantile_normalize_grid",
     "opq_ann",
     "opq_recall",
+    "length_bucket_batches",
+    "ivf_config_audit",
     # -- refill: verified keys (family reps first, then registry order)
     "top_eps_report",
     "media_meta",
@@ -124,8 +126,6 @@ _DRIVER_HEAD = (
     "unpivot_metrics",
     "set_ops_retention",
     "range_join",
-    "mode_per_group",
-    "latest_event_argmax",
 )
 
 

@@ -3908,3 +3908,51 @@ def opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_probes") > 0)
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------- D38
+@register(
+    "ivf_config_audit",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    cfg AS (
+        SELECT n,
+               greatest(1, least({_IVF_CELL_CAP},
+                   CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))
+                   AS n_cells
+        FROM n
+    ),
+    cfg2 AS (
+        SELECT n, n_cells,
+               greatest({_PQ_TRAIN_MOD}, n // (96 * n_cells))
+                   AS train_mod
+        FROM cfg
+    )
+    SELECT CAST(c.n AS BIGINT) AS n_vectors,
+           CAST(c.n_cells AS BIGINT) AS n_cells,
+           CAST(c.train_mod AS BIGINT) AS train_mod,
+           CAST((SELECT count(*) FROM embeddings e, cfg2 c2
+                 WHERE e.vec_id % c2.train_mod = 0) AS BIGINT)
+               AS train_sample_n
+    FROM cfg2 c
+    """,
+)
+def ivf_config_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D38 — the round-8 index-sizing dial: the corpus-derived IVF
+    configuration (cell count ≈ √n, FAISS-style bounded training
+    stride, resulting sample size) as a one-row queryable audit — the
+    numbers an operator checks before paying an index build, and the
+    cross-engine pin that the Python helpers (ivf_n_cells /
+    ivf_train_mod) and the oracle CTEs (cn / cm) can never drift
+    apart: the driver hash-compares the two derivations on every
+    rotation. One count + one filtered count; nothing shuffles."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    n = emb.count()
+    cells = ivf_n_cells(n)
+    mod = ivf_train_mod(n)
+    sample_n = emb.where(F.col("vec_id") % mod == 0).count()
+    return spark.createDataFrame(
+        [(n, cells, mod, sample_n)],
+        "n_vectors long, n_cells long, train_mod long, "
+        "train_sample_n long",
+    )
