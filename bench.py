@@ -128,6 +128,10 @@ HEADLINE = [
     "quantile_normalize_grid",
     "opq_ann",
     "opq_recall",
+    # late round-8 additions (no floor entry yet; tracked from the
+    # round-8 driver run on)
+    "length_bucket_batches",
+    "ivf_config_audit",
 ]
 
 
