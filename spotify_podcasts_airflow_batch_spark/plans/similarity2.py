@@ -1831,9 +1831,13 @@ def ivf_assign_arrow(
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             s = X * 1e6
             XU = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
-            # exactness guard: 64·(|xu|+|cu|)² must stay under 2^53
+            # exactness guard: the final fused distance
+            # X2 − 2·XU@C + C2 can reach 64·(|xu|+|cu|)² ≤ 256·b²
+            # (worst case |xu| = |cu| = b in all 64 dims), so THAT is
+            # the bound that must stay under 2^53 — not just the
+            # 192·b² of the three partial sums (ADVICE r8).
             b = max(bound, float(np.abs(XU).max(initial=0.0)))
-            if 192.0 * b * b >= 2.0**53:  # pragma: no cover - huge values
+            if 256.0 * b * b >= 2.0**53:  # pragma: no cover - huge values
                 raise ValueError(
                     "ivf_assign_arrow: |x|·1e6 too large for exact "
                     f"float64 integer arithmetic (max {b:.3g})"
@@ -3501,7 +3505,10 @@ def _opq_renamed_lloyd() -> str:
 
     sql = _pq_lloyd_sql().replace("FROM embeddings", "FROM remb")
     for name in ("samp", "seedv", "cents", "assign", "upd", "cb"):
-        sql = _re.sub(rf"\b{name}", f"r{name}", sql)
+        # anchor BOTH sides: match the bare name or name{i} only, so a
+        # future identifier merely PREFIXED by one of these (e.g.
+        # "sampled", "cbs") cannot be silently mangled (ADVICE r8)
+        sql = _re.sub(rf"\b{name}(\d*)\b", rf"r{name}\1", sql)
     return sql
 
 

@@ -25,7 +25,7 @@ incremental_dedup (C24, exact fp) and plans/text.py minhash_lsh (C6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_podcasts_airflow_batch_spark.operators.dedup import (
@@ -49,8 +49,19 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
 def build_signature_index(
     spark: SparkSession, docs: DataFrame, index_path: str
 ) -> str:
-    """One-off: materialize the history's band rows as the index."""
-    banded_signatures(docs).write.mode("overwrite").parquet(index_path)
+    """One-off: materialize the history's band rows as the index.
+
+    Partitioned by ``epoch`` (history = epoch -1) so micro-batch
+    appends land in their own ``epoch=N`` partition and a replayed
+    batch can dynamically OVERWRITE its partition instead of
+    double-appending (at-least-once safety, ADVICE r8)."""
+    (
+        banded_signatures(docs)
+        .withColumn("epoch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(index_path)
+    )
     return index_path
 
 
@@ -73,12 +84,16 @@ def near_dup_flags(
         .select("doc_id")
         .distinct()
     )
-    prev = nb.select(
-        "band_id", "band_hash", F.col("doc_id").alias("prev_id")
-    )
+    # intra-batch half WITHOUT a pair join: "collides with a smaller
+    # doc_id in this bucket" ⇔ "doc_id > min(doc_id) of the bucket",
+    # so one min-window per band key is enough. A boilerplate-heavy
+    # micro-batch (50 identical docs in one bucket) stays LINEAR in
+    # band rows — the pathology C61's max_bucket cap solves in batch
+    # mode simply cannot occur here (VERDICT r8 item 7).
+    bucket = Window.partitionBy("band_id", "band_hash")
     self_hit = (
-        nb.join(prev, ["band_id", "band_hash"])
-        .where(F.col("prev_id") < F.col("doc_id"))
+        nb.withColumn("__min_id", F.min("doc_id").over(bucket))
+        .where(F.col("doc_id") > F.col("__min_id"))
         .select("doc_id")
         .distinct()
     )
@@ -102,11 +117,13 @@ def stream_incremental_near_dup(
     max_files_per_trigger: int = 1,
 ):
     """foreachBatch driver: probe each micro-batch against the index,
-    append (doc_id, is_near_dup) to ``out_path``, then append the
-    batch's own band rows to the index. Returns the started query
-    (Trigger.AvailableNow — drains what is present, the daily-ingest
-    shape; leave it running with a processing-time trigger for a live
-    feed)."""
+    write (doc_id, is_near_dup) into ``out_path``'s ``epoch=N``
+    partition, then write the batch's own band rows into the index's
+    ``epoch=N`` partition. Both writes dynamically overwrite their own
+    epoch partition — replays are idempotent. Returns the started
+    query (Trigger.AvailableNow — drains what is present, the
+    daily-ingest shape; leave it running with a processing-time
+    trigger for a live feed)."""
     # file streams need an explicit schema: sniff it from a one-file
     # batch read (the sources/readers.py file-stream convention)
     schema = spark.read.parquet(docs_stream_dir).schema
@@ -117,14 +134,37 @@ def stream_incremental_near_dup(
     )
 
     def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        # Idempotent per epoch (ADVICE r8): foreachBatch is
+        # at-least-once, and a crash between the index append and the
+        # checkpoint commit replays the batch against an index that
+        # already holds its OWN band rows. Two defenses: (1) drop the
+        # batch's own doc_ids from the history before probing, so a
+        # replay cannot self-collide; (2) both writes dynamically
+        # OVERWRITE their epoch=N partition (epoch_id is stable across
+        # replays of the same batch), so neither flags nor band rows
+        # ever duplicate.
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        hist = sess.read.parquet(index_path)
+        hist = (
+            sess.read.parquet(index_path)
+            .join(F.broadcast(batch_df.select("doc_id")), "doc_id", "anti")
+        )
         flags = near_dup_flags(batch_df, hist)
-        flags.write.mode("append").parquet(out_path)
-        banded_signatures(batch_df).write.mode("append").parquet(
-            index_path
+        (
+            flags.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_path)
+        )
+        (
+            banded_signatures(batch_df)
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(index_path)
         )
 
     return (
