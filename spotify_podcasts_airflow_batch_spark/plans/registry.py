@@ -58,44 +58,66 @@ class Query:
 # recsys/events/statistics wave, round 5 the sampling/PQ-ANN/
 # E-statistics wave, round 6 the analytics/timeseries/ANN-serving
 # wave, round 7 the served-quantizer/experimentation wave — after
-# which every catalog entry had at least one driver row. The
-# round-8 window therefore pivots from "never verified" to
-# "verified, then CHANGED": the 3 B sentinels, then the 10 queries
-# whose plan or oracle was rewritten by the round-7 degenerate-input
-# sweeps AFTER their last driver hash row (VERDICT r7 item 1 —
-# text_stats / lang_id blank-token oracle convention, value_histogram,
-# spearman_corr / ols_trend / ab_welch_ttest / output_file_plan /
-# interarrival_stats / ivf_nprobe_recall / ann_hamming_rerank
-# try_divide and zero-vector-NULL rewrites), then the round-8
-# additions, then refill with already-verified oracle-bearing keys in
-# registry order so the window never runs short. Queries outside the
-# head stay covered by the local driver-strict suite
-# (tests/test_queries_oracle.py), which runs the same row-count /
-# schema / canonicalized-hash comparison on every registered query.
+# which every catalog entry had at least one driver row. From round 8
+# the window pivots from "never verified" to "verified, then
+# CHANGED": keys whose plan or oracle was rewritten AFTER their last
+# driver hash row come first (round 8: the r7 degenerate fixes, all
+# re-verified green; round 9: the PQ/IVF family rewritten by the
+# round-8 √n-cells + ivf_assign_arrow change, VERDICT r8 item 1),
+# then the round's additions, then refill with already-verified
+# oracle-bearing keys in registry order so the window never runs
+# short. Queries outside the head stay covered by the local
+# driver-strict suite (tests/test_queries_oracle.py), which runs the
+# same row-count / schema / canonicalized-hash comparison on every
+# registered query.
+
+# Keys whose plan or oracle text changed after their most recent
+# driver hash row — the rotation's first-priority fill, and the
+# documented exemption that lets a rows-only key with an old clean
+# row re-enter the head (tests/test_driver_window.py).
+_CHANGED_SINCE_DRIVER_ROW = (
+    # round-8 √n-cells + ivf_assign_arrow rewrite (driver rows r5-r7
+    # predate it); opq_* carry the round-9 CTE-rename anchoring
+    "pq_adc_ann",
+    "pq_adc_recall",
+    "pq_sampled_recall",
+    "pq_adc_ann_served",
+    "pq_trained_recall",  # rows-only: execution re-check
+    "ivfpq_ann",
+    "ivfpq_recall",
+    "ivfpq_ann_served",
+    "ivfpq_exact_rerank",
+    "ivfpq_rerank_recall",
+    "ivfpq_residual_ann",
+    "ivfpq_residual_recall",
+    "ivfpq_residual_ann_served",
+    "ivf_cell_occupancy",
+    "opq_ann",
+    "opq_recall",
+    # round-8 integer tie halving / try_divide (VERDICT r8 item 3)
+    "rank_assoc_binned",
+    "rater_agreement_kappa",
+)
+
 _DRIVER_HEAD = (
     "q1_pricing_summary",  # sentinel
     "q9_product_profit",  # sentinel
     "salted_join",  # sentinel
-    # -- changed after their last driver row (round-7 degenerate fixes)
-    "text_stats",
-    "lang_id",
-    "value_histogram",
-    "spearman_corr",
-    "ols_trend",
-    "ab_welch_ttest",
-    "output_file_plan",
-    "interarrival_stats",
-    "ivf_nprobe_recall",
-    "ann_hamming_rerank",
-    # -- round-8 additions (inserted as they land)
-    "quantile_normalize_grid",
-    "opq_ann",
-    "opq_recall",
-    "length_bucket_batches",
-    "ivf_config_audit",
-    # -- refill: verified keys (family reps first, then registry order)
+    # -- changed after their last driver row (see above)
+    *_CHANGED_SINCE_DRIVER_ROW,
+    # -- round-9 additions (inserted as they land)
+    # -- refill: verified keys (family reps first, then the round-8
+    #    watch-list plans, then registry order)
     "top_eps_report",
+    "text_stats",
+    "ivf_nprobe_recall",
+    "spearman_corr",
     "media_meta",
+    "asof_join",
+    "chart_rank_move",
+    "fulfillment_latency",
+    "rate_limit_audit",
+    "bootstrap_ci",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q10_returned_items",
@@ -105,7 +127,6 @@ _DRIVER_HEAD = (
     "window_running",
     "sessionize",
     "count_distinct",
-    "asof_join",
     "q4_order_priority",
     "q6_forecast_revenue",
     "q14_promo_revenue",
@@ -116,16 +137,6 @@ _DRIVER_HEAD = (
     "q8_market_share",
     "q12_late_lines",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_join",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "cube_agg",
-    "grouping_sets_agg",
-    "unpivot_metrics",
-    "set_ops_retention",
-    "range_join",
 )
 
 

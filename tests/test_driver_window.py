@@ -5,15 +5,17 @@ the A/C-core/D/E/F representatives; round 4 the text/recsys/events/
 statistics wave; round 5 the sampling/PQ-ANN/E-statistics wave; round
 6 the analytics/timeseries/ANN-serving wave; round 7 the
 served-quantizer/experimentation wave — after which every catalog
-entry had at least one driver row. The round-8 head therefore pivots
-from "never verified" to "verified, then CHANGED": the 3 B sentinels,
-the 10 queries whose plan or oracle was rewritten by the round-7
-degenerate-input sweeps AFTER their last driver hash row (VERDICT r7
-item 1), the round-8 additions, then verified refill. The invariant
-this file pins: no window slot is wasted on an already-verified
-non-sentinel key while unverified oracle-bearing keys remain, and
-rows-only fills appear only AFTER every unverified oracle-bearing key
-is in the head.
+entry had at least one driver row. From round 8 the head pivots from
+"never verified" to "verified, then CHANGED": the 3 B sentinels, the
+keys whose plan or oracle was rewritten AFTER their last driver hash
+row (round 9: the PQ/IVF family touched by the √n-cells +
+ivf_assign_arrow rewrite, VERDICT r8 item 1 — listed in
+registry._CHANGED_SINCE_DRIVER_ROW), the round's additions, then
+verified refill. The invariant this file pins: no window slot is
+wasted on an already-verified non-sentinel key while unverified
+oracle-bearing keys remain, and rows-only fills appear only AFTER
+every unverified oracle-bearing key is in the head — a rows-only key
+with an old clean row may re-enter ONLY via the changed-since set.
 """
 
 from __future__ import annotations
@@ -80,16 +82,25 @@ def test_head_wastes_no_slots_and_fills_rows_only_last():
     }
     head = set(_DRIVER_HEAD)
     missing = unverified_oracle - head
+    from spotify_podcasts_airflow_batch_spark.plans.registry import (
+        _CHANGED_SINCE_DRIVER_ROW,
+    )
+
     rows_only_in_head = [k for k in _DRIVER_HEAD if q[k].oracle is None]
     if rows_only_in_head:
         assert not missing, (
             "rows-only keys take slots while unverified oracle-bearing "
             f"keys remain outside the head: {sorted(missing)}"
         )
-        stale = [k for k in rows_only_in_head if k in clean]
+        stale = [
+            k
+            for k in rows_only_in_head
+            if k in clean and k not in _CHANGED_SINCE_DRIVER_ROW
+        ]
         assert not stale, (
             "rows-only fills must be keys without a clean driver row "
-            f"(never executed, or err'd every time): {stale}"
+            "(never executed, err'd every time, or changed since their "
+            f"last row): {stale}"
         )
     wasted = [
         k for k in _DRIVER_HEAD
