@@ -39,6 +39,18 @@ def test_every_registered_query_is_in_survey():
     )
 
 
+def test_survey_codes_are_unique():
+    """§2 row codes (A1..F9, keyed or not) must be unique — the F6/F7
+    runtime-stub rows once shadowed the media_dedup/media_chunk_plan
+    codes (VERDICT r8 item 5)."""
+    with open(SURVEY) as f:
+        text = f.read()
+    sec2 = text.split("## §2")[1].split("## §3")[0]
+    codes = re.findall(r"^\|\s*([A-G]\d+[a-z]?)\s*\|", sec2, re.M)
+    dupes = {c for c in codes if codes.count(c) > 1}
+    assert not dupes, f"duplicate SURVEY §2 codes: {sorted(dupes)}"
+
+
 def test_prose_catalog_counts_match_registry():
     """Narrative sentences like "widened the catalog to 257" drifted
     from the table once (VERDICT r6 item 5). The catalog only grows,
