@@ -171,6 +171,12 @@ GEMM_ORACLE_KEYS = (
     "pq_adc_ann_served",
     "sq8_ann_served",
     "ivfpq_ann_served",
+    # OPQ (VERDICT r8 item 6): energy ranking and the distortion gate
+    # run on quantized integers (zero vectors → zero energy, ordinary
+    # points), but the ROTATED Lloyd chain had never run on the
+    # zero-vector fixture — pinned strict here
+    "opq_ann",
+    "opq_recall",
 )
 
 
