@@ -128,10 +128,14 @@ HEADLINE = [
     "quantile_normalize_grid",
     "opq_ann",
     "opq_recall",
-    # late round-8 additions (no floor entry yet; tracked from the
-    # round-8 driver run on)
+    # late round-8 additions (floors frozen round 9)
     "length_bucket_batches",
     "ivf_config_audit",
+    # round-9 additions (tracked from round 9 on): incremental ANN
+    # index maintenance — serve-from-segments and the staleness dial
+    # (ann_index_segments is bookkeeping-sized, not a headline)
+    "ivfpq_incremental_served",
+    "ann_staleness_recall",
 ]
 
 

@@ -35,6 +35,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.similarity",
     "spotify_podcasts_airflow_batch_spark.plans.similarity2",
     "spotify_podcasts_airflow_batch_spark.plans.similarity3",
+    "spotify_podcasts_airflow_batch_spark.plans.similarity4",
     "spotify_podcasts_airflow_batch_spark.plans.events",
     "spotify_podcasts_airflow_batch_spark.plans.events2",
     "spotify_podcasts_airflow_batch_spark.plans.timeseries",
@@ -106,6 +107,9 @@ _DRIVER_HEAD = (
     # -- changed after their last driver row (see above)
     *_CHANGED_SINCE_DRIVER_ROW,
     # -- round-9 additions (inserted as they land)
+    "ivfpq_incremental_served",
+    "ann_index_segments",
+    "ann_staleness_recall",
     # -- refill: verified keys (family reps first, then the round-8
     #    watch-list plans, then registry order)
     "top_eps_report",
@@ -134,9 +138,6 @@ _DRIVER_HEAD = (
     "quantiles",
     "rank_variants",
     "q7_volume_shipping",
-    "q8_market_share",
-    "q12_late_lines",
-    "q13_customer_distribution",
 )
 
 

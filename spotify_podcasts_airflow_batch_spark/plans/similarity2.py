@@ -1571,14 +1571,21 @@ def ivf_train_mod(n: int) -> int:
     return max(_PQ_TRAIN_MOD, n // (96 * ivf_n_cells(n)))
 
 
-def ivf_train_cells(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+def ivf_train_cells(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> list[list[int]]:
     """Lloyd over FULL 64-dim quantized vectors for ivf_n_cells(n)
     coarse centroids: sample vec_id % _PQ_TRAIN_MOD == 0, seeds = the
     lexicographically-first cells (the round-5 untrained quantizer is
     exactly iteration 0), _PQ_TRAIN_ITERS updates. Returns
     cents_u[cell][j] BIGINT micro-units; len(result) carries the
-    chosen cell count to every downstream consumer."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    chosen cell count to every downstream consumer. ``emb`` overrides
+    the training corpus (the incremental-index path trains on its
+    day-0 base slice and FREEZES the result)."""
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
     xu = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * 1e6, 0).cast("long"),
@@ -1909,15 +1916,31 @@ def ivf_assign_arrow(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
-def _ivfpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_encoded(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cents=None,
+    cells=None,
+    emb: DataFrame | None = None,
+) -> DataFrame:
     """The D28 index relation (vec_id, codes, cell_id): PQ codes +
     coarse cell in ONE shuffle-free projection against the two
-    broadcast trained constants."""
-    cents = pq_train_codebook_cached(spark, sf_dir)
+    broadcast trained constants. ``cents``/``cells``/``emb`` override
+    the artifacts and the slice to encode — the incremental-index
+    append path encodes ONLY its new batch against FROZEN day-0
+    artifacts (plans/similarity4.py); defaults reproduce D28
+    unchanged."""
+    if cents is None:
+        cents = pq_train_codebook_cached(spark, sf_dir)
+    if cells is None:
+        cells = ivf_train_cells_cached(spark, sf_dir)
     cb_row = _pq_trained_cb_row(spark, cents)
-    e = table(spark, sf_dir, "embeddings", fan_out="force").select(
-        "vec_id", "embedding"
-    )
+    e = emb
+    if e is None:
+        e = table(spark, sf_dir, "embeddings", fan_out="force").select(
+            "vec_id", "embedding"
+        )
 
     def argmin_code(v, m):
         dists = F.transform(F.col("cbs"), lambda c: _pq_sub_dist(v, c, m))
@@ -1928,11 +1951,7 @@ def _ivfpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the Arrow exchange losslessly, so the float PQ-code
     # argmin stays JVM-side in the SAME expression order as the
     # oracle's CASE chain — no float ever crosses an engine boundary
-    assigned = ivf_assign_arrow(
-        e,
-        ivf_train_cells_cached(spark, sf_dir),
-        emit="cell+vec",
-    )
+    assigned = ivf_assign_arrow(e, cells, emit="cell+vec")
     return assigned.crossJoin(cb_row).select(
         "vec_id",
         F.transform(
@@ -1948,14 +1967,23 @@ def _ivfpq_serve(
     sf_dir: str,
     encoded: DataFrame,
     k: int = _IVFPQ_K,
+    *,
+    cents=None,
+    cells=None,
 ) -> DataFrame:
     """The D28 serving tail over any index relation (inline-encoded or
     materialized): probe-cell ranking, broadcast ADC tables, salted
     two-stage top-k. ``k`` is the per-query cut (default the D28
-    top-k; D28d passes its shortlist depth)."""
+    top-k; D28d passes its shortlist depth). ``cents``/``cells``
+    override the trained artifacts — the incremental-index path
+    serves with its FROZEN day-0 quantizers; defaults reproduce D28c
+    unchanged."""
     from pyspark.sql import Window
 
-    cents = pq_train_codebook_cached(spark, sf_dir)
+    if cents is None:
+        cents = pq_train_codebook_cached(spark, sf_dir)
+    if cells is None:
+        cells = ivf_train_cells_cached(spark, sf_dir)
     cb_row = _pq_trained_cb_row(spark, cents)
     e_1t = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qsel = e_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
@@ -1968,7 +1996,7 @@ def _ivfpq_serve(
     # query directly in (d2u, cell_id) order
     probe_cells = ivf_assign_arrow(
         qsel,
-        ivf_train_cells_cached(spark, sf_dir),
+        cells,
         id_col="query_id",
         top=_IVFPQ_NPROBE,
     )

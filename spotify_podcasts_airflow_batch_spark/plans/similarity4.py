@@ -1,0 +1,468 @@
+"""Incremental ANN index maintenance (SURVEY §2 D39/D39b/D40).
+
+The served quantizer indexes (D24c/D28c/D29c/D31c) rebuild per dataset
+fingerprint; production instead APPENDS a daily batch and tombstones
+deletes, the way the manifest layer already maintains tables
+(sinks/manifest.py commit_version — O(changed), never O(table)). This
+module gives the IVF-PQ family that lifecycle:
+
+- **day 0**: train the PQ codebook and the √n coarse cells on the
+  base corpus and FREEZE them (production ships the quantizer as an
+  artifact — artifacts.json in the store); encode the base and write
+  it as the ``epoch=0`` segment of a by-cell hive layout.
+- **append**: encode ONLY the new batch against the frozen artifacts
+  (one shuffle-free O(new) projection — the base is never rescanned)
+  and append it as its own epoch segment into the same cell
+  partitions, so dynamic partition pruning keeps restricting serving
+  scans to probed cells.
+- **delete**: tombstone vec_ids in a side relation; serving
+  anti-joins the (tiny, broadcast) tombstone set.
+
+The invariant that makes this safe — N appends + tombstones ≡ ONE
+encode of the live corpus with the same frozen artifacts — holds
+because encoding is a pure per-row function of the frozen constants.
+D39's oracle IS that one-shot rebuild, derived end-to-end in SQL
+(base-slice Lloyd chains + live-corpus encode + serve), so the driver
+hash-checks appends ≡ rebuild cross-engine; tests/test_ann_incremental
+pins the same equality inside Spark plus O(new) append scan shape.
+
+Staleness: frozen day-0 quantizers drift as the corpus grows. D34
+``centroid_drift`` prices WHEN to retrain; D40 ``ann_staleness_recall``
+prices what serving appends on stale centroids COSTS — recall@10 of
+the frozen-artifact index against exact L2 over the live corpus, read
+alongside D28b (same dial with retrained-on-full artifacts).
+
+Wave layout over the static test tables: epoch = vec_id % 3 (day-0
+base, two daily appends), tombstones = base rows with vec_id % 7 = 0.
+Deterministic, so both engines derive identical segments.
+
+Reference shape: FAISS IndexIVF add_core/remove_ids — append encodes
+against the frozen quantizer, deletes mask the id; the reference repo
+has no vector serving (dags/spotify/ is a pandas chart ETL), so this
+is part of the engine's LLM-pipeline surface, not a port.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+    _EMBED_DIMS,
+    _IVFPQ_K,
+    _IVFPQ_MOD,
+    _IVFPQ_NPROBE,
+    _embeddings_fingerprint,
+    _index_store_root,
+    _ivf_lloyd_sql,
+    _ivfpq_encoded,
+    _ivfpq_serve,
+    _pq_exact_topk,
+    _pq_lloyd_sql,
+    _pq_case_sql,
+    ivf_train_cells,
+    pq_train_codebook,
+)
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+_INC_WAVES = 3  # day-0 base + two daily append batches
+_INC_TOMB_MOD = 7  # tombstone base rows with vec_id % 7 == 0
+
+_INC_STORE_CACHE: dict[tuple, str] = {}
+
+_SERVE_SCHEMA = "query_id bigint, rank int, vec_id bigint, adc_dist double"
+
+
+def _emb(spark: SparkSession, sf_dir: str, fan_out: str | None = None):
+    kw = {"fan_out": fan_out} if fan_out else {}
+    return table(spark, sf_dir, "embeddings", **kw).select(
+        "vec_id", "embedding"
+    )
+
+
+def _wave(emb: DataFrame, w: int) -> DataFrame:
+    return emb.where(F.col("vec_id") % _INC_WAVES == w)
+
+
+def ivfpq_incremental_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the incremental IVF-PQ store for ``sf_dir``:
+
+        <root>/artifacts.json   frozen day-0 quantizers
+        <root>/segments/        (vec_id, codes, epoch) hive-partitioned
+                                by cell_id — epoch 0 = base build,
+                                epochs 1..N = appends (append-mode
+                                files inside the SAME cell partitions)
+        <root>/tombstones/      deleted vec_ids
+
+    Append cost is O(new): each wave's encode is one shuffle-free
+    projection of THAT wave against the broadcast frozen constants
+    (the filter reaches the parquet scan — pinned in
+    tests/test_ann_incremental.py). Memoized per dataset fingerprint
+    like the other served indexes; building is deterministic, so the
+    memo can never change a result."""
+    import hashlib
+
+    key = (_embeddings_fingerprint(sf_dir), "ivfpq_inc")
+    path = _INC_STORE_CACHE.get(key)
+    if path is not None and os.path.isfile(
+        os.path.join(path, "artifacts.json")
+    ):
+        return path
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    root = os.path.join(_index_store_root(), f"ivfpq_inc_{digest}")
+    base = _wave(_emb(spark, sf_dir, fan_out="force"), 0)
+    # day 0: train on the base slice only — these are the FROZEN
+    # artifacts every later append encodes against
+    cents = pq_train_codebook(spark, sf_dir, emb=base)
+    cells = ivf_train_cells(spark, sf_dir, emb=base)
+    os.makedirs(root, exist_ok=True)
+    seg = os.path.join(root, "segments")
+    if cents and cents[0] and cells:
+        (
+            _ivfpq_encoded(spark, sf_dir, cents=cents, cells=cells, emb=base)
+            .withColumn("epoch", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(seg)
+        )
+        # deletes arrive after day 0: tombstone, never rewrite segments
+        base.select("vec_id").where(
+            F.col("vec_id") % _INC_TOMB_MOD == 0
+        ).write.mode("overwrite").parquet(os.path.join(root, "tombstones"))
+        for w in range(1, _INC_WAVES):
+            batch = _wave(_emb(spark, sf_dir, fan_out="force"), w)
+            (
+                _ivfpq_encoded(
+                    spark, sf_dir, cents=cents, cells=cells, emb=batch
+                )
+                .withColumn("epoch", F.lit(w))
+                .write.mode("append")
+                .partitionBy("cell_id")
+                .parquet(seg)
+            )
+    with open(os.path.join(root, "artifacts.json"), "w") as fh:
+        json.dump({"cents": cents, "cells": cells}, fh)
+    _INC_STORE_CACHE[key] = root
+    return root
+
+
+def _load_artifacts(root: str) -> tuple[list, list]:
+    """Frozen quantizers from the store — the production path: serving
+    never retrains. JSON roundtrips the exact values (centroid floats
+    are cu/1e6 grid points with exact shortest-repr doubles; cells are
+    BIGINT micro-units)."""
+    with open(os.path.join(root, "artifacts.json")) as fh:
+        art = json.load(fh)
+    return art["cents"], art["cells"]
+
+
+def incremental_live_index(spark: SparkSession, root: str) -> DataFrame:
+    """(vec_id, codes, cell_id) across ALL epoch segments minus
+    tombstones — the relation serving scans. Tombstones are
+    fingerprint-sized: broadcast anti-join, never a rewrite."""
+    seg = spark.read.parquet(os.path.join(root, "segments"))
+    tomb = spark.read.parquet(os.path.join(root, "tombstones"))
+    return seg.join(F.broadcast(tomb), "vec_id", "anti").select(
+        "vec_id", "codes", "cell_id"
+    )
+
+
+# ------------------------------------------------------------ oracles
+def _inc_train_ctes() -> str:
+    """Frozen day-0 artifact derivation in SQL: the PQ Lloyd chain
+    (→ cb) and the coarse full-vector Lloyd chain (→ ccents) both
+    re-pointed at the BASE slice, plus pts (all rows, quantized) for
+    assignment. Replaces are anchored on the generated chains' only
+    corpus references (samp/seedv read "FROM embeddings"; cn/cm/
+    csamp/ccents0 read "FROM pts")."""
+    dims = range(_EMBED_DIMS)
+
+    def qx(e: str) -> str:
+        return f"CAST(round(CAST({e} AS DOUBLE) * 1e6, 0) AS BIGINT)"
+
+    pts_cols = ", ".join(
+        f"{qx(f'e.embedding[{j + 1}]')} AS x{j}" for j in dims
+    )
+    pq_chain = _pq_lloyd_sql().replace("FROM embeddings", "FROM bemb")
+    ivf_chain = _ivf_lloyd_sql().replace("FROM pts", "FROM bpts")
+    return f"""bemb AS MATERIALIZED (
+        SELECT * FROM embeddings WHERE vec_id % {_INC_WAVES} = 0
+    ),
+    {pq_chain},
+    pts AS MATERIALIZED (
+        SELECT e.vec_id, {pts_cols} FROM embeddings e
+    ),
+    bpts AS MATERIALIZED (
+        SELECT * FROM pts WHERE vec_id % {_INC_WAVES} = 0
+    ),
+    {ivf_chain}"""
+
+
+_LIVE_SQL = f"""live AS MATERIALIZED (
+        SELECT * FROM embeddings
+        WHERE NOT (vec_id % {_INC_WAVES} = 0
+                   AND vec_id % {_INC_TOMB_MOD} = 0)
+    )"""
+
+
+def _inc_serve_oracle(k: int = _IVFPQ_K) -> str:
+    """The one-shot-rebuild twin of the incremental store: encode the
+    LIVE corpus (appends minus tombstones) with the frozen base
+    artifacts and serve — hash-equality against the segment-built
+    Spark path proves N appends + tombstones ≡ full rebuild."""
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _PQ_M,
+    )
+
+    dims = range(_EMBED_DIMS)
+    d2u = " + ".join(
+        f"(p.x{j} - ct.c{j}) * (p.x{j} - ct.c{j})" for j in dims
+    )
+    return f"""
+    WITH {_inc_train_ctes()},
+    {_LIVE_SQL},
+    cell_rank AS (
+        SELECT p.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY ({d2u}), ct.cell_id) AS r
+        FROM pts p CROSS JOIN ccents ct
+    ),
+    corpus_cell AS (
+        SELECT cr.vec_id, cr.cell_id
+        FROM cell_rank cr JOIN live l ON l.vec_id = cr.vec_id
+        WHERE cr.r = 1
+    ),
+    qsel AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id % {_IVFPQ_MOD} = 0
+    ),
+    probe_cells AS (
+        SELECT q.query_id, cr.cell_id
+        FROM qsel q JOIN cell_rank cr ON cr.vec_id = q.query_id
+        WHERE cr.r <= {_IVFPQ_NPROBE}
+    ),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    enc AS (
+        SELECT e.vec_id, ms.m, cb.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, ms.m
+                   ORDER BY {_pq_case_sql('e.embedding', 'cb.embedding')},
+                            cb.cid
+               ) AS rn
+        FROM live e CROSS JOIN ms CROSS JOIN cb
+    ),
+    codes AS (SELECT vec_id, m, cid FROM enc WHERE rn = 1),
+    adc AS (
+        SELECT q.query_id, ms.m, cb.cid,
+               CAST(round({_pq_case_sql('q.embedding', 'cb.embedding')}
+                          * 1e6, 0) AS BIGINT) AS cell_u
+        FROM qsel q CROSS JOIN ms CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT pr.query_id, cc.vec_id, sum(a.cell_u) AS score_u
+        FROM probe_cells pr
+        JOIN corpus_cell cc ON cc.cell_id = pr.cell_id
+        JOIN codes c ON c.vec_id = cc.vec_id
+        JOIN adc a ON a.query_id = pr.query_id
+                  AND a.m = c.m AND a.cid = c.cid
+        GROUP BY pr.query_id, cc.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score_u,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score_u, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+           round(score_u / 1e6, 6) + 0 AS adc_dist
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _inc_segments_oracle() -> str:
+    """From-scratch derivation of the store's bookkeeping: per epoch,
+    rows encoded, distinct cells touched, tombstoned and live counts —
+    coarse assignment only (codes don't change the audit)."""
+    dims = range(_EMBED_DIMS)
+    d2u = " + ".join(
+        f"(p.x{j} - ct.c{j}) * (p.x{j} - ct.c{j})" for j in dims
+    )
+    return f"""
+    WITH {_inc_train_ctes()},
+    assigned AS (
+        SELECT p.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY ({d2u}), ct.cell_id) AS r
+        FROM pts p CROSS JOIN ccents ct
+    ),
+    rows_ AS (
+        SELECT a.vec_id, a.cell_id,
+               CAST(a.vec_id % {_INC_WAVES} AS INT) AS epoch,
+               CASE WHEN a.vec_id % {_INC_WAVES} = 0
+                         AND a.vec_id % {_INC_TOMB_MOD} = 0
+                    THEN 1 ELSE 0 END AS tomb
+        FROM assigned a WHERE a.r = 1
+    )
+    SELECT epoch,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT cell_id) AS BIGINT) AS n_cells,
+           CAST(sum(tomb) AS BIGINT) AS n_tombstoned,
+           CAST(count(*) - sum(tomb) AS BIGINT) AS n_live
+    FROM rows_ GROUP BY epoch ORDER BY epoch
+    """
+
+
+def _inc_staleness_oracle() -> str:
+    """Recall@{k} of the frozen-base-artifact index against exact L2
+    over the LIVE corpus — the D28b formula with the incremental
+    candidate relation and the tombstone-filtered exact side."""
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _pq_full_dist_sql,
+    )
+
+    return f"""
+    WITH cand AS MATERIALIZED (
+        SELECT * FROM ({_inc_serve_oracle()})
+        WHERE vec_id <> query_id
+    ),
+    {_LIVE_SQL},
+    q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id % {_IVFPQ_MOD} = 0
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(
+                           {_pq_full_dist_sql('q.embedding', 'c.embedding')},
+                           6), c.vec_id
+                   ) AS r
+            FROM q CROSS JOIN live c
+            WHERE c.vec_id <> q.query_id
+        ) WHERE r <= {_IVFPQ_K}
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS n
+        FROM exact e JOIN cand c
+          ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) * 10000 // {_IVFPQ_K} AS BIGINT)
+               AS recall_bp
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+# ------------------------------------------------------------ queries
+@register("ivfpq_incremental_served", oracle=_inc_serve_oracle())
+def ivfpq_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D39 — IVF-PQ serving from an INCREMENTALLY MAINTAINED index:
+    day-0 base build (train + freeze + encode), two daily appends
+    encoded O(new) against the frozen artifacts into the same by-cell
+    hive layout, deletes tombstoned. Serving unions the epoch
+    segments, anti-joins the broadcast tombstones, and runs the D28c
+    tail with the FROZEN quantizers.
+
+    The oracle is the ONE-SHOT REBUILD (encode the live corpus with
+    the same frozen artifacts, in SQL from scratch), so a green hash
+    row is the cross-engine proof that N appends + tombstones ≡ full
+    rebuild — the manifest-layer O(changed) discipline
+    (sinks/manifest.py commit_version) applied to vector serving. At
+    100 TB this is the only maintainable shape: a daily append costs
+    |batch| encode work + one partition-local write; the alternative
+    (re-encode the corpus) costs O(corpus) per day."""
+    root = ivfpq_incremental_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame([], _SERVE_SCHEMA)
+    encoded = incremental_live_index(spark, root)
+    return _ivfpq_serve(spark, sf_dir, encoded, cents=cents, cells=cells)
+
+
+@register("ann_index_segments", oracle=_inc_segments_oracle())
+def ann_index_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D39b — incremental-store bookkeeping audit: per epoch segment,
+    rows encoded, distinct cells touched, tombstoned and live counts,
+    read FROM THE STORE and hash-checked against a from-scratch SQL
+    derivation — segment content parity, the test_incremental_agg
+    discipline for the index itself."""
+    root = ivfpq_incremental_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame(
+            [],
+            "epoch int, n_rows bigint, n_cells bigint, "
+            "n_tombstoned bigint, n_live bigint",
+        )
+    seg = spark.read.parquet(os.path.join(root, "segments"))
+    tomb = spark.read.parquet(os.path.join(root, "tombstones")).select(
+        "vec_id", F.lit(1).alias("__t")
+    )
+    return (
+        seg.join(F.broadcast(tomb), "vec_id", "left")
+        .groupBy(F.col("epoch").cast("int").alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("cell_id").alias("n_cells"),
+            F.coalesce(F.sum("__t"), F.lit(0)).alias("n_tombstoned"),
+            (F.count(F.lit(1)) - F.coalesce(F.sum("__t"), F.lit(0))).alias(
+                "n_live"
+            ),
+        )
+        .orderBy("epoch")
+    )
+
+
+@register("ann_staleness_recall", oracle=_inc_staleness_oracle())
+def ann_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D40 — the APPEND-STALENESS dial: recall@10 of the incremental
+    index (quantizers frozen at day 0, corpus grown by the appends)
+    against exact L2 over the live corpus, self-excluded. Read
+    alongside D28b ``ivfpq_recall`` (the same dial with artifacts
+    retrained on the full corpus): the gap is what serving appends on
+    stale centroids costs, and D34 ``centroid_drift`` prices when to
+    pay the retrain that closes it."""
+    root = ivfpq_incremental_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame(
+            [], "query_id bigint, n_hits bigint, recall_bp bigint"
+        )
+    cand = (
+        ivfpq_incremental_served(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    emb_1t = _emb(spark, sf_dir)
+    live_1t = emb_1t.where(
+        ~(
+            (F.col("vec_id") % _INC_WAVES == 0)
+            & (F.col("vec_id") % _INC_TOMB_MOD == 0)
+        )
+    )
+    qdf = emb_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _pq_exact_topk(live_1t, qdf=qdf, k=_IVFPQ_K, exclude_self=True)
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = qdf.select("query_id")
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_IVFPQ_K}").alias(
+            "recall_bp"
+        ),
+    )

@@ -1,0 +1,146 @@
+"""Incremental ANN index maintenance (plans/similarity4.py): N daily
+appends + tombstones ≡ one-shot rebuild with the same frozen
+artifacts (the tests/test_incremental_agg.py discipline applied to
+vector serving), O(new) append cost, tombstone semantics, and the
+staleness dial's bounds."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+    _ivfpq_encoded,
+)
+from spotify_podcasts_airflow_batch_spark.plans.similarity4 import (
+    _INC_TOMB_MOD,
+    _INC_WAVES,
+    _load_artifacts,
+    ann_index_segments,
+    ann_staleness_recall,
+    incremental_live_index,
+    ivfpq_incremental_served,
+    ivfpq_incremental_store,
+)
+from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    return ivfpq_incremental_store(spark, sf_dir)
+
+
+def _live_rows(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.where(
+        ~(
+            (F.col("vec_id") % _INC_WAVES == 0)
+            & (F.col("vec_id") % _INC_TOMB_MOD == 0)
+        )
+    )
+
+
+def test_appends_equal_one_shot_rebuild(spark, sf_dir, store):
+    """The core invariant: the union of epoch segments minus
+    tombstones must row-for-row equal ONE encode of the live corpus
+    with the same frozen artifacts."""
+    cents, cells = _load_artifacts(store)
+    inc = {
+        (r.vec_id, tuple(r.codes), r.cell_id)
+        for r in incremental_live_index(spark, store).collect()
+    }
+    oneshot = {
+        (r.vec_id, tuple(r.codes), r.cell_id)
+        for r in _ivfpq_encoded(
+            spark,
+            sf_dir,
+            cents=cents,
+            cells=cells,
+            emb=_live_rows(spark, sf_dir),
+        ).collect()
+    }
+    assert inc == oneshot and inc
+
+
+def test_segments_cover_waves_exactly(spark, sf_dir, store):
+    """Each epoch segment holds EXACTLY its wave's rows — the append
+    encoded O(new), never rescanning earlier epochs."""
+    seg = spark.read.parquet(os.path.join(store, "segments"))
+    got = {
+        r.epoch: r.n
+        for r in seg.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    emb = table(spark, sf_dir, "embeddings")
+    want = {
+        w: emb.where(F.col("vec_id") % _INC_WAVES == w).count()
+        for w in range(_INC_WAVES)
+    }
+    assert got == want
+    # and no vec_id appears in two segments (append ≠ rewrite)
+    assert seg.count() == seg.select("vec_id").distinct().count()
+
+
+def test_tombstones_mask_serving(spark, sf_dir, store):
+    tombs = {
+        r.vec_id
+        for r in spark.read.parquet(
+            os.path.join(store, "tombstones")
+        ).collect()
+    }
+    assert tombs  # fixture corpus always has base rows to delete
+    live_ids = {
+        r.vec_id for r in incremental_live_index(spark, store).collect()
+    }
+    assert not (tombs & live_ids)
+    served = ivfpq_incremental_served(spark, sf_dir)
+    hit_ids = {r.vec_id for r in served.collect()}
+    assert not (tombs & hit_ids)
+
+
+def test_frozen_artifacts_are_loaded_not_retrained(spark, sf_dir, store):
+    """Serving must use the persisted day-0 artifacts: corrupting the
+    on-disk codebook changes nothing until the memo key changes, and
+    the loaded artifacts equal the training output exactly (JSON
+    roundtrip is lossless for the integer-grid values)."""
+    import json
+
+    with open(os.path.join(store, "artifacts.json")) as fh:
+        art = json.load(fh)
+    cents, cells = _load_artifacts(store)
+    assert art["cents"] == cents and art["cells"] == cells
+    assert all(
+        isinstance(v, int) for cell in cells for v in cell
+    )  # BIGINT micro-units, exact through JSON
+
+
+def test_staleness_recall_bounds(spark, sf_dir):
+    rows = ann_staleness_recall(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.recall_bp <= 10000 for r in rows)
+
+
+def test_segment_audit_bookkeeping(spark, sf_dir):
+    rows = {r.epoch: r for r in ann_index_segments(spark, sf_dir).collect()}
+    assert set(rows) == set(range(_INC_WAVES))
+    for ep, r in rows.items():
+        assert r.n_live == r.n_rows - r.n_tombstoned
+        if ep != 0:
+            assert r.n_tombstoned == 0  # only base rows were deleted
+
+
+def test_incremental_serve_prunes_partitions(spark, sf_dir):
+    """The by-cell layout must keep its 100 TB property under
+    appends: the serving scan's PartitionFilters carry a
+    dynamicpruning subquery, so unprobed cells are never read."""
+    spark.catalog.clearCache()
+    plan = (
+        ivfpq_incremental_served(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
