@@ -136,6 +136,7 @@ HEADLINE = [
     # (ann_index_segments is bookkeeping-sized, not a headline)
     "ivfpq_incremental_served",
     "ann_staleness_recall",
+    "ivfpq_compacted_served",
 ]
 
 

@@ -110,6 +110,7 @@ _DRIVER_HEAD = (
     "ivfpq_incremental_served",
     "ann_index_segments",
     "ann_staleness_recall",
+    "ivfpq_compacted_served",
     # -- refill: verified keys (family reps first, then the round-8
     #    watch-list plans, then registry order)
     "top_eps_report",
@@ -137,7 +138,6 @@ _DRIVER_HEAD = (
     "q18_large_volume",
     "quantiles",
     "rank_variants",
-    "q7_volume_shipping",
 )
 
 

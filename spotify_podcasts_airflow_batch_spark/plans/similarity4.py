@@ -88,22 +88,75 @@ def _wave(emb: DataFrame, w: int) -> DataFrame:
     return emb.where(F.col("vec_id") % _INC_WAVES == w)
 
 
-def ivfpq_incremental_store(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the incremental IVF-PQ store for ``sf_dir``:
+def build_base_store(
+    spark: SparkSession, sf_dir: str, base: DataFrame, root: str
+) -> str:
+    """Day-0 store build at ``root``: train the PQ codebook and the √n
+    coarse cells on ``base``, FREEZE them as artifacts.json, encode
+    the base as the ``epoch=0`` segment. Layout:
 
         <root>/artifacts.json   frozen day-0 quantizers
-        <root>/segments/        (vec_id, codes, epoch) hive-partitioned
-                                by cell_id — epoch 0 = base build,
-                                epochs 1..N = appends (append-mode
-                                files inside the SAME cell partitions)
-        <root>/tombstones/      deleted vec_ids
+        <root>/segments/        (vec_id, codes) hive-partitioned by
+                                (epoch, cell_id) — epoch 0 = base,
+                                epochs 1..N = appends; epoch-level
+                                partitions make every append
+                                REPLAY-IDEMPOTENT (dynamic overwrite
+                                of its own partition), cell_id keeps
+                                dynamic partition pruning for serving
+        <root>/tombstones/      deleted vec_ids"""
+    cents = pq_train_codebook(spark, sf_dir, emb=base)
+    cells = ivf_train_cells(spark, sf_dir, emb=base)
+    os.makedirs(root, exist_ok=True)
+    if cents and cents[0] and cells:
+        (
+            _ivfpq_encoded(spark, sf_dir, cents=cents, cells=cells, emb=base)
+            .withColumn("epoch", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("epoch", "cell_id")
+            .parquet(os.path.join(root, "segments"))
+        )
+        base.select("vec_id").limit(0).write.mode("overwrite").parquet(
+            os.path.join(root, "tombstones")
+        )
+    with open(os.path.join(root, "artifacts.json"), "w") as fh:
+        json.dump({"cents": cents, "cells": cells}, fh)
+    return root
 
-    Append cost is O(new): each wave's encode is one shuffle-free
-    projection of THAT wave against the broadcast frozen constants
-    (the filter reaches the parquet scan — pinned in
-    tests/test_ann_incremental.py). Memoized per dataset fingerprint
-    like the other served indexes; building is deterministic, so the
-    memo can never change a result."""
+
+def append_batch(
+    spark: SparkSession, root: str, batch: DataFrame, epoch: int
+) -> None:
+    """Encode ``batch`` with the store's FROZEN artifacts — one
+    shuffle-free O(new) projection, the base is never rescanned — and
+    land it as the ``epoch=N`` segment partition. The write
+    dynamically OVERWRITES its own epoch partition, so an
+    at-least-once replay (the streaming/dedup.py discipline) lands
+    the identical files instead of duplicating rows."""
+    cents, cells = _load_artifacts(root)
+    (
+        _ivfpq_encoded(spark, "", cents=cents, cells=cells, emb=batch)
+        .withColumn("epoch", F.lit(int(epoch)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cell_id")
+        .parquet(os.path.join(root, "segments"))
+    )
+
+
+def tombstone_ids(spark: SparkSession, root: str, ids: DataFrame) -> None:
+    """Record deletes — an append to the fingerprint-sized tombstone
+    relation, never a segment rewrite."""
+    ids.select("vec_id").write.mode("append").parquet(
+        os.path.join(root, "tombstones")
+    )
+
+
+def ivfpq_incremental_store(spark: SparkSession, sf_dir: str) -> str:
+    """The deterministic 3-wave store over ``sf_dir``'s embeddings
+    (base = vec_id % 3 == 0, two appends, base deletes tombstoned) —
+    the fixture every D39/D39b/D40/D41 query serves from. Memoized
+    per dataset fingerprint like the other served indexes; building
+    is deterministic, so the memo can never change a result."""
     import hashlib
 
     key = (_embeddings_fingerprint(sf_dir), "ivfpq_inc")
@@ -114,38 +167,18 @@ def ivfpq_incremental_store(spark: SparkSession, sf_dir: str) -> str:
         return path
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     root = os.path.join(_index_store_root(), f"ivfpq_inc_{digest}")
-    base = _wave(_emb(spark, sf_dir, fan_out="force"), 0)
-    # day 0: train on the base slice only — these are the FROZEN
-    # artifacts every later append encodes against
-    cents = pq_train_codebook(spark, sf_dir, emb=base)
-    cells = ivf_train_cells(spark, sf_dir, emb=base)
-    os.makedirs(root, exist_ok=True)
-    seg = os.path.join(root, "segments")
+    emb = _emb(spark, sf_dir, fan_out="force")
+    build_base_store(spark, sf_dir, _wave(emb, 0), root)
+    cents, cells = _load_artifacts(root)
     if cents and cents[0] and cells:
-        (
-            _ivfpq_encoded(spark, sf_dir, cents=cents, cells=cells, emb=base)
-            .withColumn("epoch", F.lit(0))
-            .write.mode("overwrite")
-            .partitionBy("cell_id")
-            .parquet(seg)
+        # deletes arrive after day 0: tombstone, never rewrite
+        tombstone_ids(
+            spark,
+            root,
+            _wave(emb, 0).where(F.col("vec_id") % _INC_TOMB_MOD == 0),
         )
-        # deletes arrive after day 0: tombstone, never rewrite segments
-        base.select("vec_id").where(
-            F.col("vec_id") % _INC_TOMB_MOD == 0
-        ).write.mode("overwrite").parquet(os.path.join(root, "tombstones"))
         for w in range(1, _INC_WAVES):
-            batch = _wave(_emb(spark, sf_dir, fan_out="force"), w)
-            (
-                _ivfpq_encoded(
-                    spark, sf_dir, cents=cents, cells=cells, emb=batch
-                )
-                .withColumn("epoch", F.lit(w))
-                .write.mode("append")
-                .partitionBy("cell_id")
-                .parquet(seg)
-            )
-    with open(os.path.join(root, "artifacts.json"), "w") as fh:
-        json.dump({"cents": cents, "cells": cells}, fh)
+            append_batch(spark, root, _wave(emb, w), epoch=w)
     _INC_STORE_CACHE[key] = root
     return root
 
@@ -169,6 +202,64 @@ def incremental_live_index(spark: SparkSession, root: str) -> DataFrame:
     return seg.join(F.broadcast(tomb), "vec_id", "anti").select(
         "vec_id", "codes", "cell_id"
     )
+
+
+def compact_store(spark: SparkSession, root: str, out_root: str) -> str:
+    """OPTIMIZE for the incremental store (the sinks/manifest.py
+    compaction discipline applied to the index): rewrite the epoch
+    segments as ONE segment with tombstones PHYSICALLY applied and
+    one task's worth of files per cell — read amplification from N
+    daily appends (N small files per hot cell) drops back to the
+    freshly-built layout, and the dead rows stop being scanned and
+    anti-joined on every query. Pure data movement: the frozen
+    artifacts are copied verbatim and no row is re-encoded, so the
+    compacted store serves BIT-IDENTICAL results (pinned by D41
+    sharing D39's one-shot-rebuild oracle)."""
+    import shutil
+
+    os.makedirs(out_root, exist_ok=True)
+    shutil.copyfile(
+        os.path.join(root, "artifacts.json"),
+        os.path.join(out_root, "artifacts.json"),
+    )
+    live = incremental_live_index(spark, root)
+    (
+        live.withColumn("epoch", F.lit(0))
+        # co-locate each cell into a single task so every cell
+        # partition lands as one file (the OPTIMIZE layout)
+        .repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "cell_id")
+        .parquet(os.path.join(out_root, "segments"))
+    )
+    live.select("vec_id").limit(0).write.mode("overwrite").parquet(
+        os.path.join(out_root, "tombstones")
+    )
+    return out_root
+
+
+def ivfpq_compacted_store(spark: SparkSession, sf_dir: str) -> str:
+    key = (_embeddings_fingerprint(sf_dir), "ivfpq_inc_compact")
+    path = _INC_STORE_CACHE.get(key)
+    if path is not None and os.path.isfile(
+        os.path.join(path, "artifacts.json")
+    ):
+        return path
+    root = ivfpq_incremental_store(spark, sf_dir)
+    out = root + "_compact"
+    cents, cells = _load_artifacts(root)
+    if cents and cents[0] and cells:
+        compact_store(spark, root, out)
+    else:
+        import shutil
+
+        os.makedirs(out, exist_ok=True)
+        shutil.copyfile(
+            os.path.join(root, "artifacts.json"),
+            os.path.join(out, "artifacts.json"),
+        )
+    _INC_STORE_CACHE[key] = out
+    return out
 
 
 # ------------------------------------------------------------ oracles
@@ -381,6 +472,24 @@ def ivfpq_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     |batch| encode work + one partition-local write; the alternative
     (re-encode the corpus) costs O(corpus) per day."""
     root = ivfpq_incremental_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame([], _SERVE_SCHEMA)
+    encoded = incremental_live_index(spark, root)
+    return _ivfpq_serve(spark, sf_dir, encoded, cents=cents, cells=cells)
+
+
+@register("ivfpq_compacted_served", oracle=_inc_serve_oracle())
+def ivfpq_compacted_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D41 — serving after COMPACTION: the epoch segments rewritten as
+    one tombstone-applied, one-file-per-cell segment (compact_store —
+    the index twin of the manifest layer's OPTIMIZE). Compaction is
+    pure data movement over frozen-encoded rows, so this shares D39's
+    one-shot-rebuild oracle verbatim: a green hash row IS the proof
+    that compaction changed layout, not content. At 100 TB this is
+    the weekly job that keeps N daily appends from turning every hot
+    cell into N small files."""
+    root = ivfpq_compacted_store(spark, sf_dir)
     cents, cells = _load_artifacts(root)
     if not cents or not cents[0] or not cells:
         return spark.createDataFrame([], _SERVE_SCHEMA)

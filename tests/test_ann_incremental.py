@@ -130,6 +130,51 @@ def test_segment_audit_bookkeeping(spark, sf_dir):
             assert r.n_tombstoned == 0  # only base rows were deleted
 
 
+def test_compaction_preserves_content_and_fixes_layout(spark, sf_dir):
+    """D41: compaction must change layout, not content — served rows
+    identical, tombstoned rows physically gone, one file per cell."""
+    import glob
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity4 import (
+        ivfpq_compacted_served,
+        ivfpq_compacted_store,
+    )
+
+    want = sorted(
+        tuple(r) for r in ivfpq_incremental_served(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r) for r in ivfpq_compacted_served(spark, sf_dir).collect()
+    )
+    assert got == want and got
+    croot = ivfpq_compacted_store(spark, sf_dir)
+    # tombstones applied: none left, and no dead vec_id in segments
+    assert (
+        spark.read.parquet(os.path.join(croot, "tombstones")).count() == 0
+    )
+    seg_ids = {
+        r.vec_id
+        for r in spark.read.parquet(
+            os.path.join(croot, "segments")
+        ).collect()
+    }
+    dead = {
+        r.vec_id
+        for r in spark.read.parquet(
+            os.path.join(
+                ivfpq_incremental_store(spark, sf_dir), "tombstones"
+            )
+        ).collect()
+    }
+    assert dead and not (dead & seg_ids)
+    # OPTIMIZE layout: one data file per cell partition
+    for cell_dir in glob.glob(
+        os.path.join(croot, "segments", "epoch=0", "cell_id=*")
+    ):
+        files = glob.glob(os.path.join(cell_dir, "*.parquet"))
+        assert len(files) == 1, cell_dir
+
+
 def test_incremental_serve_prunes_partitions(spark, sf_dir):
     """The by-cell layout must keep its 100 TB property under
     appends: the serving scan's PartitionFilters carry a
