@@ -111,6 +111,7 @@ _DRIVER_HEAD = (
     "ann_index_segments",
     "ann_staleness_recall",
     "ivfpq_compacted_served",
+    "inc_occupancy_drift",
     # -- refill: verified keys (family reps first, then the round-8
     #    watch-list plans, then registry order)
     "top_eps_report",
@@ -137,7 +138,6 @@ _DRIVER_HEAD = (
     "q14_promo_revenue",
     "q18_large_volume",
     "quantiles",
-    "rank_variants",
 )
 
 

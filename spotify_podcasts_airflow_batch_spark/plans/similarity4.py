@@ -111,6 +111,11 @@ def build_base_store(
         (
             _ivfpq_encoded(spark, sf_dir, cents=cents, cells=cells, emb=base)
             .withColumn("epoch", F.lit(0))
+            # co-locate each cell before the partitioned write: one
+            # file per cell instead of (encode tasks × cells) small
+            # files — at √n cells an unshuffled write is a
+            # files-explosion (32 tasks × 4096 cells per epoch)
+            .repartition("cell_id")
             .write.mode("overwrite")
             .partitionBy("epoch", "cell_id")
             .parquet(os.path.join(root, "segments"))
@@ -136,6 +141,9 @@ def append_batch(
     (
         _ivfpq_encoded(spark, "", cents=cents, cells=cells, emb=batch)
         .withColumn("epoch", F.lit(int(epoch)))
+        # one file per touched cell (see build_base_store) — the
+        # batch is small, so this shuffle is O(batch)
+        .repartition("cell_id")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch", "cell_id")
@@ -408,6 +416,48 @@ def _inc_segments_oracle() -> str:
     """
 
 
+def _inc_occupancy_oracle() -> str:
+    """Cumulative per-epoch occupancy of the frozen-quantizer cells
+    over the CURRENT live rows — the from-scratch twin of the store
+    rollup (assignment chain + epoch/tombstone mapping in SQL)."""
+    dims = range(_EMBED_DIMS)
+    d2u = " + ".join(
+        f"(p.x{j} - ct.c{j}) * (p.x{j} - ct.c{j})" for j in dims
+    )
+    return f"""
+    WITH {_inc_train_ctes()},
+    assigned AS (
+        SELECT p.vec_id, ct.cell_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY ({d2u}), ct.cell_id) AS r
+        FROM pts p CROSS JOIN ccents ct
+    ),
+    rows_ AS (
+        SELECT a.vec_id, a.cell_id,
+               CAST(a.vec_id % {_INC_WAVES} AS INT) AS epoch
+        FROM assigned a
+        WHERE a.r = 1
+          AND NOT (a.vec_id % {_INC_WAVES} = 0
+                   AND a.vec_id % {_INC_TOMB_MOD} = 0)
+    ),
+    es AS (SELECT CAST(unnest(range({_INC_WAVES})) AS INT) AS epoch),
+    counts AS (
+        SELECT e.epoch, r.cell_id, count(*) AS n
+        FROM es e JOIN rows_ r ON r.epoch <= e.epoch
+        GROUP BY e.epoch, r.cell_id
+    ),
+    k AS (SELECT count(*) AS k FROM ccents)
+    SELECT c.epoch,
+           CAST(sum(c.n) AS BIGINT) AS n_live,
+           CAST(count(*) AS BIGINT) AS cells_used,
+           CAST(max(c.n) AS BIGINT) AS occ_max,
+           CAST(sum(c.n) // (SELECT k FROM k) AS BIGINT) AS occ_avg,
+           CAST(ceil(sqrt(CAST(sum(c.n) AS DOUBLE))) AS BIGINT)
+               AS cells_ideal
+    FROM counts c GROUP BY c.epoch ORDER BY c.epoch
+    """
+
+
 def _inc_staleness_oracle() -> str:
     """Recall@{k} of the frozen-base-artifact index against exact L2
     over the LIVE corpus — the D28b formula with the incremental
@@ -525,6 +575,60 @@ def ann_index_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("__t"), F.lit(0)).alias("n_tombstoned"),
             (F.count(F.lit(1)) - F.coalesce(F.sum("__t"), F.lit(0))).alias(
                 "n_live"
+            ),
+        )
+        .orderBy("epoch")
+    )
+
+
+@register("inc_occupancy_drift", oracle=_inc_occupancy_oracle())
+def inc_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D43 — the RETRAIN TRIGGER dial: cumulative cell occupancy of
+    the frozen day-0 quantizer as append epochs accumulate. The cells
+    were sized √n for the BASE corpus; each append grows per-cell
+    occupancy (and with it per-query probed-cell scan cost, since
+    serving cost IS probed occupancy) without growing the cell count.
+    Per cumulative epoch: live rows, cells used, max/avg occupancy,
+    and the cells ≈ √n the sizing rule WOULD choose now — when
+    occ_avg or occ_max runs far past n_live/cells_ideal, a re-split
+    (retrain) pays for itself. Tombstones are applied at every epoch
+    (the dial reports the CURRENT store's drift, not a replay).
+
+    Counts come FROM THE STORE (segment scan + tombstone anti-join)
+    and hash-check against a from-scratch SQL assignment — store
+    content parity, again."""
+    root = ivfpq_incremental_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame(
+            [],
+            "epoch int, n_live bigint, cells_used bigint, "
+            "occ_max bigint, occ_avg bigint, cells_ideal bigint",
+        )
+    seg = spark.read.parquet(os.path.join(root, "segments"))
+    tomb = spark.read.parquet(os.path.join(root, "tombstones"))
+    live = seg.join(F.broadcast(tomb), "vec_id", "anti").select(
+        F.col("epoch").cast("int").alias("epoch"), "cell_id"
+    )
+    es = spark.range(_INC_WAVES).select(
+        F.col("id").cast("int").alias("e")
+    )
+    counts = (
+        F.broadcast(es)
+        .join(live, live["epoch"] <= es["e"])
+        .groupBy("e", "cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    k = len(cells)
+    return (
+        counts.groupBy(F.col("e").alias("epoch"))
+        .agg(
+            F.sum("n").alias("n_live"),
+            F.count(F.lit(1)).alias("cells_used"),
+            F.max("n").alias("occ_max"),
+            F.expr(f"sum(n) div {k}").alias("occ_avg"),
+            F.ceil(F.sqrt(F.sum("n").cast("double"))).alias(
+                "cells_ideal"
             ),
         )
         .orderBy("epoch")

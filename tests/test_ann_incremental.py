@@ -82,6 +82,21 @@ def test_segments_cover_waves_exactly(spark, sf_dir, store):
     assert seg.count() == seg.select("vec_id").distinct().count()
 
 
+def test_one_file_per_cell_per_epoch(spark, sf_dir, store):
+    """The append write co-locates by cell before the partitioned
+    write: each epoch=N/cell_id=M dir holds exactly one data file —
+    an unshuffled write would fan (encode tasks × cells) small files
+    per append, a files-explosion at √n cells."""
+    import glob
+
+    cell_dirs = glob.glob(
+        os.path.join(store, "segments", "epoch=*", "cell_id=*")
+    )
+    assert cell_dirs
+    for d in cell_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
 def test_tombstones_mask_serving(spark, sf_dir, store):
     tombs = {
         r.vec_id
