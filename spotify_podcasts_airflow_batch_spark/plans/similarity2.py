@@ -1970,6 +1970,7 @@ def _ivfpq_serve(
     *,
     cents=None,
     cells=None,
+    rebalance: bool = False,
 ) -> DataFrame:
     """The D28 serving tail over any index relation (inline-encoded or
     materialized): probe-cell ranking, broadcast ADC tables, salted
@@ -1977,7 +1978,20 @@ def _ivfpq_serve(
     top-k; D28d passes its shortlist depth). ``cents``/``cells``
     override the trained artifacts — the incremental-index path
     serves with its FROZEN day-0 quantizers; defaults reproduce D28c
-    unchanged."""
+    unchanged.
+
+    ``rebalance`` re-hashes the candidate rows onto the salted top-k
+    keys BEFORE the ADC fold, so the fold computes post-shuffle on
+    evenly-hashed partitions and the first window stage REUSES the
+    exchange (no extra shuffle vs the default plan — the exchange
+    just moves below the fold and carries codes instead of scores).
+    Use it when the index side's byte-based scan splits misestimate
+    fold work — e.g. the one-file-per-cell compacted layout, where a
+    hot probed cell rides one split: measured at the ×100 replicate
+    (26.8M candidates, 190k live rows, 259 cells) the incremental
+    serve drops 34.6 → ~12 s, matching D28c's many-files-per-cell
+    accidental granularity. Results are identical by construction
+    (same rows, same fold, same windows)."""
     from pyspark.sql import Window
 
     if cents is None:
@@ -2001,11 +2015,16 @@ def _ivfpq_serve(
         top=_IVFPQ_NPROBE,
     )
     adc = _pq_adc_table(qsel, cb_row)
-    scored = (
-        F.broadcast(probe_cells)
-        .join(encoded, "cell_id")
-        .join(adc, "query_id")
-        .select("query_id", "vec_id", _pq_adc_score().alias("score_u"))
+    cand = F.broadcast(probe_cells).join(encoded, "cell_id")
+    if rebalance:
+        # hash onto the salted-window keys while rows are still
+        # skinny (query_id, vec_id, codes) — the window below reuses
+        # this exchange, so the plan has the SAME number of shuffles
+        cand = cand.repartition(
+            F.col("query_id"), F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))
+        )
+    scored = cand.join(adc, "query_id").select(
+        "query_id", "vec_id", _pq_adc_score().alias("score_u")
     )
     salted = Window.partitionBy(
         "query_id", F.pmod(F.col("vec_id"), F.lit(_PQ_SALTS))

@@ -526,7 +526,9 @@ def ivfpq_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cents or not cents[0] or not cells:
         return spark.createDataFrame([], _SERVE_SCHEMA)
     encoded = incremental_live_index(spark, root)
-    return _ivfpq_serve(spark, sf_dir, encoded, cents=cents, cells=cells)
+    return _ivfpq_serve(
+        spark, sf_dir, encoded, cents=cents, cells=cells, rebalance=True
+    )
 
 
 @register("ivfpq_compacted_served", oracle=_inc_serve_oracle())
@@ -544,7 +546,9 @@ def ivfpq_compacted_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cents or not cents[0] or not cells:
         return spark.createDataFrame([], _SERVE_SCHEMA)
     encoded = incremental_live_index(spark, root)
-    return _ivfpq_serve(spark, sf_dir, encoded, cents=cents, cells=cells)
+    return _ivfpq_serve(
+        spark, sf_dir, encoded, cents=cents, cells=cells, rebalance=True
+    )
 
 
 @register("ann_index_segments", oracle=_inc_segments_oracle())
