@@ -137,6 +137,8 @@ HEADLINE = [
     "ivfpq_incremental_served",
     "ann_staleness_recall",
     "ivfpq_compacted_served",
+    "dedup_survivorship_audit",
+    "bh_fdr_screen",
 ]
 
 

@@ -797,3 +797,251 @@ def mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(((F.abs(d) - 1) * (F.abs(d) - 1)).cast("double") / tot, 4)
         ).alias("mcnemar_cc"),
     )
+
+
+# ---------------------------------------------------------------- E72
+# Benjamini-Hochberg FDR screening over per-segment permutation
+# tests: the multiple-testing layer every "which of my thousands of
+# segments drifted?" pipeline needs. Running one E70-style test per
+# event type and eyeballing p < 0.05 inflates false discoveries
+# m-fold; BH caps the EXPECTED false-discovery fraction at q. The
+# whole procedure is exact integer arithmetic end-to-end: permutation
+# p-values are small rationals c/(B+1) (the E70 integer count), and
+# the BH step condition p_(i) <= i*q/m cross-multiplies to
+# (c+1)*m*DEN <= i*(B+1)*NUM for q = NUM/DEN — no float CDF, no
+# quantile table, engine-identical by construction. Shape: one md5
+# per row, B universal-family bits, ONE map-side-combinable aggregate
+# per (type, replicate); shuffle = m*B rows at any fact size, the BH
+# rank runs over m rows on one task.
+_BH_Q_NUM = 1  # q = 1/5 = 20% FDR
+_BH_Q_DEN = 5
+
+
+@register(
+    "bh_fdr_screen",
+    oracle=f"""
+    WITH span AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+    ),
+    mid AS (SELECT lo + (hi - lo) // 2 AS m FROM span),
+    rows_u AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu,
+               CASE WHEN epoch_us(ts) < (SELECT m FROM mid)
+                    THEN 1 ELSE 0 END AS early,
+               {oracle_hash31(
+                   "'bhfdr:' || event_type || ':'"
+                   " || CAST(event_id AS VARCHAR)"
+               )} AS h31
+        FROM events
+    ),
+    obs AS (
+        SELECT event_type,
+               CAST(sum(early) AS BIGINT) AS n_early,
+               CAST(sum(1 - early) AS BIGINT) AS n_late,
+               (sum(CASE WHEN early = 1 THEN vu END) // sum(early))
+               - (sum(CASE WHEN early = 0 THEN vu END)
+                  // sum(1 - early)) AS obs_diff_u
+        FROM rows_u GROUP BY event_type
+        HAVING sum(early) > 0 AND sum(1 - early) > 0
+    ),
+    mm AS (SELECT count(*) AS m FROM obs),
+    reps AS (
+        SELECT r.event_type, b.b,
+               CASE WHEN sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 0
+                                  THEN 1 ELSE 0 END) = 0 THEN 0
+                    ELSE sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 0
+                                  THEN r.vu ELSE 0 END)
+                         // sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 0
+                                     THEN 1 ELSE 0 END) END
+               - CASE WHEN sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 1
+                                    THEN 1 ELSE 0 END) = 0 THEN 0
+                      ELSE sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 1
+                                    THEN r.vu ELSE 0 END)
+                           // sum(CASE WHEN {_perm_bit_sql("r.h31", "b.b")} = 1
+                                       THEN 1 ELSE 0 END) END AS diff_u
+        FROM rows_u r
+        JOIN (SELECT event_type FROM obs) s USING (event_type)
+        CROSS JOIN (SELECT unnest(range({_PERM_B})) AS b) b
+        GROUP BY r.event_type, b.b
+    ),
+    ext AS (
+        SELECT o.event_type,
+               CAST(sum(CASE WHEN abs(r.diff_u) >= abs(o.obs_diff_u)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM reps r JOIN obs o USING (event_type)
+        GROUP BY o.event_type
+    ),
+    ranked AS (
+        SELECT event_type, c,
+               row_number() OVER (ORDER BY c, event_type) AS i
+        FROM ext
+    ),
+    kstar AS (
+        SELECT coalesce(max(CASE WHEN (c + 1) * (SELECT m FROM mm)
+                                      * {_BH_Q_DEN}
+                                 <= i * {_PERM_B + 1} * {_BH_Q_NUM}
+                            THEN i END), 0) AS k
+        FROM ranked
+    )
+    SELECT o.event_type, o.n_early, o.n_late,
+           CAST(o.obs_diff_u AS BIGINT) AS obs_diff_u,
+           r.c AS n_extreme,
+           CAST(r.i AS BIGINT) AS p_rank,
+           round(CAST(1 + r.c AS DOUBLE) / {_PERM_B + 1}, 6) AS p_value,
+           CAST(CASE WHEN r.i <= (SELECT k FROM kstar)
+                     THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM obs o JOIN ranked r USING (event_type)
+    """,
+)
+def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E72 — per-segment temporal-drift screen with FDR control:
+    for every event type, an E70-style permutation test of the mean
+    value difference between the span's first and second half, then
+    Benjamini-Hochberg across the m types at q = 20%. ``rejected``
+    marks the types whose drift survives multiple-testing correction
+    — the inferential twin of E25's PSI dial. See the section comment
+    for the exact-integer BH form; segments with an empty half are
+    excluded from the screen on both engines."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        MERSENNE_31,
+        md5_hash31,
+        universal_family,
+    )
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) / 2).cast("long")
+        ).alias("m")
+    )
+    rows_u = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vu"),
+        F.when(F.unix_micros("ts") < F.col("m"), 1).otherwise(0).alias(
+            "early"
+        ),
+        md5_hash31(
+            F.concat(
+                F.lit("bhfdr:"),
+                F.col("event_type"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        ).alias("h31"),
+    )
+    obs = (
+        rows_u.groupBy("event_type")
+        .agg(
+            F.sum("early").cast("long").alias("n_early"),
+            F.sum(1 - F.col("early")).cast("long").alias("n_late"),
+            (
+                F.expr("sum(CASE WHEN early = 1 THEN vu END) div sum(early)")
+                - F.expr(
+                    "sum(CASE WHEN early = 0 THEN vu END)"
+                    " div sum(1 - early)"
+                )
+            ).alias("obs_diff_u"),
+        )
+        .where((F.col("n_early") > 0) & (F.col("n_late") > 0))
+    )
+    fam = universal_family(_PERM_B)
+    a_arr = F.array(*[F.lit(a) for a, _ in fam])
+    b_arr = F.array(*[F.lit(bb) for _, bb in fam])
+    bit = (
+        (
+            F.element_at(a_arr, F.col("b") + 1) * F.col("h31")
+            + F.element_at(b_arr, F.col("b") + 1)
+        )
+        % F.lit(MERSENNE_31)
+    ) % 2
+    reps = (
+        rows_u.join(F.broadcast(obs.select("event_type")), "event_type")
+        .select(
+            "event_type",
+            "vu",
+            "h31",
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        )
+        .withColumn("__bit", bit)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.when(F.col("__bit") == 0, F.col("vu")).otherwise(0))
+            .alias("s0"),
+            F.sum(F.when(F.col("__bit") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("__bit") == 1, F.col("vu")).otherwise(0))
+            .alias("s1"),
+            F.sum(F.when(F.col("__bit") == 1, 1).otherwise(0)).alias("n1"),
+        )
+        .select(
+            "event_type",
+            (
+                F.when(F.col("n0") == 0, F.lit(0).cast("long")).otherwise(
+                    F.expr("s0 div n0")
+                )
+                - F.when(F.col("n1") == 0, F.lit(0).cast("long")).otherwise(
+                    F.expr("s1 div n1")
+                )
+            ).alias("diff_u"),
+        )
+    )
+    ext = (
+        reps.join(F.broadcast(obs.select("event_type", "obs_diff_u")),
+                  "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff_u")) >= F.abs(F.col("obs_diff_u")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c")
+        )
+    )
+    ranked = ext.withColumn(
+        "i", F.row_number().over(Window.orderBy("c", "event_type"))
+    )
+    m_cnt = obs.agg(F.count(F.lit(1)).alias("m"))
+    kstar = (
+        ranked.crossJoin(F.broadcast(m_cnt))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("c") + 1) * F.col("m") * _BH_Q_DEN
+                        <= F.col("i") * (_PERM_B + 1) * _BH_Q_NUM,
+                        F.col("i"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("k")
+        )
+    )
+    return (
+        obs.join(ranked, "event_type")
+        .crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            F.col("obs_diff_u").cast("long").alias("obs_diff_u"),
+            F.col("c").alias("n_extreme"),
+            F.col("i").cast("long").alias("p_rank"),
+            F.round(
+                (1 + F.col("c")).cast("double") / F.lit(_PERM_B + 1), 6
+            ).alias("p_value"),
+            F.when(F.col("i") <= F.col("k"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("rejected"),
+        )
+    )

@@ -112,6 +112,8 @@ _DRIVER_HEAD = (
     "ann_staleness_recall",
     "ivfpq_compacted_served",
     "inc_occupancy_drift",
+    "dedup_survivorship_audit",
+    "bh_fdr_screen",
     # -- refill: verified keys (family reps first, then the round-8
     #    watch-list plans, then registry order)
     "top_eps_report",
@@ -136,8 +138,6 @@ _DRIVER_HEAD = (
     "q4_order_priority",
     "q6_forecast_revenue",
     "q14_promo_revenue",
-    "q18_large_volume",
-    "quantiles",
 )
 
 

@@ -933,3 +933,88 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------- C70
+@register(
+    "dedup_survivorship_audit",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(lower(trim(text))) AS fingerprint, doc_id, n_chars
+        FROM documents
+    ),
+    ranked AS (
+        SELECT fingerprint, doc_id,
+               row_number() OVER (
+                   PARTITION BY fingerprint
+                   ORDER BY n_chars DESC, doc_id) AS rl
+        FROM fp
+    ),
+    agg AS (
+        SELECT fingerprint,
+               CAST(count(*) AS BIGINT) AS n_dupes,
+               min(doc_id) AS keep_first_id,
+               max(doc_id) AS keep_last_id,
+               min(CASE WHEN rl = 1 THEN doc_id END) AS keep_longest_id
+        FROM ranked GROUP BY fingerprint
+        HAVING count(*) > 1
+    )
+    SELECT fingerprint, n_dupes, keep_first_id, keep_last_id,
+           keep_longest_id,
+           CAST(1 + CASE WHEN keep_last_id <> keep_first_id
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN keep_longest_id <> keep_first_id
+                          AND keep_longest_id <> keep_last_id
+                         THEN 1 ELSE 0 END AS INT) AS n_distinct_keepers
+    FROM agg
+    """,
+)
+def dedup_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C70 — survivorship-policy divergence audit over duplicate
+    clusters: for every C4-style cluster (normalized-content md5,
+    size > 1), the keeper under keep-FIRST (min id — reproducible
+    ingest order), keep-LAST (max id — freshest crawl), and
+    keep-LONGEST (the C28 quality proxy, ties to lowest id), plus how
+    many distinct documents those policies pick. Curation reviews
+    read this before switching dedup policy: clusters where
+    n_distinct_keepers > 1 are exactly the rows a policy change
+    rewrites. One map-side-combinable aggregate per cluster (min /
+    max / max_by — no window, no second pass; the oracle's window
+    formulation is the O(n log n) shape this avoids)."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    agg = (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("doc_id").alias("keep_first_id"),
+            F.max("doc_id").alias("keep_last_id"),
+            F.max_by(
+                "doc_id",
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("nid")
+                ),
+            ).alias("keep_longest_id"),
+        )
+        .where(F.col("n_dupes") > 1)
+    )
+    return agg.select(
+        "fingerprint",
+        "n_dupes",
+        "keep_first_id",
+        "keep_last_id",
+        "keep_longest_id",
+        (
+            F.lit(1)
+            + F.when(
+                F.col("keep_last_id") != F.col("keep_first_id"), 1
+            ).otherwise(0)
+            + F.when(
+                (F.col("keep_longest_id") != F.col("keep_first_id"))
+                & (F.col("keep_longest_id") != F.col("keep_last_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_distinct_keepers"),
+    )
