@@ -169,9 +169,7 @@ def ivfpq_incremental_store(spark: SparkSession, sf_dir: str) -> str:
 
     key = (_embeddings_fingerprint(sf_dir), "ivfpq_inc")
     path = _INC_STORE_CACHE.get(key)
-    if path is not None and os.path.isfile(
-        os.path.join(path, "artifacts.json")
-    ):
+    if path is not None and _store_is_valid(path):
         return path
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     root = os.path.join(_index_store_root(), f"ivfpq_inc_{digest}")
@@ -189,6 +187,23 @@ def ivfpq_incremental_store(spark: SparkSession, sf_dir: str) -> str:
             append_batch(spark, root, _wave(emb, w), epoch=w)
     _INC_STORE_CACHE[key] = root
     return root
+
+
+def _store_is_valid(root: str) -> bool:
+    """Memoized-path validation before serving (the ADVICE r6
+    dangling-read lesson from materialized_index_path): a store is
+    servable when its artifacts exist AND — for a non-empty corpus —
+    its segment write committed (_SUCCESS). An externally-removed
+    segments dir must trigger a rebuild, not a dangling read."""
+    if not os.path.isfile(os.path.join(root, "artifacts.json")):
+        return False
+    try:
+        cents, cells = _load_artifacts(root)
+    except (OSError, ValueError, KeyError):
+        return False
+    if not cents or not cents[0] or not cells:
+        return True  # empty-corpus store: artifacts are the whole state
+    return os.path.isfile(os.path.join(root, "segments", "_SUCCESS"))
 
 
 def _load_artifacts(root: str) -> tuple[list, list]:
@@ -249,9 +264,7 @@ def compact_store(spark: SparkSession, root: str, out_root: str) -> str:
 def ivfpq_compacted_store(spark: SparkSession, sf_dir: str) -> str:
     key = (_embeddings_fingerprint(sf_dir), "ivfpq_inc_compact")
     path = _INC_STORE_CACHE.get(key)
-    if path is not None and os.path.isfile(
-        os.path.join(path, "artifacts.json")
-    ):
+    if path is not None and _store_is_valid(path):
         return path
     root = ivfpq_incremental_store(spark, sf_dir)
     out = root + "_compact"

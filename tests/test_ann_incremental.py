@@ -204,3 +204,22 @@ def test_incremental_serve_prunes_partitions(spark, sf_dir):
     assert "dynamicpruning" in plan.lower()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_removed_segments_trigger_rebuild(spark, sf_dir):
+    """An externally-removed segments dir must rebuild, not serve a
+    dangling read (the materialized_index_path / ADVICE r6 lesson
+    applied to the incremental store)."""
+    import shutil
+
+    root = ivfpq_incremental_store(spark, sf_dir)
+    before = sorted(
+        tuple(r) for r in ivfpq_incremental_served(spark, sf_dir).collect()
+    )
+    shutil.rmtree(os.path.join(root, "segments"))
+    root2 = ivfpq_incremental_store(spark, sf_dir)
+    assert os.path.isfile(os.path.join(root2, "segments", "_SUCCESS"))
+    after = sorted(
+        tuple(r) for r in ivfpq_incremental_served(spark, sf_dir).collect()
+    )
+    assert after == before
