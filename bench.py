@@ -139,6 +139,7 @@ HEADLINE = [
     "ivfpq_compacted_served",
     "dedup_survivorship_audit",
     "bh_fdr_screen",
+    "bucketed_colocated_join",
 ]
 
 

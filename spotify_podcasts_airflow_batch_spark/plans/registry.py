@@ -114,6 +114,7 @@ _DRIVER_HEAD = (
     "inc_occupancy_drift",
     "dedup_survivorship_audit",
     "bh_fdr_screen",
+    "bucketed_colocated_join",
     # -- refill: verified keys (family reps first, then the round-8
     #    watch-list plans, then registry order)
     "top_eps_report",
@@ -137,7 +138,6 @@ _DRIVER_HEAD = (
     "count_distinct",
     "q4_order_priority",
     "q6_forecast_revenue",
-    "q14_promo_revenue",
 )
 
 

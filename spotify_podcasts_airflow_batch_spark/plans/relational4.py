@@ -893,3 +893,115 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_days"),
         F.expr("max(sd) * 100 div max(t)").alias("avg_days_x100"),
     ).withColumnRenamed("p", "o_orderpriority")
+
+
+# ---------------------------------------------------------------- B68
+# Bucketed co-located join, promoted from tests-only runtime (E5 row)
+# to a driver-hashed query. Bucketing pays the fact-fact shuffle ONCE
+# at write time: both tables bucketBy(orderkey) on disk, and every
+# later equi-join AND aggregation on that key reads co-located
+# buckets with no exchange — at 100 TB this turns the daily
+# lineitem-orders join from two full shuffles into a pure scan.
+# The one-off bucketed write is memoized per dataset fingerprint
+# (the served-index discipline); tables are namespaced by fingerprint
+# digest so regenerated data can't serve a stale layout.
+_BUCKET_TABLE_CACHE: dict[tuple, tuple[str, str]] = {}
+_BJ_BUCKETS = 8
+
+
+def bucketed_join_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    import hashlib
+
+    from spotify_podcasts_airflow_batch_spark.operators.bucketing import (
+        write_bucketed,
+    )
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _embeddings_fingerprint,
+    )
+
+    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    hit = _BUCKET_TABLE_CACHE.get(key)
+    if hit is not None and all(
+        spark.catalog.tableExists(t) for t in hit
+    ):
+        return hit
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    li_t, o_t = f"bj_lineitem_{digest}", f"bj_orders_{digest}"
+    # a fresh session's in-memory catalog forgets the tables but the
+    # warehouse keeps their files; Spark refuses to CREATE a managed
+    # table over an existing location, so drop + clear leftovers
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_t,
+        "l_orderkey",
+        _BJ_BUCKETS,
+        sorted_by="l_orderkey",
+    )
+    write_bucketed(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        o_t,
+        "o_orderkey",
+        _BJ_BUCKETS,
+        sorted_by="o_orderkey",
+    )
+    _BUCKET_TABLE_CACHE[key] = (li_t, o_t)
+    return li_t, o_t
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           min(o.o_orderpriority) AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_u
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68 — fact-fact join + aggregation entirely on the bucket key,
+    served from bucketed catalog tables (E5's runtime property as a
+    hash-checked query): lineitem⋈orders on orderkey, then per-order
+    line counts and exact micro-unit revenue. Both the join AND the
+    groupBy ride the bucketed distribution — the physical plan reads
+    co-located buckets (FileScan shows the selected buckets) and
+    needs no hashpartitioning exchange on the fact side; the oracle
+    is the plain join, so the hash row proves the layout changed the
+    PLAN, not the answer. The one-off bucketed write is the pay-once
+    shuffle; at 100 TB it amortizes across every downstream join and
+    rollup on the key (tests/test_bucketing.py pins the
+    exchange-free plan under fact-sized sides)."""
+    li_t, o_t = bucketed_join_tables(spark, sf_dir)
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + 0.5
+    ).cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.min("o_orderpriority").alias("o_orderpriority"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev_u).alias("revenue_u"),
+        )
+    )

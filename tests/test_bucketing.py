@@ -75,3 +75,24 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
     agg = spark.table(rt).groupBy("o_orderkey").agg(F.sum("o_totalprice"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_registered_bucketed_query_rides_buckets(spark, sf_dir):
+    """B68: the registered query must read the bucketed layout and
+    aggregate on the bucket key with NO hashpartitioning exchange on
+    that key — the pay-once-shuffle property as a driver-facing
+    plan."""
+    import re
+
+    from spotify_podcasts_airflow_batch_spark.plans.relational4 import (
+        bucketed_colocated_join,
+    )
+
+    plan = (
+        bucketed_colocated_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Bucketed: true" in plan
+    assert not re.findall(r"Exchange hashpartitioning\(l_orderkey", plan)
