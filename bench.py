@@ -140,6 +140,12 @@ HEADLINE = [
     "dedup_survivorship_audit",
     "bh_fdr_screen",
     "bucketed_colocated_join",
+    # round-10 additions: the retrain/cutover serve + the streamed
+    # ingest and streaming-upsert promotions (recall dial D44b is
+    # bookkeeping-sized, not a headline)
+    "ivfpq_retrained_served",
+    "ivfpq_streamed_served",
+    "stream_latest_state",
 ]
 
 

@@ -36,6 +36,7 @@ _PLAN_MODULES = (
     "spotify_podcasts_airflow_batch_spark.plans.similarity2",
     "spotify_podcasts_airflow_batch_spark.plans.similarity3",
     "spotify_podcasts_airflow_batch_spark.plans.similarity4",
+    "spotify_podcasts_airflow_batch_spark.plans.stream_state",
     "spotify_podcasts_airflow_batch_spark.plans.events",
     "spotify_podcasts_airflow_batch_spark.plans.events2",
     "spotify_podcasts_airflow_batch_spark.plans.timeseries",
@@ -77,27 +78,23 @@ class Query:
 # documented exemption that lets a rows-only key with an old clean
 # row re-enter the head (tests/test_driver_window.py).
 _CHANGED_SINCE_DRIVER_ROW = (
-    # round-8 √n-cells + ivf_assign_arrow rewrite (driver rows r5-r7
-    # predate it); opq_* carry the round-9 CTE-rename anchoring
-    "pq_adc_ann",
-    "pq_adc_recall",
-    "pq_sampled_recall",
+    # round-10 plan changes after the r9 rows: the size-gated
+    # tombstone broadcast + hot-cell-splitting compaction touch the
+    # D39/D40/D41 serve plans and B68's memo key; the PQ/OPQ trainer
+    # corpus<k seeding fix (len()-bounded centroid lists — behavior-
+    # identical at every driver SF, where the corpus is 500 vectors)
+    # touches the shared trainers, re-proven through one serving
+    # representative per trainer variant (plain PQ, IVF-PQ trained
+    # cb_row, residual cb_row, OPQ trainer x2)
+    "ivfpq_incremental_served",
+    "ann_staleness_recall",
+    "ivfpq_compacted_served",
+    "bucketed_colocated_join",
     "pq_adc_ann_served",
-    "pq_trained_recall",  # rows-only: execution re-check
-    "ivfpq_ann",
-    "ivfpq_recall",
     "ivfpq_ann_served",
-    "ivfpq_exact_rerank",
-    "ivfpq_rerank_recall",
-    "ivfpq_residual_ann",
-    "ivfpq_residual_recall",
     "ivfpq_residual_ann_served",
-    "ivf_cell_occupancy",
     "opq_ann",
     "opq_recall",
-    # round-8 integer tie halving / try_divide (VERDICT r8 item 3)
-    "rank_assoc_binned",
-    "rater_agreement_kappa",
 )
 
 _DRIVER_HEAD = (
@@ -106,38 +103,50 @@ _DRIVER_HEAD = (
     "salted_join",  # sentinel
     # -- changed after their last driver row (see above)
     *_CHANGED_SINCE_DRIVER_ROW,
-    # -- round-9 additions (inserted as they land)
-    "ivfpq_incremental_served",
-    "ann_index_segments",
-    "ann_staleness_recall",
-    "ivfpq_compacted_served",
-    "inc_occupancy_drift",
-    "dedup_survivorship_audit",
-    "bh_fdr_screen",
-    "bucketed_colocated_join",
-    # -- refill: verified keys (family reps first, then the round-8
-    #    watch-list plans, then registry order)
-    "top_eps_report",
-    "text_stats",
-    "ivf_nprobe_recall",
-    "spearman_corr",
-    "media_meta",
-    "asof_join",
-    "chart_rank_move",
-    "fulfillment_latency",
-    "rate_limit_audit",
-    "bootstrap_ci",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "agg_rollup",
-    "semi_anti_join",
-    "exists_subquery",
-    "window_running",
-    "sessionize",
-    "count_distinct",
-    "q4_order_priority",
-    "q6_forecast_revenue",
+    # -- round-10 additions (ANN lifecycle completion + promotions)
+    "ivfpq_retrained_served",
+    "ivfpq_retrained_recall",
+    "ivfpq_streamed_served",
+    "stream_latest_state",
+    # -- freshness rotation (VERDICT r9 follow-up #3): the oldest 34
+    #    of the 61 keys whose most recent driver row is r1-r3 (sorted
+    #    by last-row round, then registry order, with media_features
+    #    swapped in for the F-family representative; the remaining 27
+    #    rotate in next round)
+    "recursive_bom_depth",
+    "k_anonymity_audit",
+    "weighted_median_price",
+    "approx_distinct_audit",
+    "global_row_number",
+    "stats_summary",
+    "heavy_hitters_contain",
+    "fuzzy_name_match",
+    "join_size_estimate",
+    "revenue_gini",
+    "supplier_hhi",
+    "pareto_8020",
+    "approx_quantiles_audit",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "chart_rank",
+    "chart_transform",
+    "enrich_left_join",
+    "join_mismatch_audit",
+    "union_consolidate",
+    "daily_snapshot",
+    "region_pivot",
+    "latest_per_key",
+    "scd2_intervals",
+    "snapshot_diff",
+    "dq_expectations",
+    "scd2_lookup",
+    "episode_enrich",
+    "doc_fingerprint",
+    "exact_dedup",
+    "ngram_jaccard",
+    "media_features",
 )
 
 

@@ -917,11 +917,14 @@ def bucketed_join_tables(
     from spotify_podcasts_airflow_batch_spark.operators.bucketing import (
         write_bucketed,
     )
-    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
-        _embeddings_fingerprint,
+    from spotify_podcasts_airflow_batch_spark.sources.readers import (
+        table_fingerprint,
     )
 
-    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    # keyed on a stat fingerprint of the tables this cache actually
+    # holds (lineitem + orders) — ADVICE r9: keying on the embeddings
+    # fingerprint let a regenerated lineitem serve a stale layout
+    key = (sf_dir, table_fingerprint(sf_dir, "lineitem", "orders"))
     hit = _BUCKET_TABLE_CACHE.get(key)
     if hit is not None and all(
         spark.catalog.tableExists(t) for t in hit

@@ -1360,7 +1360,11 @@ def pq_train_codebook(
             [
                 (m, k, cents_u[m][k])
                 for m in range(_PQ_M)
-                for k in range(_PQ_K)
+                # len(cents_u[m]) == _PQ_K whenever the corpus has at
+                # least _PQ_K seed rows; a tinier corpus seeds (and
+                # keeps) fewer centroids — matching the SQL twin's
+                # LIMIT-bounded seedv (the D44 corpus<k degenerate)
+                for k in range(len(cents_u[m]))
             ],
             "m int, cid int, cu array<bigint>",
         )
@@ -1388,12 +1392,18 @@ def pq_train_codebook(
             for r in upd
         }
         cents_u = [
-            [got.get((m, k), cents_u[m][k]) for k in range(_PQ_K)]
+            [
+                got.get((m, k), cents_u[m][k])
+                for k in range(len(cents_u[m]))
+            ]
             for m in range(_PQ_M)
         ]
     sub.unpersist()
     return [
-        [[cu / 1e6 for cu in cents_u[m][k]] for k in range(_PQ_K)]
+        [
+            [cu / 1e6 for cu in cents_u[m][k]]
+            for k in range(len(cents_u[m]))
+        ]
         for m in range(_PQ_M)
     ]
 
@@ -1452,7 +1462,9 @@ def _pq_trained_cb_row(spark: SparkSession, cents) -> DataFrame:
                 for j in range(_PQ_SUB)
             ]
         )
-        for k in range(_PQ_K)
+        # a corpus below _PQ_K seeds trains (and serves) fewer
+        # centroids — see pq_train_codebook's LIMIT-bounded seeding
+        for k in range(len(cents[0]))
     ]
     return F.broadcast(spark.range(1).select(F.array(*full).alias("cbs")))
 
@@ -2778,7 +2790,11 @@ def _rpq_train(spark: SparkSession, sf_dir: str) -> list:
             [
                 (m, k, cents_u[m][k])
                 for m in range(_PQ_M)
-                for k in range(_PQ_K)
+                # len(cents_u[m]) == _PQ_K whenever the corpus has at
+                # least _PQ_K seed rows; a tinier corpus seeds (and
+                # keeps) fewer centroids — matching the SQL twin's
+                # LIMIT-bounded seedv (the D44 corpus<k degenerate)
+                for k in range(len(cents_u[m]))
             ],
             "m int, cid int, cu array<bigint>",
         )
@@ -2805,7 +2821,10 @@ def _rpq_train(spark: SparkSession, sf_dir: str) -> list:
             for r in upd
         }
         cents_u = [
-            [got.get((m, k), cents_u[m][k]) for k in range(_PQ_K)]
+            [
+                got.get((m, k), cents_u[m][k])
+                for k in range(len(cents_u[m]))
+            ]
             for m in range(_PQ_M)
         ]
     sub.unpersist()
@@ -2823,7 +2842,7 @@ def _rpq_cb_row(spark: SparkSession, cents_u: list) -> DataFrame:
                     F.array(
                         *[
                             F.array(*[F.lit(v) for v in cents_u[m][k]])
-                            for k in range(_PQ_K)
+                            for k in range(len(cents_u[m]))
                         ]
                     )
                     for m in range(_PQ_M)

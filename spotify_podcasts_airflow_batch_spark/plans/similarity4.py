@@ -203,7 +203,14 @@ def _store_is_valid(root: str) -> bool:
         return False
     if not cents or not cents[0] or not cells:
         return True  # empty-corpus store: artifacts are the whole state
-    return os.path.isfile(os.path.join(root, "segments", "_SUCCESS"))
+    # the tombstone relation is part of the servable state too: an
+    # externally-removed tombstones/ would pass an artifacts+segments
+    # check and then fail as a dangling read inside
+    # incremental_live_index (ADVICE r9 — the exact failure class this
+    # helper exists to prevent)
+    return os.path.isfile(
+        os.path.join(root, "segments", "_SUCCESS")
+    ) and os.path.isdir(os.path.join(root, "tombstones"))
 
 
 def _load_artifacts(root: str) -> tuple[list, list]:
@@ -216,25 +223,80 @@ def _load_artifacts(root: str) -> tuple[list, list]:
     return art["cents"], art["cells"]
 
 
-def incremental_live_index(spark: SparkSession, root: str) -> DataFrame:
+# Broadcast the tombstone anti-join side only while it is actually
+# broadcast-sized. Tombstones are USUALLY fingerprint-sized (deletes
+# trickle, compaction zeroes them), but growth is unbounded between
+# compactions — a delete-heavy store would otherwise pin an
+# unconditional broadcast of an arbitrarily large relation (VERDICT r9
+# "what's wrong" #1, the OOM-shaped plan fk_integrity_audit avoids).
+# 8 MiB of parquet ≈ well under executor broadcast budgets at any
+# reasonable executor size; past it, leave the join to AQE.
+_TOMB_BROADCAST_MAX_BYTES = 8 << 20
+# live tombstone fraction past which maybe_compact_store rewrites
+_AUTO_COMPACT_TOMB_FRAC = 0.10
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    """Total data-file bytes under ``path`` — a stat-level proxy for
+    relation size (no read). Missing dir → 0."""
+    import glob as _glob
+
+    return sum(
+        os.path.getsize(p)
+        for p in _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        if os.path.isfile(p)
+    )
+
+
+def incremental_live_index(
+    spark: SparkSession,
+    root: str,
+    tomb_broadcast_max_bytes: int = _TOMB_BROADCAST_MAX_BYTES,
+) -> DataFrame:
     """(vec_id, codes, cell_id) across ALL epoch segments minus
-    tombstones — the relation serving scans. Tombstones are
-    fingerprint-sized: broadcast anti-join, never a rewrite."""
+    tombstones — the relation serving scans. The tombstone anti-join
+    side gets a broadcast hint only under
+    ``tomb_broadcast_max_bytes`` of on-disk parquet; a delete-heavy
+    store that outgrew the threshold (it should have compacted —
+    see ``maybe_compact_store``) falls back to an unhinted anti-join
+    and lets AQE pick the strategy."""
     seg = spark.read.parquet(os.path.join(root, "segments"))
     tomb = spark.read.parquet(os.path.join(root, "tombstones"))
-    return seg.join(F.broadcast(tomb), "vec_id", "anti").select(
+    tomb_bytes = _dir_parquet_bytes(os.path.join(root, "tombstones"))
+    if tomb_bytes <= tomb_broadcast_max_bytes:
+        tomb = F.broadcast(tomb)
+    return seg.join(tomb, "vec_id", "anti").select(
         "vec_id", "codes", "cell_id"
     )
 
 
-def compact_store(spark: SparkSession, root: str, out_root: str) -> str:
+# compaction re-packs each cell into ceil(rows / this) files: small
+# cells stay one file (no small-file regression), hot cells split so
+# serving keeps intra-cell scan parallelism. At ~30 B/encoded row,
+# 1M rows ≈ a few tens of MB per file — comfortably one scan split.
+_COMPACT_ROWS_PER_FILE = 1 << 20
+
+
+def compact_store(
+    spark: SparkSession,
+    root: str,
+    out_root: str,
+    rows_per_file: int = _COMPACT_ROWS_PER_FILE,
+) -> str:
     """OPTIMIZE for the incremental store (the sinks/manifest.py
     compaction discipline applied to the index): rewrite the epoch
     segments as ONE segment with tombstones PHYSICALLY applied and
-    one task's worth of files per cell — read amplification from N
-    daily appends (N small files per hot cell) drops back to the
-    freshly-built layout, and the dead rows stop being scanned and
-    anti-joined on every query. Pure data movement: the frozen
+    each cell re-packed into ceil(rows / rows_per_file) files — read
+    amplification from N daily appends (N small files per hot cell)
+    drops back to the freshly-built layout, and the dead rows stop
+    being scanned and anti-joined on every query. Cells are NOT
+    forced into a single file: a hot cell (D43's own drift metric —
+    frozen cells drift toward hot) above ``rows_per_file`` rows
+    splits into salted sub-files, so a probed hot cell still fans out
+    over multiple scan splits instead of riding one task (VERDICT r9
+    follow-up #5). Pure data movement either way: the frozen
     artifacts are copied verbatim and no row is re-encoded, so the
     compacted store serves BIT-IDENTICAL results (pinned by D41
     sharing D39's one-shot-rebuild oracle)."""
@@ -246,12 +308,28 @@ def compact_store(spark: SparkSession, root: str, out_root: str) -> str:
         os.path.join(out_root, "artifacts.json"),
     )
     live = incremental_live_index(spark, root)
+    # per-cell row counts decide each cell's file fan-out; the count
+    # relation is one row per OCCUPIED cell (≈ √n at scale — 158k rows
+    # even for a 25B-vector corpus), so the join side is broadcastable
+    counts = live.groupBy("cell_id").agg(
+        F.ceil(F.count(F.lit(1)) / float(rows_per_file)).alias("__nf")
+    )
     (
-        live.withColumn("epoch", F.lit(0))
-        # co-locate each cell into a single task so every cell
-        # partition lands as one file (the OPTIMIZE layout)
-        .repartition("cell_id")
+        live.join(F.broadcast(counts), "cell_id")
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64("vec_id"), F.col("__nf"))
+        )
+        .withColumn("epoch", F.lit(0))
+        # co-locate each (cell, salt) slice into its own task so a
+        # cell partition lands as exactly __nf files
+        .repartition("cell_id", "__salt")
+        .select("vec_id", "codes", "cell_id", "epoch")
         .write.mode("overwrite")
+        # belt to the salt's suspenders: two salt slices of one cell
+        # can hash into the SAME reduce task, which would merge them
+        # back into one file — the writer-level cap rolls the file
+        # over at the threshold regardless of task placement
+        .option("maxRecordsPerFile", int(rows_per_file))
         .partitionBy("epoch", "cell_id")
         .parquet(os.path.join(out_root, "segments"))
     )
@@ -259,6 +337,108 @@ def compact_store(spark: SparkSession, root: str, out_root: str) -> str:
         os.path.join(out_root, "tombstones")
     )
     return out_root
+
+
+def maybe_compact_store(
+    spark: SparkSession,
+    root: str,
+    out_root: str,
+    tomb_frac: float = _AUTO_COMPACT_TOMB_FRAC,
+) -> str:
+    """Auto-compaction trigger (the maintenance half of the VERDICT r9
+    broadcast guard): when the tombstoned fraction of stored rows
+    crosses ``tomb_frac``, rewrite into ``out_root`` (tombstones
+    physically applied, layout re-packed) and return it; otherwise
+    return ``root`` untouched. Both counts are parquet
+    metadata-only (count-star folds to footer row counts — no data
+    pages), so the check costs KBs of footer reads even on a huge
+    store. Serving paths that adopt the returned root keep the
+    anti-join side fingerprint-sized, which is what keeps the
+    broadcast hint in ``incremental_live_index`` valid."""
+    seg_n = spark.read.parquet(os.path.join(root, "segments")).count()
+    tomb_n = spark.read.parquet(os.path.join(root, "tombstones")).count()
+    if seg_n == 0 or tomb_n <= tomb_frac * seg_n:
+        return root
+    return compact_store(spark, root, out_root)
+
+
+# ------------------------------------------------- retrain + cutover
+def write_current_pointer(vroot: str, store_root: str) -> None:
+    """Atomic blue/green cutover: point ``<vroot>/CURRENT`` at
+    ``store_root`` by writing a temp file (flushed + fsynced) and
+    ``os.replace``-ing it over the pointer — POSIX rename atomicity,
+    so a concurrent reader sees the OLD complete pointer or the NEW
+    complete pointer, never a partial write. The store the pointer
+    used to reference is untouched: rollback is one more
+    ``write_current_pointer`` back at it."""
+    os.makedirs(vroot, exist_ok=True)
+    tmp = os.path.join(vroot, ".CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(store_root + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(vroot, "CURRENT"))
+
+
+def read_current_pointer(vroot: str) -> str | None:
+    """The store root ``CURRENT`` points at, or None when no cutover
+    has been recorded yet."""
+    try:
+        with open(os.path.join(vroot, "CURRENT")) as fh:
+            path = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    return path or None
+
+
+def retrain_store(
+    spark: SparkSession, sf_dir: str, root: str, out_root: str
+) -> str:
+    """The third lifecycle verb (VERDICT r9 follow-up #1 — FAISS's
+    add_core/remove_ids framing has train as the missing verb): train
+    FRESH quantizers on the store's CURRENT live corpus, re-encode it
+    once (one O(corpus) batch — the cost D34/D40/D43 price before
+    paying), and write the result as a complete NEW store at
+    ``out_root``. The old store at ``root`` is never touched: the
+    caller cuts over with ``write_current_pointer`` and keeps the old
+    version for rollback. Live membership comes FROM THE STORE
+    (segments minus tombstones), not from the fixture's wave
+    arithmetic — retrain serves whatever the store says is alive."""
+    live_ids = incremental_live_index(spark, root).select("vec_id")
+    live = _emb(spark, sf_dir, fan_out="force").join(
+        live_ids, "vec_id", "semi"
+    )
+    return build_base_store(spark, sf_dir, live, out_root)
+
+
+def ivfpq_retrained_store(spark: SparkSession, sf_dir: str) -> str:
+    """The D44 fixture: version root holding the incremental store as
+    the BLUE version and a live-corpus retrain as the GREEN one, with
+    an atomic ``CURRENT`` pointer cutover — returns the store the
+    pointer serves (post-cutover: the retrained one). Memoized like
+    the other served indexes; deterministic build, so the memo can
+    never change a result."""
+    import hashlib
+
+    key = (_embeddings_fingerprint(sf_dir), "ivfpq_retrained")
+    vroot = _INC_STORE_CACHE.get(key)
+    if vroot is not None:
+        cur = read_current_pointer(vroot)
+        if cur is not None and _store_is_valid(cur):
+            return cur
+    root = ivfpq_incremental_store(spark, sf_dir)
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    vroot = os.path.join(_index_store_root(), f"ivfpq_ver_{digest}")
+    # blue: the incremental store keeps serving while retrain builds
+    write_current_pointer(vroot, root)
+    cents, cells = _load_artifacts(root)
+    if cents and cents[0] and cells:
+        new = os.path.join(vroot, "v001")
+        retrain_store(spark, sf_dir, root, new)
+        # green: one atomic pointer swap; blue stays for rollback
+        write_current_pointer(vroot, new)
+    _INC_STORE_CACHE[key] = vroot
+    return read_current_pointer(vroot)
 
 
 def ivfpq_compacted_store(spark: SparkSession, sf_dir: str) -> str:
@@ -321,22 +501,63 @@ _LIVE_SQL = f"""live AS MATERIALIZED (
     )"""
 
 
-def _inc_serve_oracle(k: int = _IVFPQ_K) -> str:
+def _retrain_ctes() -> str:
+    """Artifact derivation RETRAINED ON THE LIVE CORPUS — the D44
+    blue/green twin of ``_inc_train_ctes``: both Lloyd chains
+    re-pointed at the live rows (appends minus tombstones), exactly
+    what ``retrain_store`` trains on. Provides the same CTE surface
+    the serve tail consumes (``live``, ``cb``, ``pts``, ``ccents``);
+    the anchors are the chains' only corpus references (samp/seedv
+    read "FROM embeddings" → live; cn/cm/csamp/ccents0 read
+    "FROM pts" → lpts)."""
+    dims = range(_EMBED_DIMS)
+
+    def qx(e: str) -> str:
+        return f"CAST(round(CAST({e} AS DOUBLE) * 1e6, 0) AS BIGINT)"
+
+    pts_cols = ", ".join(
+        f"{qx(f'e.embedding[{j + 1}]')} AS x{j}" for j in dims
+    )
+    pq_chain = _pq_lloyd_sql().replace("FROM embeddings", "FROM live")
+    ivf_chain = _ivf_lloyd_sql().replace("FROM pts", "FROM lpts")
+    return f"""{_LIVE_SQL},
+    {pq_chain},
+    pts AS MATERIALIZED (
+        SELECT e.vec_id, {pts_cols} FROM embeddings e
+    ),
+    lpts AS MATERIALIZED (
+        SELECT p.* FROM pts p JOIN live l ON l.vec_id = p.vec_id
+    ),
+    {ivf_chain}"""
+
+
+def _inc_serve_oracle(
+    k: int = _IVFPQ_K, train_ctes: str | None = None
+) -> str:
     """The one-shot-rebuild twin of the incremental store: encode the
     LIVE corpus (appends minus tombstones) with the frozen base
     artifacts and serve — hash-equality against the segment-built
-    Spark path proves N appends + tombstones ≡ full rebuild."""
+    Spark path proves N appends + tombstones ≡ full rebuild.
+
+    ``train_ctes`` swaps the artifact derivation (default: frozen
+    day-0 base training + the live-corpus CTE; D44 passes
+    ``_retrain_ctes()`` — trained on live — so the SAME serve tail
+    proves the retrained store against a retrained one-shot build).
+    Whatever is passed must provide ``live``, ``cb``, ``pts`` and
+    ``ccents``."""
     from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
         _PQ_M,
     )
 
+    if train_ctes is None:
+        train_ctes = f"""{_inc_train_ctes()},
+    {_LIVE_SQL}"""
     dims = range(_EMBED_DIMS)
     d2u = " + ".join(
         f"(p.x{j} - ct.c{j}) * (p.x{j} - ct.c{j})" for j in dims
     )
     return f"""
-    WITH {_inc_train_ctes()},
-    {_LIVE_SQL},
+    WITH {train_ctes},
     cell_rank AS (
         SELECT p.vec_id, ct.cell_id,
                row_number() OVER (PARTITION BY p.vec_id
@@ -471,17 +692,22 @@ def _inc_occupancy_oracle() -> str:
     """
 
 
-def _inc_staleness_oracle() -> str:
+def _inc_staleness_oracle(serve_sql: str | None = None) -> str:
     """Recall@{k} of the frozen-base-artifact index against exact L2
     over the LIVE corpus — the D28b formula with the incremental
-    candidate relation and the tombstone-filtered exact side."""
+    candidate relation and the tombstone-filtered exact side.
+    ``serve_sql`` swaps the candidate generator (D44b passes the
+    retrained serve, so the same formula prices the recall the
+    retrain BOUGHT against this dial's stale number)."""
     from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
         _pq_full_dist_sql,
     )
 
+    if serve_sql is None:
+        serve_sql = _inc_serve_oracle()
     return f"""
     WITH cand AS MATERIALIZED (
-        SELECT * FROM ({_inc_serve_oracle()})
+        SELECT * FROM ({serve_sql})
         WHERE vec_id <> query_id
     ),
     {_LIVE_SQL},
@@ -695,4 +921,163 @@ def ann_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"coalesce(n, 0) * 10000 div {_IVFPQ_K}").alias(
             "recall_bp"
         ),
+    )
+
+
+def ivfpq_streamed_store(spark: SparkSession, sf_dir: str) -> str:
+    """The D42b fixture: the SAME 3-wave corpus as the batch
+    incremental store, but with the two append waves ingested through
+    the Structured Streaming path (streaming/ann_ingest.py) instead
+    of batch ``append_batch`` calls — day-0 base build + tombstones,
+    then the waves written as ordered files into an incoming dir and
+    drained by the foreachBatch stream (one file per micro-batch,
+    epochs derived from the store). Stream ≡ batch is pinned in
+    tests/test_ann_stream_ingest.py; registering the streamed store
+    under D39's one-shot-rebuild oracle makes the driver hash row the
+    cross-engine proof (VERDICT r9 follow-up #4). Serving is
+    epoch-value-agnostic (the live index unions epoch segments), so
+    the result does not depend on micro-batch boundaries."""
+    import glob
+    import hashlib
+    import shutil
+
+    key = (_embeddings_fingerprint(sf_dir), "ivfpq_streamed")
+    path = _INC_STORE_CACHE.get(key)
+    if path is not None and _store_is_valid(path):
+        return path
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    root = os.path.join(_index_store_root(), f"ivfpq_stream_{digest}")
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _emb(spark, sf_dir, fan_out="force")
+    build_base_store(spark, sf_dir, _wave(emb, 0), root)
+    cents, cells = _load_artifacts(root)
+    if cents and cents[0] and cells:
+        tombstone_ids(
+            spark,
+            root,
+            _wave(emb, 0).where(F.col("vec_id") % _INC_TOMB_MOD == 0),
+        )
+        in_dir = os.path.join(root, "_incoming")
+        os.makedirs(in_dir, exist_ok=True)
+        for w in range(1, _INC_WAVES):
+            stage = os.path.join(root, f"_stage{w}")
+            _wave(emb, w).coalesce(1).write.mode("overwrite").parquet(
+                stage
+            )
+            parts = glob.glob(os.path.join(stage, "*.parquet"))
+            if parts:
+                shutil.move(
+                    parts[0], os.path.join(in_dir, f"wave-{w}.parquet")
+                )
+            shutil.rmtree(stage, ignore_errors=True)
+        if glob.glob(os.path.join(in_dir, "*.parquet")):
+            from spotify_podcasts_airflow_batch_spark.streaming.ann_ingest import (  # noqa: E501 — runtime import breaks the module cycle
+                stream_ann_ingest,
+            )
+
+            q = stream_ann_ingest(
+                spark, in_dir, root, os.path.join(root, "_ckpt")
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "ivfpq_streamed_store: ingest stream did not drain"
+                )
+    _INC_STORE_CACHE[key] = root
+    return root
+
+
+@register(
+    "ivfpq_retrained_served",
+    oracle=_inc_serve_oracle(train_ctes=_retrain_ctes()),
+)
+def ivfpq_retrained_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D44 — serving AFTER RETRAIN + BLUE/GREEN CUTOVER: quantizers
+    trained fresh on the live corpus (the retrain D34/D40/D43 price),
+    the corpus re-encoded once into a NEW versioned store, and an
+    atomic ``CURRENT`` pointer swap (``write_current_pointer`` —
+    os.replace, reader sees old or new, never a mix; the old store
+    stays for rollback). The oracle derives the SAME retrained
+    artifacts end-to-end in SQL (both Lloyd chains re-pointed at the
+    live corpus) and serves the one-shot build, so a green hash row
+    proves retrain + re-encode + cutover ≡ training from scratch on
+    what the store says is alive. At 100 TB this is the quarterly
+    job: O(corpus) re-encode paid once, against the daily O(new)
+    appends the frozen artifacts otherwise serve."""
+    root = ivfpq_retrained_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame([], _SERVE_SCHEMA)
+    encoded = incremental_live_index(spark, root)
+    return _ivfpq_serve(
+        spark, sf_dir, encoded, cents=cents, cells=cells, rebalance=True
+    )
+
+
+@register(
+    "ivfpq_retrained_recall",
+    oracle=_inc_staleness_oracle(
+        serve_sql=_inc_serve_oracle(train_ctes=_retrain_ctes())
+    ),
+)
+def ivfpq_retrained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D44b — the uplift dial for D44: recall@10 of the RETRAINED
+    index against exact L2 over the live corpus, the exact formula of
+    D40 ``ann_staleness_recall`` with the retrained candidates — read
+    the two side by side to see what the retrain bought back of the
+    staleness gap D40 prices (cells re-fit to the grown corpus, so
+    probed cells once again cover the true neighborhoods)."""
+    root = ivfpq_retrained_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame(
+            [], "query_id bigint, n_hits bigint, recall_bp bigint"
+        )
+    cand = (
+        ivfpq_retrained_served(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    emb_1t = _emb(spark, sf_dir)
+    live_1t = emb_1t.where(
+        ~(
+            (F.col("vec_id") % _INC_WAVES == 0)
+            & (F.col("vec_id") % _INC_TOMB_MOD == 0)
+        )
+    )
+    qdf = emb_1t.where(F.col("vec_id") % _IVFPQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _pq_exact_topk(live_1t, qdf=qdf, k=_IVFPQ_K, exclude_self=True)
+    hits = (
+        exact.join(cand, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = qdf.select("query_id")
+    return probes.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+        F.expr(f"coalesce(n, 0) * 10000 div {_IVFPQ_K}").alias(
+            "recall_bp"
+        ),
+    )
+
+
+@register("ivfpq_streamed_served", oracle=_inc_serve_oracle())
+def ivfpq_streamed_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D42b — the D42 streaming-ingest runtime promoted to a
+    driver-hashed query (the B68 pattern): the same 3-wave corpus as
+    D39, but the append waves arrive through the foreachBatch ingest
+    stream (replay-idempotent epoch partitions, epoch base derived
+    from the store). Shares D39's ONE-SHOT REBUILD oracle verbatim,
+    so a green hash row is the cross-engine proof that streamed
+    ingest ≡ batch appends ≡ full rebuild."""
+    root = ivfpq_streamed_store(spark, sf_dir)
+    cents, cells = _load_artifacts(root)
+    if not cents or not cents[0] or not cells:
+        return spark.createDataFrame([], _SERVE_SCHEMA)
+    encoded = incremental_live_index(spark, root)
+    return _ivfpq_serve(
+        spark, sf_dir, encoded, cents=cents, cells=cells, rebalance=True
     )

@@ -1,0 +1,126 @@
+"""Streaming current-state table promoted to a driver-hashed query
+(SURVEY §2 E14b — the B68 promotion pattern applied to the E14
+runtime).
+
+``streaming/sinks.stream_upsert_latest`` maintains a latest-row-per-
+key parquet table as micro-batches flow: hash-bucketed state, each
+batch merging only the buckets its keys hash into (O(batch +
+affected-bucket rows), never O(state)). The runtime row was pinned
+stream ≡ batch A8 in tests/test_streaming_enrich.py; registering the
+POST-STREAM state table as a query puts the same equality under the
+driver's cross-engine hash: the oracle is batch latest-per-key SQL
+over the events table, so a green row proves the upsert sink
+converged to exactly the batch answer (VERDICT r9 follow-up #4).
+
+The fixture drains the events table through the stream once per
+dataset fingerprint (two parity-split files → two micro-batches, so
+the second batch must UPDATE bucket rows rather than only insert) and
+memoizes the state dir; the registered query is then a plain read of
+the state table.
+
+Reference parity: kaggle_update_dag.py's daily republish keeps only
+each episode's newest record — this is that maintenance loop run
+continuously instead of per-DAG-run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_podcasts_airflow_batch_spark.plans.registry import register
+from spotify_podcasts_airflow_batch_spark.sources.readers import (
+    table,
+    table_fingerprint,
+)
+
+_STATE_CACHE: dict[tuple, str] = {}
+
+_STATE_SCHEMA = (
+    "user_id bigint, latest_ts timestamp, latest_event_id bigint, "
+    "latest_event_type string, latest_value double"
+)
+
+
+def _latest_state_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) the streamed current-state
+    table for ``sf_dir``'s events and return its root; ``state/`` under
+    it holds the bucketed table (absent when the stream saw no rows)."""
+    import hashlib
+    import shutil
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _index_store_root,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.sinks import (
+        stream_upsert_latest,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    key = (table_fingerprint(sf_dir, "events"), "stream_latest")
+    hit = _STATE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    root = os.path.join(_index_store_root(), f"stream_state_{digest}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    src = os.path.join(root, "src")
+    ev = table(spark, sf_dir, "events")
+    # two parity-split files → two micro-batches with interleaved
+    # users, so batch 2 exercises the UPDATE path of the upsert
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_upsert_latest(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        os.path.join(root, "state"),
+        os.path.join(root, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "_latest_state_store: upsert stream did not drain"
+        )
+    _STATE_CACHE[key] = root
+    return root
+
+
+@register(
+    "stream_latest_state",
+    oracle="""
+    SELECT user_id, ts AS latest_ts, event_id AS latest_event_id,
+           event_type AS latest_event_type,
+           round(value, 4) + 0 AS latest_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14b — the current-state table MAINTAINED BY THE STREAMING
+    UPSERT SINK, read back as a query. The oracle is batch
+    latest-per-key (A8's shape on events), so the driver hash row
+    proves the bucketed read-modify-write upsert — including the
+    batch-2 updates of bucket rows batch 1 wrote — converged to the
+    batch answer, cross-engine. At 100 TB the state table is the
+    continuously-maintained serving view; per trigger it costs
+    O(batch + touched buckets), never O(state)."""
+    root = _latest_state_store(spark, sf_dir)
+    state = os.path.join(root, "state")
+    if not os.path.isdir(state):
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    return spark.read.parquet(state).select(
+        "user_id",
+        F.col("ts").alias("latest_ts"),
+        F.col("event_id").alias("latest_event_id"),
+        F.col("event_type").alias("latest_event_type"),
+        (F.round(F.col("value"), 4) + F.lit(0)).alias("latest_value"),
+    )

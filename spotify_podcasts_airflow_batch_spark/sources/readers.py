@@ -250,3 +250,28 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def table_fingerprint(sf_dir: str, *names: str) -> tuple:
+    """Stat-level identity of one or more dataset tables: (path,
+    mtime_ns, size) for every data file of each named table under
+    ``sf_dir`` — the generalized form of similarity2's
+    ``_embeddings_fingerprint``, for memo keys that must cover the
+    exact tables they cache (ADVICE r9: a bucketed lineitem/orders
+    layout keyed on the *embeddings* fingerprint served stale tables
+    when lineitem was regenerated). Cheap: a stat per file, no reads."""
+    out = []
+    for name in names:
+        root = os.path.join(sf_dir, f"{name}.parquet")
+        paths = (
+            sorted(glob.glob(os.path.join(root, "*.parquet")))
+            if os.path.isdir(root)
+            else [root]
+        )
+        for p in paths:
+            try:
+                st = os.stat(p)
+                out.append((p, st.st_mtime_ns, st.st_size))
+            except OSError:
+                out.append((p, 0, 0))
+    return tuple(out)

@@ -223,3 +223,119 @@ def test_removed_segments_trigger_rebuild(spark, sf_dir):
         tuple(r) for r in ivfpq_incremental_served(spark, sf_dir).collect()
     )
     assert after == before
+
+
+def test_tombstone_broadcast_guard(spark, sf_dir):
+    """The tombstone anti-join side is hinted broadcast only while its
+    on-disk size is under the threshold (VERDICT r9 #1): a
+    delete-heavy store past the cap must fall back to an unhinted
+    anti-join (AQE picks the strategy) with identical content."""
+    root = ivfpq_incremental_store(spark, sf_dir)
+    hinted = incremental_live_index(spark, root)
+    assert (
+        "ResolvedHint"
+        in hinted._jdf.queryExecution().analyzed().toString()
+    )
+    plain = incremental_live_index(spark, root, tomb_broadcast_max_bytes=0)
+    assert (
+        "ResolvedHint"
+        not in plain._jdf.queryExecution().analyzed().toString()
+    )
+    assert sorted(
+        (r.vec_id, tuple(r.codes), r.cell_id) for r in plain.collect()
+    ) == sorted(
+        (r.vec_id, tuple(r.codes), r.cell_id) for r in hinted.collect()
+    )
+
+
+def test_compaction_splits_hot_cells(spark, sf_dir, tmp_path):
+    """Hot-cell file splitting (VERDICT r9 follow-up #5): compaction
+    re-packs each cell into ceil(rows / rows_per_file) files — a hot
+    cell keeps intra-cell scan parallelism instead of riding one
+    giant file — while content stays bit-identical."""
+    import collections
+    import glob as g
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity4 import (
+        compact_store,
+    )
+
+    root = ivfpq_incremental_store(spark, sf_dir)
+    out = str(tmp_path / "hot_split")
+    compact_store(spark, root, out, rows_per_file=8)
+    def content(r):
+        return {
+            (x.vec_id, tuple(x.codes), x.cell_id)
+            for x in incremental_live_index(spark, r).collect()
+        }
+
+    want = content(root)
+    got = content(out)
+    assert got == want and got
+    per_cell: collections.Counter = collections.Counter()
+    for r in (
+        spark.read.parquet(os.path.join(out, "segments"))
+        .select("cell_id")
+        .collect()
+    ):
+        per_cell[r.cell_id] += 1
+    split = False
+    for cell_dir in g.glob(
+        os.path.join(out, "segments", "epoch=0", "cell_id=*")
+    ):
+        cell = int(cell_dir.rsplit("=", 1)[1])
+        files = g.glob(os.path.join(cell_dir, "*.parquet"))
+        # maxRecordsPerFile bounds every file at rows_per_file rows,
+        # so any cell past the threshold MUST have fanned out
+        if per_cell[cell] > 8:
+            assert len(files) >= 2, cell_dir
+            split = True
+    assert split, "fixture has no hot cell above the planted threshold"
+
+
+def test_maybe_compact_triggers_on_tombstone_fraction(
+    spark, sf_dir, tmp_path
+):
+    """Auto-compaction fires only past the tombstone-fraction
+    threshold; below it the store is returned untouched."""
+    from spotify_podcasts_airflow_batch_spark.plans.similarity4 import (
+        maybe_compact_store,
+    )
+
+    root = ivfpq_incremental_store(spark, sf_dir)
+    out = str(tmp_path / "auto_compact")
+    # fixture deletes ~1/21 of rows (~4.8%) — under the 10% default
+    assert maybe_compact_store(spark, root, out) == root
+    assert not os.path.isdir(out)
+    got = maybe_compact_store(spark, root, out, tomb_frac=0.01)
+    assert got == out
+    assert (
+        spark.read.parquet(os.path.join(out, "tombstones")).count() == 0
+    )
+    want = {
+        (r.vec_id, tuple(r.codes), r.cell_id)
+        for r in incremental_live_index(spark, root).collect()
+    }
+    assert {
+        (r.vec_id, tuple(r.codes), r.cell_id)
+        for r in incremental_live_index(spark, out).collect()
+    } == want
+
+
+def test_removed_tombstones_trigger_rebuild(spark, sf_dir):
+    """An externally-removed tombstones dir must invalidate the
+    memoized store (ADVICE r9 #3) — same class as the removed-segments
+    case above."""
+    import shutil
+
+    root = ivfpq_incremental_store(spark, sf_dir)
+    before = sorted(
+        tuple(r) for r in ivfpq_incremental_served(spark, sf_dir).collect()
+    )
+    shutil.rmtree(os.path.join(root, "tombstones"))
+    root2 = ivfpq_incremental_store(spark, sf_dir)
+    assert os.path.isdir(os.path.join(root2, "tombstones"))
+    after = sorted(
+        tuple(r) for r in ivfpq_incremental_served(spark, sf_dir).collect()
+    )
+    assert after == before

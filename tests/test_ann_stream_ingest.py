@@ -142,3 +142,56 @@ def test_replayed_epoch_is_idempotent(spark, sf_dir, split_vectors):
     assert _index_content(spark, root) == first
     seg = spark.read.parquet(os.path.join(root, "segments"))
     assert seg.count() == seg.select("vec_id").distinct().count()
+
+
+def test_stream_derives_epoch_base_after_batch_appends(
+    spark, sf_dir, split_vectors, tmp_path
+):
+    """ADVICE r9 #2: a stream started on a store that already has
+    batch appends must land AFTER them (derived epoch_base =
+    max existing + 1), and an explicit epoch_base that collides with
+    existing segments is rejected before any write."""
+    import glob
+
+    from spotify_podcasts_airflow_batch_spark.streaming.ann_ingest import (
+        next_epoch,
+    )
+
+    tmp, base_dir, in_dir, waves = split_vectors
+    root = os.path.join(tmp, "store_epochbase")
+    base = spark.read.parquet(base_dir)
+    build_base_store(spark, "", base, root)
+    assert next_epoch(root) == 1
+    ids = [r[0] for r in waves[0]]
+    batch = spark.read.parquet(in_dir).where(F.col("vec_id").isin(ids))
+    append_batch(spark, root, batch, epoch=1)
+    append_batch(spark, root, batch, epoch=2)
+    assert next_epoch(root) == 3
+    with pytest.raises(ValueError, match="collides"):
+        stream_ann_ingest(
+            spark, in_dir, root, str(tmp_path / "ck_bad"), epoch_base=2
+        )
+    q = stream_ann_ingest(spark, in_dir, root, str(tmp_path / "ck_ok"))
+    assert q.awaitTermination(180)
+    epochs = {
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(root, "segments", "epoch=*"))
+    }
+    # batch epochs 1-2 survive; streamed batches appended from 3 up
+    assert {0, 1, 2}.issubset(epochs) and max(epochs) >= 3
+
+
+def test_stream_restart_requires_explicit_epoch_base(
+    spark, sf_dir, split_vectors, tmp_path
+):
+    """Restarting over an existing checkpoint must not silently derive
+    a new epoch_base — replayed batches would land as fresh epochs
+    instead of idempotently overwriting their own."""
+    tmp, base_dir, in_dir, waves = split_vectors
+    root = os.path.join(tmp, "store_restart")
+    build_base_store(spark, "", spark.read.parquet(base_dir), root)
+    ckpt = tmp_path / "ck_restart"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_ann_ingest(spark, in_dir, root, str(ckpt))

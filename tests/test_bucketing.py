@@ -96,3 +96,31 @@ def test_registered_bucketed_query_rides_buckets(spark, sf_dir):
     )
     assert "Bucketed: true" in plan
     assert not re.findall(r"Exchange hashpartitioning\(l_orderkey", plan)
+
+
+def test_bucket_table_cache_keys_on_joined_tables(spark, sf_dir, tmp_path):
+    """ADVICE r9 #1: the memoized bucketed layout must be keyed on a
+    fingerprint of the tables it holds (lineitem + orders) —
+    regenerating lineitem at the same path must produce a fresh
+    namespaced layout, not serve the stale one."""
+    import os
+    import shutil
+
+    from spotify_podcasts_airflow_batch_spark.plans.relational4 import (
+        bucketed_join_tables,
+    )
+
+    d = tmp_path / "sf_copy"
+    d.mkdir()
+    for t in ("lineitem", "orders"):
+        shutil.copy(
+            os.path.join(sf_dir, f"{t}.parquet"), d / f"{t}.parquet"
+        )
+    first = bucketed_join_tables(spark, str(d))
+    assert first == bucketed_join_tables(spark, str(d))  # memo hit
+    # "regenerate" lineitem: same path, new mtime → new fingerprint
+    li = d / "lineitem.parquet"
+    st = li.stat()
+    os.utime(li, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    second = bucketed_join_tables(spark, str(d))
+    assert second != first

@@ -32,12 +32,12 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import (
 # family representatives in the CURRENT head: key -> family letter
 # (see SURVEY §2)
 _FAMILY_OF = {
-    "top_eps_report": "A",
+    "chart_rank": "A",
     "q1_pricing_summary": "B",
-    "text_stats": "C",
-    "ivf_nprobe_recall": "D",
-    "spearman_corr": "E",
-    "media_meta": "F",
+    "doc_fingerprint": "C",
+    "ivfpq_retrained_served": "D",
+    "stream_latest_state": "E",
+    "media_features": "F",
 }
 
 
