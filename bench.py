@@ -146,6 +146,7 @@ HEADLINE = [
     "ivfpq_retrained_served",
     "ivfpq_streamed_served",
     "stream_latest_state",
+    "token_budget_mix",
 ]
 
 

@@ -1507,3 +1507,133 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------- C71
+# Mixture MATERIALIZATION: C42 plans per-source budgets; this draws
+# the actual per-document manifest under temperature-scaled budgets.
+_MIX_BUCKETS = 64  # hash-prefix buckets per source (the 2-phase cut)
+_MIX_HASH = "'mix:' || CAST(doc_id AS VARCHAR)"
+
+
+def _mix_oracle() -> str:
+    h = oracle_hash31(_MIX_HASH)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                   AS BIGINT) AS n_tokens,
+               {h} AS h, {h} % {_MIX_BUCKETS} AS bucket
+        FROM documents
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY source),
+    sc AS (
+        SELECT source, t,
+               CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s
+        FROM tot
+    ),
+    gl AS (
+        SELECT sum(t) // 2 AS b_total, sum(s) AS s_total FROM sc
+    ),
+    bud AS (
+        SELECT source,
+               (SELECT b_total FROM gl) * s
+                   // (SELECT s_total FROM gl) AS budget
+        FROM sc
+    ),
+    cum AS (
+        SELECT d.*,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY bucket, h, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM d
+    )
+    SELECT c.doc_id, c.source, c.n_tokens,
+           CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(b.budget AS BIGINT) AS budget
+    FROM cum c JOIN bud b USING (source)
+    WHERE c.cum_tokens <= b.budget
+    """
+
+
+@register("token_budget_mix", oracle=_mix_oracle())
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71 — mixture MATERIALIZATION under temperature-scaled
+    budgets: C42 prices per-source epochs; this emits the actual
+    training-mix manifest. Each source gets a token budget
+    proportional to sqrt(its token mass) (the multilingual-training
+    temperature move that up-weights small sources; integer
+    arithmetic after one correctly-rounded IEEE sqrt both engines
+    share), drawn from a deterministic hash order — so the mix is a
+    pure function of the corpus, reproducible across engines, runs
+    and repartitionings.
+
+    Scale design — the exact prefix cut WITHOUT a per-source global
+    sort: a naive cumulative-sum window puts each source's whole
+    corpus in one task. Instead each doc hashes into one of
+    {_MIX_BUCKETS} buckets; the per-(source, bucket) token masses
+    (a tiny relation, |sources|x{_MIX_BUCKETS} rows) prefix-sum on
+    the broadcast side to give every bucket its starting offset, and
+    the per-doc running sum only ever windows WITHIN (source,
+    bucket) — {_MIX_BUCKETS}-way intra-source parallelism at any
+    corpus size, and bit-identical to the single-window semantics
+    because the draw order IS (bucket, hash, doc_id). Keep
+    cum <= budget: whole early buckets pass, the boundary bucket is
+    cut mid-stream, later buckets drop. Two shuffles total (the
+    rollup and the bucketed window), both map-side combinable or
+    bucket-parallel."""
+    from pyspark.sql import Window
+
+    h = md5_hash31(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        h.alias("h"),
+        (h % _MIX_BUCKETS).alias("bucket"),
+    )
+    tot = d.groupBy("source").agg(F.sum("n_tokens").alias("t"))
+    sc = tot.select(
+        "source",
+        "t",
+        F.floor(F.sqrt(F.col("t").cast("double"))).cast("long").alias("s"),
+    )
+    gl = sc.agg(
+        F.expr("sum(t) div 2").alias("b_total"),
+        F.sum("s").alias("s_total"),
+    )
+    bud = sc.crossJoin(F.broadcast(gl)).select(
+        "source",
+        F.expr("b_total * s div s_total").alias("budget"),
+    )
+    # per-(source, bucket) masses -> each bucket's starting offset;
+    # tiny relation, windowed driver-side-free and broadcast back
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("w"))
+        .withColumn(
+            "start", F.coalesce(F.sum("w").over(wb), F.lit(0))
+        )
+        .select("source", "bucket", "start")
+    )
+    wi = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    return (
+        d.join(F.broadcast(offsets), ["source", "bucket"])
+        .join(F.broadcast(bud), "source")
+        .withColumn(
+            "cum_tokens", F.col("start") + F.sum("n_tokens").over(wi)
+        )
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "budget")
+    )

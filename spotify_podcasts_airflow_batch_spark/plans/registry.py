@@ -108,6 +108,7 @@ _DRIVER_HEAD = (
     "ivfpq_retrained_recall",
     "ivfpq_streamed_served",
     "stream_latest_state",
+    "token_budget_mix",
     # -- freshness rotation (VERDICT r9 follow-up #3): the oldest 34
     #    of the 61 keys whose most recent driver row is r1-r3 (sorted
     #    by last-row round, then registry order, with media_features
@@ -145,7 +146,6 @@ _DRIVER_HEAD = (
     "episode_enrich",
     "doc_fingerprint",
     "exact_dedup",
-    "ngram_jaccard",
     "media_features",
 )
 

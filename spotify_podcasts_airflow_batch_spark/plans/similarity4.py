@@ -411,6 +411,46 @@ def retrain_store(
     return build_base_store(spark, sf_dir, live, out_root)
 
 
+def gc_versions(vroot: str, keep: int = 2) -> list[str]:
+    """Version GC — the hygiene verb after cutover: prune old store
+    versions under ``vroot``, keeping the CURRENT pointer's target
+    plus the ``keep - 1`` highest-numbered other versions (rollback
+    depth). Returns the removed roots. Safety rails: only ``v\\d+``
+    directories inside ``vroot`` are candidates (the blue incremental
+    store lives OUTSIDE the version root and is never touched), and
+    the pointer target is never removed regardless of age — a
+    concurrent reader that just resolved CURRENT must always find its
+    store. Run AFTER a cutover has been verified, the way the
+    manifest layer expires old snapshots."""
+    import re
+    import shutil
+
+    cur = read_current_pointer(vroot)
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(vroot)
+            if re.fullmatch(r"v\d+", d)
+            and os.path.isdir(os.path.join(vroot, d))
+        ),
+        key=lambda d: int(d[1:]),
+        reverse=True,
+    )
+    keep_set = {os.path.basename(cur)} if cur else set()
+    for d in versions:
+        if len(keep_set) >= max(1, keep):
+            break
+        keep_set.add(d)
+    removed = []
+    for d in versions:
+        path = os.path.join(vroot, d)
+        if d in keep_set or (cur and os.path.realpath(path) == os.path.realpath(cur)):
+            continue
+        shutil.rmtree(path)
+        removed.append(path)
+    return removed
+
+
 def ivfpq_retrained_store(spark: SparkSession, sf_dir: str) -> str:
     """The D44 fixture: version root holding the incremental store as
     the BLUE version and a live-corpus retrain as the GREEN one, with

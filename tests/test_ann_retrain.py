@@ -176,3 +176,30 @@ def test_retrained_serve_prunes_partitions(spark, sf_dir):
     )
     assert "dynamicpruning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_gc_versions_keeps_current_and_rollback_depth(tmp_path):
+    """GC prunes old versions but never the CURRENT target (even when
+    it is the oldest) and keeps `keep` versions of rollback depth."""
+    from spotify_podcasts_airflow_batch_spark.plans.similarity4 import (
+        gc_versions,
+        write_current_pointer,
+    )
+
+    vroot = str(tmp_path / "vroot")
+    os.makedirs(vroot)
+    for i in range(1, 5):
+        os.makedirs(os.path.join(vroot, f"v00{i}"))
+        with open(os.path.join(vroot, f"v00{i}", "artifacts.json"), "w") as fh:
+            fh.write("{}")
+    write_current_pointer(vroot, os.path.join(vroot, "v004"))
+    removed = gc_versions(vroot, keep=2)
+    assert sorted(os.path.basename(p) for p in removed) == ["v001", "v002"]
+    assert sorted(
+        d for d in os.listdir(vroot) if d.startswith("v")
+    ) == ["v003", "v004"]
+    # pointer at the OLDEST version: it survives any keep depth
+    write_current_pointer(vroot, os.path.join(vroot, "v003"))
+    removed = gc_versions(vroot, keep=1)
+    assert [os.path.basename(p) for p in removed] == ["v004"]
+    assert os.path.isdir(os.path.join(vroot, "v003"))

@@ -106,3 +106,55 @@ def test_tfidf_pairs_symmetric_bounds(spark, sf_dir):
     for r in rows:
         assert r.id_a < r.id_b
         assert 0.8 <= r.cos_sim <= 1.0001
+
+
+def test_token_budget_mix_properties(spark, sf_dir):
+    """C71 invariants beyond the oracle hash: every source's kept
+    tokens fit its budget with a TIGHT prefix (the next doc in draw
+    order would overflow), the draw is deterministic across runs, and
+    the sqrt temperature up-weights the smallest source (its kept
+    FRACTION of own mass is >= the largest source's)."""
+    import pyspark.sql.functions as F
+
+    from spotify_podcasts_airflow_batch_spark.plans.llm_pipeline2 import (
+        token_budget_mix,
+    )
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+    got = token_budget_mix(spark, sf_dir)
+    rows = got.collect()
+    if not rows:
+        return
+    per_src = {}
+    for r in rows:
+        cur = per_src.setdefault(
+            r.source, {"kept": 0, "budget": r.budget, "max_cum": 0}
+        )
+        cur["kept"] += r.n_tokens
+        cur["max_cum"] = max(cur["max_cum"], r.cum_tokens)
+    for src, st in per_src.items():
+        assert st["max_cum"] <= st["budget"], src
+        assert st["kept"] == st["max_cum"], src  # contiguous prefix
+    # deterministic: a second invocation returns the identical set
+    again = {tuple(r) for r in token_budget_mix(spark, sf_dir).collect()}
+    assert again == {tuple(r) for r in rows}
+    # temperature: smallest source keeps a fraction of its own mass
+    # at least as large as the biggest source's
+    mass = {
+        r.source: r.t
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("t")
+        )
+        .collect()
+    }
+    if len(mass) >= 2:
+        small = min(mass, key=mass.get)
+        big = max(mass, key=mass.get)
+        if small != big and small in per_src and big in per_src:
+            f_small = per_src[small]["kept"] / mass[small]
+            f_big = per_src[big]["kept"] / mass[big]
+            assert f_small >= f_big
