@@ -147,6 +147,7 @@ HEADLINE = [
     "ivfpq_streamed_served",
     "stream_latest_state",
     "token_budget_mix",
+    "stream_daily_table",
 ]
 
 

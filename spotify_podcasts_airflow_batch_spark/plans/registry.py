@@ -109,11 +109,13 @@ _DRIVER_HEAD = (
     "ivfpq_streamed_served",
     "stream_latest_state",
     "token_budget_mix",
+    "stream_daily_table",
     # -- freshness rotation (VERDICT r9 follow-up #3): the oldest 34
     #    of the 61 keys whose most recent driver row is r1-r3 (sorted
     #    by last-row round, then registry order, with media_features
-    #    swapped in for the F-family representative; the remaining 27
-    #    rotate in next round)
+    #    swapped in for the F-family representative; the stale keys that
+    #    no longer fit — 29 with the round's late additions — rotate
+    #    next round)
     "recursive_bom_depth",
     "k_anonymity_audit",
     "weighted_median_price",
@@ -145,7 +147,6 @@ _DRIVER_HEAD = (
     "scd2_lookup",
     "episode_enrich",
     "doc_fingerprint",
-    "exact_dedup",
     "media_features",
 )
 

@@ -124,3 +124,90 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("latest_event_type"),
         (F.round(F.col("value"), 4) + F.lit(0)).alias("latest_value"),
     )
+
+
+def _daily_table_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) the STREAMED daily-
+    partitioned events table — the E6 sink (foreachBatch → the batch
+    daily writer, replay-idempotent date-partition overwrites) drained
+    over the same two-file micro-batch split as the E14b fixture."""
+    import hashlib
+    import shutil
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _index_store_root,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.sinks import (
+        stream_to_daily_parquet,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    key = (table_fingerprint(sf_dir, "events"), "stream_daily")
+    hit = _STATE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    root = os.path.join(_index_store_root(), f"stream_daily_{digest}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    src = os.path.join(root, "src")
+    ev = table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_to_daily_parquet(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        os.path.join(root, "daily"),
+        os.path.join(root, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "_daily_table_store: daily-sink stream did not drain"
+        )
+    _STATE_CACHE[key] = root
+    return root
+
+
+@register(
+    "stream_daily_table",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS snapshot_date,
+           user_id, event_type,
+           round(value, 4) + 0 AS value4
+    FROM events
+    """,
+)
+def stream_daily_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6b — the E6 streaming daily sink promoted to a driver-hashed
+    query (the B68/E14b pattern): the events table drained through
+    ``stream_to_daily_parquet`` (foreachBatch handing each micro-batch
+    to the BATCH daily writer, so replayed batches dynamically
+    overwrite exactly the date partitions they contain), then the
+    date-partitioned table read back per-event. The oracle is the
+    events table itself with the derived partition date, so a green
+    hash row proves the continuous sink materialized every event into
+    the correct date partition exactly once — the reference's per-day
+    S3 prefix (spotify_eps_dag.py daily writes), maintained by a
+    stream instead of a cron DAG."""
+    root = _daily_table_store(spark, sf_dir)
+    daily = os.path.join(root, "daily")
+    if not os.path.isdir(daily) or not any(
+        f.startswith("snapshot_date=") for f in os.listdir(daily)
+    ):
+        return spark.createDataFrame(
+            [],
+            "event_id bigint, snapshot_date string, user_id bigint, "
+            "event_type string, value4 double",
+        )
+    return spark.read.parquet(daily).select(
+        "event_id",
+        F.col("snapshot_date").cast("string").alias("snapshot_date"),
+        "user_id",
+        "event_type",
+        (F.round(F.col("value"), 4) + F.lit(0)).alias("value4"),
+    )

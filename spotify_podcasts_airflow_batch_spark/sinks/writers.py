@@ -25,13 +25,21 @@ from pyspark.sql import DataFrame
 
 
 def write_daily_partitioned(
-    df: DataFrame, path: str, partition_col: str = "snapshot_date"
+    df: DataFrame,
+    path: str,
+    partition_col: str | list[str] = "snapshot_date",
 ) -> None:
     """Idempotent per-date snapshot writer (dynamic partition
-    overwrite ≍ the backfill DAG's per-day S3 object replace)."""
+    overwrite ≍ the backfill DAG's per-day S3 object replace).
+    ``partition_col`` may be a list for layered layouts (the
+    streaming sink adds a ``batch_epoch`` level so concurrent
+    micro-batches never overwrite each other's date files)."""
+    cols = (
+        [partition_col] if isinstance(partition_col, str) else partition_col
+    )
     (
         df.write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
+        .partitionBy(*cols)
         .mode("overwrite")
         .parquet(path)
     )

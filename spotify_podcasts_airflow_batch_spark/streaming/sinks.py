@@ -27,14 +27,27 @@ def stream_to_daily_parquet(
 ):
     """Continuously materialize an event stream into date partitions.
     Returns the started StreamingQuery (availableNow trigger: drain
-    everything pending, then stop — the cron-batch replacement mode)."""
+    everything pending, then stop — the cron-batch replacement mode).
+
+    Layout is ``snapshot_date=D/batch_epoch=N``: the dynamic
+    partition overwrite keys on BOTH the date and the micro-batch
+    epoch, so an at-least-once replay still rewrites exactly its own
+    files (idempotent), while two DIFFERENT micro-batches that touch
+    the same date land side by side instead of the later one silently
+    clobbering the earlier one's rows — a live stream splits every
+    date across many triggers, so date-only overwrite loses data
+    (caught by the E6b driver-hash promotion; the date-aligned case
+    the batch writer serves is unaffected). Readers scan ``out_path``
+    and see ``batch_epoch`` as one more partition column; the E6
+    compaction story is the same OPTIMIZE pass the index store uses."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         write_daily_partitioned(
             batch_df.withColumn(
                 "snapshot_date", F.col(ts_col).cast("date").cast("string")
-            ),
+            ).withColumn("batch_epoch", F.lit(int(epoch_id))),
             out_path,
+            partition_col=["snapshot_date", "batch_epoch"],
         )
 
     return (

@@ -54,7 +54,8 @@ def test_streaming_ingest_equals_batch_and_is_idempotent(spark, tmp_path):
         d for d in os.listdir(out) if d.startswith("snapshot_date=")
     ) == [f"snapshot_date={d}" for d in DAYS]
 
-    got = spark.read.parquet(out).drop("snapshot_date")
+    # batch_epoch is the sink's replay-idempotency partition layer
+    got = spark.read.parquet(out).drop("snapshot_date", "batch_epoch")
     want = _batch_equivalent(spark)
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())

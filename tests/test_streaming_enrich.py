@@ -161,3 +161,51 @@ def test_stream_upsert_maintains_latest_per_key(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) == ev.select("user_id").distinct().count()
+
+
+def test_stream_daily_sink_survives_cross_batch_dates(
+    spark, sf_dir, tmp_path
+):
+    """E6 regression (found by the E6b driver-hash promotion): two
+    micro-batches touching the SAME dates must land side by side via
+    the batch_epoch partition layer — date-only dynamic overwrite let
+    the later batch silently clobber the earlier one's rows. A full
+    replay of the stream overwrites exactly its own (date, epoch)
+    partitions, so the table stays duplicate-free."""
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+    from spotify_podcasts_airflow_batch_spark.streaming.sinks import (
+        stream_to_daily_parquet,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # parity split: both files cover the same date range, so with
+    # one file per trigger every date spans both micro-batches
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out = str(tmp_path / "daily")
+    q = stream_to_daily_parquet(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        out,
+        str(tmp_path / "ck1"),
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    # replay from scratch (fresh checkpoint, same deterministic file
+    # order): same epochs overwrite their own partitions — no dupes
+    q2 = stream_to_daily_parquet(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        out,
+        str(tmp_path / "ck2"),
+    )
+    assert q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == ev.count()
