@@ -148,6 +148,7 @@ HEADLINE = [
     "stream_latest_state",
     "token_budget_mix",
     "stream_daily_table",
+    "stream_closed_sessions",
 ]
 
 

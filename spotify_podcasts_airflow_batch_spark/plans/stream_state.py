@@ -211,3 +211,139 @@ def stream_daily_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.round(F.col("value"), 4) + F.lit(0)).alias("value4"),
     )
+
+
+_GAP_US = 30 * 60 * 1_000_000  # the B9 / E12 session gap
+
+
+def _closed_sessions_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per dataset fingerprint) the append-only table of
+    COMPLETED sessions emitted by the stateful finalizer (E12,
+    streaming/stateful.py): events streamed with a 0-second watermark,
+    sessions emitted on gap-close inline or timer-close when the
+    watermark passes last_ts + gap, parquet file sink."""
+    import hashlib
+    import shutil
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _index_store_root,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.stateful import (
+        finalize_sessions,
+    )
+    from spotify_podcasts_airflow_batch_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    key = (table_fingerprint(sf_dir, "events"), "stream_sessions")
+    hit = _STATE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    root = os.path.join(_index_store_root(), f"stream_sess_{digest}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    ev_file = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(ev_file):
+        shutil.copytree(ev_file, os.path.join(src, "events.parquet"))
+    else:
+        shutil.copy(ev_file, os.path.join(src, "events.parquet"))
+    stream = read_events_stream(spark, src).withWatermark(
+        "ts", "0 seconds"
+    )
+    q = (
+        finalize_sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(root, "sessions"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "_closed_sessions_store: session stream did not drain"
+        )
+    _STATE_CACHE[key] = root
+    return root
+
+
+@register(
+    "stream_closed_sessions",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               CAST(1 + sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS sid
+        FROM flagged
+    ), agg AS (
+        SELECT user_id, sid,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS session_value_micros
+        FROM sess GROUP BY user_id, sid
+    ), mx AS (
+        SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events
+    ), labeled AS (
+        -- closed_by must rank against ALL the user's sessions
+        -- (including a still-open final one), so the window runs
+        -- BEFORE the completed-session filter
+        SELECT a.*,
+               CASE WHEN a.sid < max(a.sid)
+                        OVER (PARTITION BY a.user_id)
+                    THEN 'gap' ELSE 'timer' END AS closed_by
+        FROM agg a
+    )
+    SELECT l.user_id, l.session_start, l.session_end, l.n_events,
+           l.session_value_micros, l.closed_by
+    FROM labeled l, mx
+    WHERE (epoch_us(l.session_end) + {_GAP_US}) // 1000 <= mx.wm_ms
+    """,
+)
+def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12b — the stateful session finalizer (E12,
+    ``applyInPandasWithState`` with event-time timeouts) promoted to a
+    driver-hashed query: the emit-on-close session table read back
+    under a batch-SQL oracle. The oracle re-derives gap sessions
+    (B9's chain), keeps only sessions the final watermark completed
+    (end + gap ≤ max event time at millisecond watermark precision),
+    and labels each 'gap' (a later event closed it inline) or 'timer'
+    (the watermark timeout closed it) — so the hash row proves the
+    custom stateful operator's boundaries, counts, exact integer
+    micro-unit sums, AND close reasons against a from-scratch batch
+    derivation, cross-engine. Session values accumulate as int64
+    micro-units inside the pandas state (order-independent — the B9
+    convention), which is what makes this hashable at all."""
+    root = _closed_sessions_store(spark, sf_dir)
+    out = os.path.join(root, "sessions")
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(out, "*.parquet")):
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, session_start timestamp, "
+            "session_end timestamp, n_events bigint, "
+            "session_value_micros bigint, closed_by string",
+        )
+    return spark.read.parquet(out).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "session_value_micros",
+        "closed_by",
+    )

@@ -27,6 +27,7 @@ form of operators/sessionize.py's gap semantics.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterable
 
 import pandas as pd
@@ -34,7 +35,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -50,24 +50,30 @@ OUTPUT_SCHEMA = StructType(
         StructField("session_start", TimestampType()),
         StructField("session_end", TimestampType()),
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        # exact integer micro-units (the B9 sessionize convention):
+        # per-event floor(value*1e6 + 0.5) summed as int64, so the
+        # emitted total is independent of arrival/summation order and
+        # bit-equal to any batch/SQL twin — round(sum(double), 4) is
+        # neither (float addition is not associative, and engines
+        # disagree at half boundaries)
+        StructField("session_value_micros", LongType()),
         StructField("closed_by", StringType()),
     ]
 )
 
-# (session_start_us, last_ts_us, n_events, total_value)
+# (session_start_us, last_ts_us, n_events, total_value_micros)
 STATE_SCHEMA = StructType(
     [
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("total_u", LongType()),
     ]
 )
 
 
 def _session_row(
-    user_id: int, start_us: int, last_us: int, n: int, total: float, how: str
+    user_id: int, start_us: int, last_us: int, n: int, total_u: int, how: str
 ) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -75,7 +81,7 @@ def _session_row(
             "session_start": [pd.to_datetime(start_us, unit="us")],
             "session_end": [pd.to_datetime(last_us, unit="us")],
             "n_events": [n],
-            "total_value": [round(total, 4)],
+            "session_value_micros": [total_u],
             "closed_by": [how],
         }
     )
@@ -93,12 +99,14 @@ def _make_finalizer(gap_minutes: int):
         if state.hasTimedOut:
             # watermark passed last_ts + gap with no new events: the
             # open session is complete
-            start_us, last_us, n, total = state.get
+            start_us, last_us, n, total_u = state.get
             state.remove()
-            yield _session_row(user_id, start_us, last_us, n, total, "timer")
+            yield _session_row(
+                user_id, start_us, last_us, n, total_u, "timer"
+            )
             return
-        start_us, last_us, n, total = (
-            state.get if state.exists else (0, 0, 0, 0.0)
+        start_us, last_us, n, total_u = (
+            state.get if state.exists else (0, 0, 0, 0)
         )
         events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         ts_us = events["ts"].astype("int64") // 1000
@@ -106,15 +114,17 @@ def _make_finalizer(gap_minutes: int):
             us = int(us)
             if n > 0 and us - last_us > gap_us:
                 yield _session_row(
-                    user_id, start_us, last_us, n, total, "gap"
+                    user_id, start_us, last_us, n, total_u, "gap"
                 )
-                start_us, n, total = us, 0, 0.0
+                start_us, n, total_u = us, 0, 0
             elif n == 0:
                 start_us = us
             last_us = us
             n += 1
-            total += float(value)
-        state.update((start_us, last_us, n, total))
+            # floor(x*1e6 + 0.5): the same IEEE ops as the Spark/SQL
+            # twins — identical everywhere, unlike round()
+            total_u += int(math.floor(float(value) * 1_000_000 + 0.5))
+        state.update((start_us, last_us, n, total_u))
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
 
     return finalize

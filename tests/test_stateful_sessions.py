@@ -52,11 +52,11 @@ def test_finalized_sessions_match_batch(spark, sf_dir, events_dir):
             r.session_start,
             r.session_end,
             r.n_events,
-            r.total_value,
+            r.session_value_micros,
         )
         for r in spark.sql(
             "SELECT user_id, session_start, session_end, n_events,"
-            " total_value FROM fin_sessions"
+            " session_value_micros FROM fin_sessions"
         ).collect()
     }
 
@@ -69,7 +69,9 @@ def test_finalized_sessions_match_batch(spark, sf_dir, events_dir):
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+            ).alias("session_value_micros"),
         )
     )
     # a session is complete once the watermark (max event time) passes
@@ -84,7 +86,7 @@ def test_finalized_sessions_match_batch(spark, sf_dir, events_dir):
             r.session_start,
             r.session_end,
             r.n_events,
-            r.total_value,
+            r.session_value_micros,
         )
         for r in completed.collect()
     }
