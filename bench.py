@@ -149,6 +149,7 @@ HEADLINE = [
     "token_budget_mix",
     "stream_daily_table",
     "stream_closed_sessions",
+    "stream_enriched_events",
 ]
 
 

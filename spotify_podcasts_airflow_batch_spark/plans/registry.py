@@ -111,11 +111,12 @@ _DRIVER_HEAD = (
     "token_budget_mix",
     "stream_daily_table",
     "stream_closed_sessions",
+    "stream_enriched_events",
     # -- freshness rotation (VERDICT r9 follow-up #3): the oldest 34
     #    of the 61 keys whose most recent driver row is r1-r3 (sorted
     #    by last-row round, then registry order, with media_features
     #    swapped in for the F-family representative; the stale keys that
-    #    no longer fit — 30 with the round's late additions — rotate
+    #    no longer fit — 31 with the round's late additions — rotate
     #    next round)
     "recursive_bom_depth",
     "k_anonymity_audit",
@@ -145,7 +146,6 @@ _DRIVER_HEAD = (
     "scd2_intervals",
     "snapshot_diff",
     "dq_expectations",
-    "scd2_lookup",
     "doc_fingerprint",
     "media_features",
 )
