@@ -239,8 +239,17 @@ def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM folds, DuckDB list_cosine_similarity; round(6) equality is
     driver-proven by knn_brute and knn_label_probe). Scale shape: the
     corpus meets only the 16-row broadcast centroid relation and its
-    own cell's probes — one scan per setting, no corpus self-join; the
-    report is |settings| rows."""
+    own cell's probes — ONE corpus assignment and ONE candidate
+    scoring pass shared by every setting (round 10; was one ivf_knn
+    pipeline per setting = 3 corpus assignments + 3 scoring joins +
+    a 4th assignment for the accounting). nprobe settings are nested
+    prefixes of the SAME cell ranking — row_number over (round(cos,6)
+    desc, cell_id) — so scoring once at max(nprobe) retaining the
+    cell rank ``__cr`` and re-slicing ``__cr <= nprobe`` per setting
+    is value-identical to scoring each setting independently; the
+    per-setting top-k then runs as one window partitioned by
+    (nprobe, query_id). No corpus self-join anywhere; the report is
+    |settings| rows."""
     from pyspark.sql import Window
 
     from spotify_podcasts_airflow_batch_spark.functions.vectors import (
@@ -250,7 +259,6 @@ def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_podcasts_airflow_batch_spark.operators.similarity import (
         ivf_assign,
         ivf_centroids,
-        ivf_knn,
         knn_brute_force,
     )
 
@@ -263,36 +271,27 @@ def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist()
     )
-    cand = None
-    for np_ in _IVF_SWEEP_NPROBE:
-        c = ivf_knn(
-            corpus=e,
-            queries=probes,
-            n_cells=_IVF_SWEEP_CELLS,
-            n_probe=np_,
-            k=_IVF_SWEEP_K,
-        ).select(
-            F.lit(np_).alias("nprobe"), "query_id", "neighbor_id"
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    hits = cand.join(exact, ["query_id", "neighbor_id"]).groupBy(
-        "nprobe"
-    ).agg(F.count(F.lit(1)).alias("n_hits"))
-
-    # candidate accounting from the cell partition
     cents = ivf_centroids(e, _IVF_SWEEP_CELLS)
-    corpus_cell = ivf_assign(
-        l2_normalized(e, "embedding", "__nv").select(
-            "vec_id", F.col("__nv").alias("cvec")
-        ),
-        cents,
-        "vec_id",
-        "cvec",
-        1,
-    ).select("vec_id", "cell_id")
-    cell_sizes = corpus_cell.groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("n")
+    # ONE corpus assignment (same ivf_assign window semantics as the
+    # per-setting plans it replaces), persisted: it feeds candidate
+    # scoring, cell_sizes and the own-cell accounting below — three
+    # consumers that do NOT end in a shared exchange, so physical
+    # reuse cannot dedup them.
+    corpus_cell = (
+        ivf_assign(
+            l2_normalized(e, "embedding", "__nv").select(
+                "vec_id", F.col("__nv").alias("cvec")
+            ),
+            cents,
+            "vec_id",
+            "cvec",
+            1,
+        )
+        .select("vec_id", "cell_id", "cvec")
+        .persist()
     )
+    # ONE query assignment at the deepest probe setting, keeping the
+    # cell rank so each shallower setting is the prefix __cr <= nprobe
     probe_rank = ivf_assign(
         l2_normalized(probes, "embedding", "__nv").select(
             F.col("vec_id").alias("query_id"),
@@ -302,16 +301,50 @@ def ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "qvec",
         max(_IVF_SWEEP_NPROBE),
-    ).select("query_id", "cell_id", F.col("__cr").alias("cr"))
+    ).select("query_id", "qvec", "cell_id", F.col("__cr").alias("cr"))
     settings = spark.createDataFrame(
         [(n,) for n in _IVF_SWEEP_NPROBE], "nprobe int"
     )
+    # score candidates ONCE at max depth (query side broadcast, the
+    # corpus side meets only its own cell's probes), fan out by the
+    # 3-row settings relation, and take per-(setting, query) top-k in
+    # a single window
+    scored = (
+        F.broadcast(probe_rank)
+        .join(corpus_cell.select("vec_id", "cell_id", "cvec"), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", dot(F.col("qvec"), F.col("cvec")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "cr", "cos_raw")
+        .crossJoin(F.broadcast(settings))
+        .where(F.col("cr") <= F.col("nprobe"))
+    )
+    wk = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= _IVF_SWEEP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    hits = cand.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+
+    # candidate accounting from the SAME assignment relations
+    cell_sizes = corpus_cell.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     # broadcast the 3-row settings side: a bare crossJoin of two
     # non-broadcast relations plans a CartesianProduct
-    probed = probe_rank.crossJoin(F.broadcast(settings)).where(
-        F.col("cr") <= F.col("nprobe")
-    )
-    own = corpus_cell.select(
+    probed = probe_rank.select("query_id", "cell_id", "cr").crossJoin(
+        F.broadcast(settings)
+    ).where(F.col("cr") <= F.col("nprobe"))
+    # own-cell lookup only ever matches probe ids — filter before the
+    # broadcast so the built relation is probe-sized, not corpus-sized
+    own = corpus_cell.where(
+        F.col("vec_id") % _IVF_SWEEP_MOD == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell_id").alias("own_cell"),
         F.lit(1).alias("__own"),

@@ -781,6 +781,51 @@ def _lsh_sweep_oracle() -> str:
     """
 
 
+def _sweep_cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """operators.dedup._cap_buckets over the combined multi-setting
+    band relation: the window partition keys gain the ``bands``
+    setting column (buckets of different settings never mix), while
+    the per-bucket selection hash stays the byte-identical
+    md5_31('lshcap:'||band_id||':'||band_hash||':'||id) — so each
+    setting's kept members equal the per-setting capped plan's."""
+    from pyspark.sql import Window
+
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        md5_hash31,
+    )
+    from spotify_podcasts_airflow_batch_spark.operators.dedup import (
+        _LSH_CAP_SALTS,
+    )
+
+    hk = md5_hash31(
+        F.concat(
+            F.lit("lshcap:"),
+            F.col("band_id").cast("string"),
+            F.lit(":"),
+            F.col("band_hash").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    salted = Window.partitionBy(
+        "bands",
+        "band_id",
+        "band_hash",
+        F.pmod(F.col("doc_id"), F.lit(_LSH_CAP_SALTS)),
+    ).orderBy("__hk", "doc_id")
+    final = Window.partitionBy("bands", "band_id", "band_hash").orderBy(
+        "__hk", "doc_id"
+    )
+    return (
+        banded.withColumn("__hk", hk)
+        .withColumn("__srn", F.row_number().over(salted))
+        .where(F.col("__srn") <= max_bucket)
+        .withColumn("__rn", F.row_number().over(final))
+        .where(F.col("__rn") <= max_bucket)
+        .drop("__hk", "__srn", "__rn")
+    )
+
+
 @register("lsh_param_sweep", oracle=_lsh_sweep_oracle())
 def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C61 — the LSH banding dial: candidate volume, precision, and
@@ -805,27 +850,68 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     silent.
 
     Shape: ONE signature computation (persisted — six consumers,
-    the measured-pays regime) feeds the banded self-joins whose
-    shuffle keys are (band_id, band_hash) — pair volume bounded by
-    bucket width per setting (by C(cap,2) on the capped side), never
-    corpus². Truth rides the C5 shingle equi-join (only co-occurring
-    docs meet). The report joins from the 3-row settings relation so
-    a zero-candidate setting still reports its row; rates are exact
+    the measured-pays regime) feeds ONE banded self-join per branch
+    (round 10; was one self-join + dedup pipeline per setting per
+    branch = six): all three (bands × rows) slicings of the same 16
+    signature positions are emitted in a single 14-struct explode —
+    (2+4+8) band rows per doc, each tagged with its ``bands`` setting
+    — and the join/dedup keys gain that ``bands`` column, which is
+    value-identical to running the settings independently (band rows
+    of different settings never share a key). Shuffle keys stay
+    (bands, band_id, band_hash) — pair volume bounded by bucket width
+    per setting (by C(cap,2) on the capped side), never corpus².
+    Truth rides the C5 shingle equi-join (only co-occurring docs
+    meet). The report joins from the 3-row settings relation so a
+    zero-candidate setting still reports its row; rates are exact
     integer basis points."""
+    from spotify_podcasts_airflow_batch_spark.functions.hashing import (
+        md5_hash60,
+    )
+
     d = table(spark, sf_dir, "documents", fan_out=True)
     sig = minhash_signatures(d, id_col="doc_id", text_col="text").persist()
-    cand = None
-    candc = None
-    for bands, _rows in _SWEEP_SETTINGS:
-        c = lsh_candidate_pairs(
-            sig, id_col="doc_id", bands=bands, with_est=False
-        ).select(F.lit(bands).alias("bands"), "id_a", "id_b")
-        cand = c if cand is None else cand.unionByName(c)
-        cc = lsh_candidate_pairs(
-            sig, id_col="doc_id", bands=bands, max_bucket=_SWEEP_CAP,
-            with_est=False,
-        ).select(F.lit(bands).alias("bands"), "id_a", "id_b")
-        candc = cc if candc is None else candc.unionByName(cc)
+    # one row per doc per (setting, band): same band_hash derivation
+    # as operators.dedup._banded, all settings in one explode
+    band_structs = []
+    for bands, rows_ in _SWEEP_SETTINGS:
+        for b in range(bands):
+            members = [
+                F.col(f"h{b * rows_ + r}").cast("string")
+                for r in range(rows_)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(b).alias("band_id"),
+                    md5_hash60(F.concat_ws(",", *members)).alias(
+                        "band_hash"
+                    ),
+                )
+            )
+    banded = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.bands", "band.band_id", "band.band_hash")
+
+    def _pairs(bnd) -> DataFrame:
+        a, b = bnd.alias("a"), bnd.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.bands") == F.col("b.bands"))
+                & (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.bands").alias("bands"),
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .dropDuplicates(["bands", "id_a", "id_b"])
+        )
+
+    cand = _pairs(banded)
+    candc = _pairs(_sweep_cap_buckets(banded, _SWEEP_CAP))
     from spotify_podcasts_airflow_batch_spark.operators.dedup import (
         _shingle_pair_counts,
     )
