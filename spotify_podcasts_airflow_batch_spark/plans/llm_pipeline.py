@@ -1020,40 +1020,22 @@ def kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing, so the guard below raises before either can (ADVICE r5).
     Monotonicity (sse_u[i+1] <= sse_u[i]) is asserted in
     tests/test_pq.py's sibling, tests/test_kmeans_audit.py."""
+    # persist: the quantized corpus feeds 4 sequential actions (seed
+    # collect + one aggregate per Lloyd step) — without it each action
+    # re-scans and re-quantizes (round 10; cleared by the caller's
+    # clearCache between bench passes)
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: F.round(x * 1e6, 0).cast("long"),
         ).alias("xu"),
-    )
+    ).persist()
     init = e.orderBy("vec_id").limit(_KMEANS_K).collect()
     if not init:
         return spark.createDataFrame([], "iter int, sse_u bigint")
     init.sort(key=lambda r: r.vec_id)
     cents_u = [[int(v) for v in r.xu] for r in init]
-    # Overflow guard: Σd2u over the corpus is bounded by
-    # n · D · (2·max|xu|)² — checked in arbitrary-precision Python so
-    # the wrap regime fails loudly on BOTH engines instead of Spark
-    # alone wrapping (centroids stay inside the sample's coordinate
-    # hull under Lloyd, so 2·max|xu| bounds every per-dim difference).
-    bounds = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(
-            F.aggregate(
-                "xu",
-                F.lit(0).cast("long"),
-                lambda acc, v: F.greatest(acc, F.abs(v)),
-            )
-        ).alias("mx"),
-    ).collect()[0]
-    if int(bounds.n) * _EMBED_DIMS * (2 * int(bounds.mx)) ** 2 >= 2**63:
-        raise ValueError(
-            "kmeans_audit: worst-case integer SSE "
-            f"(n={bounds.n}, max|xu|={bounds.mx}, D={_EMBED_DIMS}) "
-            "exceeds int64 — quantize coarser than 1e6 or report "
-            "per-partition partial SSEs at this corpus size"
-        )
     d2u = F.aggregate(
         F.zip_with("xu", "cu", lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
@@ -1082,15 +1064,53 @@ def kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if i < _KMEANS_ITERS:
-            # one pass yields BOTH the SSE scalar and the update rows
+            # one pass yields the SSE scalar, the update rows AND (at
+            # i=0, round 10 — was its own full corpus pass) the
+            # overflow-guard bounds: per-cluster count and max|xu|
+            # roll up to the global n and max exactly (assigned is
+            # one row per vec_id)
+            guard_aggs = (
+                [
+                    F.max(
+                        F.aggregate(
+                            "xu",
+                            F.lit(0).cast("long"),
+                            lambda acc, v: F.greatest(acc, F.abs(v)),
+                        )
+                    ).alias("mxabs")
+                ]
+                if i == 0
+                else []
+            )
             per_cluster = assigned.groupBy("cluster").agg(
                 F.sum("d2u").alias("sse_part"),
                 F.count(F.lit(1)).alias("n"),
+                *guard_aggs,
                 *[
                     F.expr(f"sum(xu[{j}]) div count(1)").alias(f"c{j}")
                     for j in range(_EMBED_DIMS)
                 ],
             ).collect()
+            if i == 0:
+                # Overflow guard: Σd2u over the corpus is bounded by
+                # n · D · (2·max|xu|)² — checked in arbitrary-precision
+                # Python so the wrap regime fails loudly on BOTH
+                # engines instead of Spark alone wrapping (centroids
+                # stay inside the sample's coordinate hull under
+                # Lloyd, so 2·max|xu| bounds every per-dim
+                # difference). The raise happens before any result
+                # row is produced, same as the pre-round-10
+                # dedicated-pass form.
+                n_tot = sum(int(r.n) for r in per_cluster)
+                mx = max(int(r.mxabs) for r in per_cluster)
+                if n_tot * _EMBED_DIMS * (2 * mx) ** 2 >= 2**63:
+                    raise ValueError(
+                        "kmeans_audit: worst-case integer SSE "
+                        f"(n={n_tot}, max|xu|={mx}, D={_EMBED_DIMS}) "
+                        "exceeds int64 — quantize coarser than 1e6 or "
+                        "report per-partition partial SSEs at this "
+                        "corpus size"
+                    )
             out.append((i, sum(int(r.sse_part) for r in per_cluster)))
             got = {
                 r.cluster: [int(r[f"c{j}"]) for j in range(_EMBED_DIMS)]

@@ -729,6 +729,12 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select(
         "doc_id", "source", F.explode(bigrams).alias("bg")
     )
+    # persist: the (doc, bucket) rollup feeds BOTH distribution
+    # vectors and the raw-pool scoring pass — three consumers whose
+    # downstream exchanges differ, so physical/AQE stage reuse cannot
+    # dedup them and each would re-run the bigram explode + md5 over
+    # the corpus (round 10, guide §2.4: the before-plan re-scanned
+    # documents 12 times / 26 Exchanges for ONE logical rollup)
     feats = (
         bg.select(
             "doc_id",
@@ -737,20 +743,23 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     is_t = F.col("source") == _DSIR_TARGET
-    ct = (
-        feats.where(is_t).groupBy("bucket").agg(F.sum("c").alias("nt"))
+    # ONE bucket rollup for both distributions (was two separate
+    # filtered groupBys): conditional sums give NULL for a side with
+    # no rows in the bucket — exactly the pre-round-10 full_outer
+    # join's NULL, so the add-1 smoothing sees identical inputs
+    bcounts = feats.groupBy("bucket").agg(
+        F.sum(F.when(is_t, F.col("c"))).alias("nt"),
+        F.sum(F.when(~is_t, F.col("c"))).alias("nr"),
     )
-    cr = (
-        feats.where(~is_t).groupBy("bucket").agg(F.sum("c").alias("nr"))
-    )
-    tots = ct.join(cr, "bucket", "full_outer").agg(
+    tots = bcounts.agg(
         F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"),
         F.coalesce(F.sum("nr"), F.lit(0)).alias("tr"),
     )
     lam = (
-        ct.join(cr, "bucket", "full_outer")
+        bcounts
         .crossJoin(F.broadcast(tots))
         .select(
             "bucket",

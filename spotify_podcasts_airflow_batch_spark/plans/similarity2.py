@@ -2935,13 +2935,18 @@ def _rpq_serve(
         .where(F.col("vec_id") % _IVFPQ_MOD == 0)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
+    # persist: the probe assignment feeds BOTH the ADC-table build
+    # and the probe-cell join below — without it each consumer
+    # re-runs the scan + Arrow kernel round-trip (the before-plan's
+    # duplicated MapInPandas nodes); the relation is probe-sized
+    # (|queries|·nprobe rows), never corpus-sized (round 10)
     probe_rq = ivf_assign_arrow(
         e_q,
         cells_u,
         id_col="query_id",
         top=_IVFPQ_NPROBE,
         emit="cell+ru",
-    )
+    ).persist()
     adc = F.broadcast(
         probe_rq.crossJoin(rcb_row).select(
             "query_id",
