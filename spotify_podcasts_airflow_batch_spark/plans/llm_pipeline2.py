@@ -1598,16 +1598,30 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = md5_hash31(
         F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
     )
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long")
-        .alias("n_tokens"),
-        h.alias("h"),
-        (h % _MIX_BUCKETS).alias("bucket"),
+    # persist: the tokenize+hash projection (the only text-heavy pass)
+    # feeds three consumers whose lineages end in DIFFERENT exchanges
+    # (the (source, bucket) rollup behind tot/offsets, and the main
+    # bucketed window), so without it the full-text scan + split +
+    # md5 run three times — measured 3 parquet scans of
+    # documents.text in the before-plan.
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+            h.alias("h"),
+            (h % _MIX_BUCKETS).alias("bucket"),
+        )
+        .persist()
     )
-    tot = d.groupBy("source").agg(F.sum("n_tokens").alias("t"))
+    # ONE tiny per-(source, bucket) rollup serves both the per-source
+    # totals (sum over buckets == sum over docs: exact long addition)
+    # and the bucket starting offsets.
+    pb = d.groupBy("source", "bucket").agg(F.sum("n_tokens").alias("w"))
+    tot = pb.groupBy("source").agg(F.sum("w").alias("t"))
     sc = tot.select(
         "source",
         "t",
@@ -1628,14 +1642,9 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        d.groupBy("source", "bucket")
-        .agg(F.sum("n_tokens").alias("w"))
-        .withColumn(
-            "start", F.coalesce(F.sum("w").over(wb), F.lit(0))
-        )
-        .select("source", "bucket", "start")
-    )
+    offsets = pb.withColumn(
+        "start", F.coalesce(F.sum("w").over(wb), F.lit(0))
+    ).select("source", "bucket", "start")
     wi = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
     return (
         d.join(F.broadcast(offsets), ["source", "bucket"])
