@@ -2908,7 +2908,10 @@ def _rpq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame | None:
 
 
 def _rpq_serve(
-    spark: SparkSession, sf_dir: str, encoded: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    encoded: DataFrame,
+    static_prune: bool = False,
 ) -> DataFrame:
     """The D29 serving tail over any index relation (inline-encoded or
     materialized): probe-cell ranking over the query residuals'
@@ -2961,6 +2964,26 @@ def _rpq_serve(
         )
     )
     probe_sel = probe_rq.select("query_id", "cell_id")
+    if static_prune:
+        # Served-store path: restrict the cell-partitioned index scan
+        # to the probed cells with a STATIC partition filter. The
+        # round-10 persist of probe_rq hides its selective probe
+        # filter inside the InMemoryRelation, which stops Catalyst
+        # injecting the dynamicpruning subquery the pre-persist plan
+        # carried — so the cell restriction is collected explicitly
+        # instead (bounded: distinct probed cells ≤ n_cells ≈ √n,
+        # the same size class as the collected codebooks) and pushed
+        # as a planning-time IN-list. Strictly stronger than DPP:
+        # unprobed cell partitions are skipped before execution, no
+        # runtime subquery. Value-identical for the inner join on
+        # cell_id: rows of unprobed cells never match probe_sel.
+        probed = sorted(
+            r.cell_id
+            for r in probe_rq.select("cell_id").distinct().collect()
+        )
+        encoded = encoded.where(
+            F.col("cell_id").isin(probed) if probed else F.lit(False)
+        )
     scored = (
         F.broadcast(probe_sel)
         .join(encoded, "cell_id")
@@ -3055,7 +3078,7 @@ def ivfpq_residual_ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id bigint, rank int, vec_id bigint, adc_dist double"
         )
     encoded = spark.read.parquet(rpq_index_path(spark, sf_dir))
-    return _rpq_serve(spark, sf_dir, encoded)
+    return _rpq_serve(spark, sf_dir, encoded, static_prune=True)
 
 
 @register(

@@ -5,6 +5,8 @@ sort-merge."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
@@ -505,6 +507,16 @@ def test_cell_partitioned_index_prunes_dynamically(spark, sf_dir):
     for name in ("ivfpq_ann_served", "ivfpq_residual_ann_served"):
         plan = plan_of(spark, sf_dir, name)
         assert "dynamicpruning" in plan.lower(), name
+    # D29c additionally pushes the probed cells as a STATIC planning-
+    # time partition filter (round 10: the probe-relation persist hid
+    # its selective filter inside the InMemoryRelation, so the cell
+    # restriction is collected — bounded by n_cells — and inlined;
+    # unprobed cell partitions are skipped before execution).
+    plan = plan_of(spark, sf_dir, "ivfpq_residual_ann_served")
+    assert re.search(r"PartitionFilters:.*cell_id#\d+ INSET", plan), (
+        "static probed-cell partition filter missing from the "
+        "residual serve scan"
+    )
 
 
 def test_dtw_cap_compiles_to_window_group_limit(spark, sf_dir):
