@@ -238,6 +238,12 @@ def main() -> None:
             base = json.load(fh)
         if base.get("sf") == sf_num and base.get("total_sec"):
             out["baseline_total"] = base["total_sec"]
+            # Floor-file provenance: the per-query floors were re-frozen
+            # from round-10 quiet windows (see BENCH_BASELINE.md), so
+            # vs_baseline ratios from round 10 on are measured against
+            # tighter floors than earlier rounds' — the stamp rides
+            # every bench line so the ratios are self-describing.
+            out["baseline_refrozen_round"] = base.get("refrozen_round")
             # Like-for-like: the headline list has grown since the
             # round-1 floor was frozen (round-2 and round-4 additions
             # have no floor entry), so the ratio must compare only the
@@ -255,15 +261,35 @@ def main() -> None:
                 k: round(v / base["queries"][k], 2) for k, v in common.items()
             }
     print(json.dumps(out))
+    # The driver records only a ~2000-char stdout TAIL of this process,
+    # which truncates the full per-query line at the FRONT (r10 verdict:
+    # PERF_r10.json ended with per_query {} / n_common 0). Persist the
+    # identical JSON object to BENCH_LAST.json in the repo root so the
+    # per-query map survives the round regardless of stdout truncation
+    # (additions-only: the stdout contract above is unchanged).
+    try:
+        last_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        )
+        with open(last_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     # The driver records only a ~2000-char stdout TAIL; the grown
     # per-query map overflows that, truncating the totals at the FRONT
     # of the line (BENCH_r07 "parsed": null). Print a compact summary
     # as the LAST line so truncation can never eat the headline
-    # numbers: total, vs_baseline, and the 5 worst per-floor ratios.
+    # numbers: total, vs_baseline, the 5 worst per-floor ratios, the
+    # worst/best 5 raw per-query SECONDS (so the tail alone carries
+    # per-query data even when the full line is cut), and the floor
+    # file's provenance stamp (floors were re-frozen in round 10; the
+    # stamp makes cross-round vs_baseline ratios self-describing).
     ratios = out.get("queries_vs_baseline", {})
     worst = dict(
         sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
     )
+    by_sec = sorted(times.items(), key=lambda kv: -kv[1])
     summary = {
         "metric": out["metric"],
         "value": total,
@@ -271,7 +297,10 @@ def main() -> None:
         "sf": sf_num,
         "n_queries": len(times),
         "vs_baseline": out.get("vs_baseline"),
+        "baseline_refrozen_round": out.get("baseline_refrozen_round"),
         "worst5_vs_baseline": worst,
+        "worst5_sec": dict(by_sec[:5]),
+        "best5_sec": dict(by_sec[-5:]),
     }
     print(json.dumps(summary))
     spark.stop()

@@ -2977,6 +2977,16 @@ def _rpq_serve(
         # unprobed cell partitions are skipped before execution, no
         # runtime subquery. Value-identical for the inner join on
         # cell_id: rows of unprobed cells never match probe_sel.
+        # CALLER NOTE (advice r10): static_prune=True makes plan
+        # CONSTRUCTION eager — this collect runs Spark jobs and
+        # leaves probe_rq materialized in the CacheManager until the
+        # next clearCache, so explain-only callers pay execution.
+        # The bench clears cache per pass, so the collect is always
+        # inside the timed window (no cross-pass reuse). The INSET
+        # stays consistent with the executed probe_sel because
+        # ivf_assign_arrow is deterministic (ties broken on exact
+        # integer distance then cell_id) — pinned by
+        # tests/test_plan_shape.py::test_static_inset_matches_executed_probe_cells.
         probed = sorted(
             r.cell_id
             for r in probe_rq.select("cell_id").distinct().collect()

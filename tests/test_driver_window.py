@@ -29,6 +29,8 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import (
     all_queries,
 )
 
+pytestmark = pytest.mark.fast  # driver-entry tier (pytest.ini)
+
 # family representatives in the CURRENT head: key -> family letter
 # (see SURVEY §2)
 _FAMILY_OF = {

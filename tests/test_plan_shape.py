@@ -13,6 +13,8 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
 
 QUERIES = all_queries()
 
+pytestmark = pytest.mark.fast  # driver-entry tier (pytest.ini)
+
 
 @pytest.fixture(autouse=True)
 def _fresh_plans(spark):
@@ -517,6 +519,49 @@ def test_cell_partitioned_index_prunes_dynamically(spark, sf_dir):
         "static probed-cell partition filter missing from the "
         "residual serve scan"
     )
+
+
+def test_static_inset_matches_executed_probe_cells(spark, sf_dir):
+    """Advice r10: the D29c static INSET is collected from the probe
+    relation at PLAN-BUILD time, while the join's probe_sel side is
+    re-executed — the two are only value-identical because
+    ivf_assign_arrow is deterministic. Pin that: the INSET cell list
+    in the executed plan must equal the cell set an independent,
+    uncached probe assignment produces, so the static filter and the
+    join input cannot silently diverge (a divergence would drop
+    newly-probed cells from the index scan)."""
+    from pyspark.sql import functions as F
+
+    from spotify_podcasts_airflow_batch_spark.plans.similarity2 import (
+        _IVFPQ_MOD,
+        _IVFPQ_NPROBE,
+        ivf_assign_arrow,
+        ivf_train_cells_cached,
+    )
+    from spotify_podcasts_airflow_batch_spark.sources.readers import table
+
+    plan = plan_of(spark, sf_dir, "ivfpq_residual_ann_served")
+    m = re.search(
+        r"PartitionFilters: \[cell_id#\d+ INSET ([0-9, ]+)[\],]", plan
+    )
+    assert m, "INSET literal list not found in the serve plan"
+    inset_cells = {int(c) for c in m.group(1).split(",")}
+
+    # independent recompute, no cache in the lineage (fresh kernel run)
+    spark.catalog.clearCache()
+    e_q = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % _IVFPQ_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cells_u = ivf_train_cells_cached(spark, sf_dir)
+    probe = ivf_assign_arrow(
+        e_q, cells_u, id_col="query_id", top=_IVFPQ_NPROBE, emit="cell+ru"
+    )
+    executed_cells = {
+        r.cell_id for r in probe.select("cell_id").distinct().collect()
+    }
+    assert inset_cells == executed_cells
 
 
 def test_dtw_cap_compiles_to_window_group_limit(spark, sf_dir):

@@ -31,6 +31,8 @@ from spotify_podcasts_airflow_batch_spark.plans.registry import all_queries
 
 QUERIES = all_queries()
 
+pytestmark = pytest.mark.fast  # driver-entry tier (pytest.ini)
+
 _UNHASHABLE = (list, tuple, dict, set, np.ndarray)
 
 

@@ -1,12 +1,14 @@
-"""Capture .explain("formatted") for headline queries into plans/r10/.
+"""Capture .explain("formatted") for headline queries into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r11).
 
 Usage:
     python tools/capture_plans.py before [query ...]
     python tools/capture_plans.py after  [query ...]
 
 With no query names, captures every bench.HEADLINE query. Output:
-plans/r10/<query>_<tag>.txt. Re-running overwrites — capture "before"
-once at the pre-optimization commit, "after" as queries are touched.
+plans/<round>/<query>_<tag>.txt. Re-running overwrites — capture
+"before" once at the pre-optimization commit, "after" as queries are
+touched.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
