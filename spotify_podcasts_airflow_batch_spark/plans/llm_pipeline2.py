@@ -65,8 +65,15 @@ def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped_top_q,
     )
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "n_chars"
+    # persist: capped_top_q makes three passes over its input (the
+    # over-quota group count, the anti join, the semi join) whose
+    # lineages end in different exchanges — without it the documents
+    # scan runs 4× (2 wide + 2 group-cols-only scans in the round-11
+    # before-plan). The cached projection is 4 scalar columns.
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "n_chars")
+        .persist()
     )
     return capped_top_q(
         d,
@@ -371,8 +378,15 @@ def quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact — the full-array collect is gone."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    # persist: the narrow projection feeds three consumers whose
+    # lineages end in different exchanges (the corpus-count broadcast,
+    # the distinct-value histogram, and the per-source window), so
+    # without it the documents scan runs 3× (round-11 before-plan).
+    # The cached rows are 3 scalar columns.
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .persist()
     )
     nrow = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
     cnt = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
@@ -1599,11 +1613,13 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
     )
     # persist: the tokenize+hash projection (the only text-heavy pass)
-    # feeds three consumers whose lineages end in DIFFERENT exchanges
+    # feeds consumers whose lineages end in DIFFERENT exchanges
     # (the (source, bucket) rollup behind tot/offsets, and the main
-    # bucketed window), so without it the full-text scan + split +
-    # md5 run three times — measured 3 parquet scans of
-    # documents.text in the before-plan.
+    # bucketed window; the per-source-totals subtree additionally ran
+    # TWICE under the budget aggregates), so without it the full-text
+    # scan + split + md5 run repeatedly — measured 4 parquet scans of
+    # documents.text in the round-10 before-plan
+    # (plans/r10/token_budget_mix_before.txt).
     d = (
         table(spark, sf_dir, "documents")
         .select(

@@ -258,44 +258,78 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-ordering at the cutoff."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    # doc lengths feed BOTH the per-doc join and the (N, avgdl)
-    # scalars; the scalar branch re-derives from the scan (the token
-    # explode re-runs as parallel in-scan CPU, no extra shuffle) —
-    # measured 0.20 s cheaper cold at sf0.1 than a persist barrier
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    st = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        toks.where(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("nd"))
-    j = (
-        tf.join(F.broadcast(dfc), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
-    )
-    per_term = (
-        idf
-        * (F.col("f") * (_BM25_K1 + 1.0))
-        / (
-            F.col("f")
-            + _BM25_K1
-            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    scored = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_matched"),
+    # ONE per-doc profile carries everything downstream needs: the doc
+    # length AND the per-query-term frequencies ride the same map-side-
+    # combined groupBy(doc_id), so the corpus text is scanned and
+    # tokenized ONCE (round 11; the prior shape re-derived the explode
+    # for dl, st, tf and dfc — 4 full-text parquet scans in the
+    # before-plan, plans/r11/bm25_search_before.txt). The query-term
+    # count is a fixed small constant, so the profile stays narrow
+    # (doc_id + 1 + |terms| longs) — nowhere near the 80+-expression
+    # codegen cliff the round-10 wide-agg A/Bs hit.
+    # persist: the profile feeds two consumers whose lineages end in
+    # DIFFERENT exchanges (the scalar-stats BROADCAST exchange and the
+    # scored projection's pipeline), so without it the text scan +
+    # explode re-run once per consumer (the after-plan still showed 2
+    # parquet scans pre-persist) — the token_budget_mix regime, narrow
+    # scalar rows only.
+    prof = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
         *[
-            F.max(F.when(F.col("tok") == t, per_term)).alias(f"s_{i}")
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"f_{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
+    ).persist()
+    # (N, avgdl) and the per-term document frequencies collapse into
+    # one scalar aggregate over the profile — same long-exact sums and
+    # the same long/long double division as the prior dl/tf branches.
+    stats = F.broadcast(
+        prof.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"f_{i}") > 0).cast("long")).alias(f"nd_{i}")
+                for i in range(len(_BM25_TERMS))
+            ],
+        ).select(
+            "n_docs",
+            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+            *[f"nd_{i}" for i in range(len(_BM25_TERMS))],
+        )
+    )
+
+    def per_term(i: int):
+        # identical expression tree per term as the prior per-(doc,
+        # term)-row form: f→f_i, nd→nd_i, dl/avgdl/n_docs unchanged
+        f, nd = F.col(f"f_{i}"), F.col(f"nd_{i}")
+        idf = F.log(
+            (F.col("n_docs") - nd + 0.5) / (nd + 0.5) + 1.0
+        )
+        return (
+            idf
+            * (f * (_BM25_K1 + 1.0))
+            / (
+                f
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    matched = None
+    for i in range(len(_BM25_TERMS)):
+        m = (F.col(f"f_{i}") > 0).cast("long")
+        matched = m if matched is None else matched + m
+    scored = (
+        prof.crossJoin(stats)
+        .where(matched > 0)
+        .select(
+            "doc_id",
+            matched.alias("n_matched"),
+            *[
+                F.when(F.col(f"f_{i}") > 0, per_term(i)).alias(f"s_{i}")
+                for i in range(len(_BM25_TERMS))
+            ],
+        )
     )
     total = None
     for i in range(len(_BM25_TERMS)):
@@ -358,7 +392,15 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim(F.col("text"))) > 0
     )
     k = 8
-    d = d.select("doc_id", tokens(F.col("text")).alias("w"))
+    # persist: the tokenized corpus feeds THREE consumers whose
+    # lineages end in different exchanges (the span-df rollup, the
+    # covered-position expansion, and the final cleaned-text join), so
+    # without it the full-text scan + trim + split re-run three times
+    # (3 documents.text parquet scans in the round-11 before-plan).
+    # The cached rows are (doc_id, array<string>) — corpus-sized but
+    # no wider than the text itself; MEMORY_AND_DISK (the persist
+    # default) spills rather than evicting recompute work at scale.
+    d = d.select("doc_id", tokens(F.col("text")).alias("w")).persist()
     n = F.size("w")
     sp = d.select(
         "doc_id",
