@@ -78,23 +78,23 @@ class Query:
 # documented exemption that lets a rows-only key with an old clean
 # row re-enter the head (tests/test_driver_window.py).
 _CHANGED_SINCE_DRIVER_ROW = (
-    # round-10 plan changes after the r9 rows: the size-gated
-    # tombstone broadcast + hot-cell-splitting compaction touch the
-    # D39/D40/D41 serve plans and B68's memo key; the PQ/OPQ trainer
-    # corpus<k seeding fix (len()-bounded centroid lists — behavior-
-    # identical at every driver SF, where the corpus is 500 vectors)
-    # touches the shared trainers, re-proven through one serving
-    # representative per trainer variant (plain PQ, IVF-PQ trained
-    # cb_row, residual cb_row, OPQ trainer x2)
-    "ivfpq_incremental_served",
-    "ann_staleness_recall",
-    "ivfpq_compacted_served",
-    "bucketed_colocated_join",
-    "pq_adc_ann_served",
-    "ivfpq_ann_served",
-    "ivfpq_residual_ann_served",
-    "opq_ann",
-    "opq_recall",
+    # round-10 optimizations whose driver window rotated past them
+    # (VERDICT r10 "what's wrong" #5): restructured/persisted plans
+    # proven by the local driver-strict suite, now closed with a
+    # driver row
+    "dsir_resample",
+    "kmeans_audit",
+    "lsh_param_sweep",
+    "ivf_nprobe_recall",
+    "ivfpq_residual_ann",
+    # round-11 redundant-scan eliminations (VERDICT r10 follow-up #3):
+    # bm25 one-pass per-doc profile (also inside hybrid_rrf_fusion) and
+    # the persisted narrow projections
+    "bm25_search",
+    "hybrid_rrf_fusion",
+    "dup_span_removal",
+    "domain_quota_cap",
+    "quantile_normalize_grid",
 )
 
 _DRIVER_HEAD = (
@@ -103,51 +103,48 @@ _DRIVER_HEAD = (
     "salted_join",  # sentinel
     # -- changed after their last driver row (see above)
     *_CHANGED_SINCE_DRIVER_ROW,
-    # -- round-10 additions (ANN lifecycle completion + promotions)
-    "ivfpq_retrained_served",
-    "ivfpq_retrained_recall",
-    "ivfpq_streamed_served",
-    "stream_latest_state",
-    "token_budget_mix",
-    "stream_daily_table",
-    "stream_closed_sessions",
-    "stream_enriched_events",
-    # -- freshness rotation (VERDICT r9 follow-up #3): the oldest 34
-    #    of the 61 keys whose most recent driver row is r1-r3 (sorted
-    #    by last-row round, then registry order, with media_features
-    #    swapped in for the F-family representative; the stale keys that
-    #    no longer fit — 31 with the round's late additions — rotate
-    #    next round)
-    "recursive_bom_depth",
-    "k_anonymity_audit",
-    "weighted_median_price",
-    "approx_distinct_audit",
-    "global_row_number",
-    "stats_summary",
-    "heavy_hitters_contain",
-    "fuzzy_name_match",
-    "join_size_estimate",
-    "revenue_gini",
-    "supplier_hhi",
-    "pareto_8020",
-    "approx_quantiles_audit",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_suppliers",
-    "chart_rank",
-    "chart_transform",
-    "enrich_left_join",
-    "join_mismatch_audit",
-    "union_consolidate",
-    "daily_snapshot",
-    "region_pivot",
-    "latest_per_key",
-    "scd2_intervals",
-    "snapshot_diff",
-    "dq_expectations",
-    "doc_fingerprint",
-    "media_features",
+    # -- freshness rotation (VERDICT r10 follow-up #2): the A-family
+    #    representative whose last row is r9, then the 36 stalest
+    #    oracle-bearing keys (31 last verified in r3 — the set the
+    #    round-10 rotation deferred — plus 5 of the r4 wave), sorted
+    #    by last-driver-row round then registry order
+    "chart_rank_move",
+    "scd2_lookup",
+    "episode_enrich",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_signatures",
+    "minhash_accuracy",
+    "simhash",
+    "simhash_near_dup",
+    "dedup_keep_best",
+    "bpe_token_count",
+    "train_split",
+    "quality_filter",
+    "contamination_check",
+    "tfidf_cosine_pairs",
+    "sequence_pack",
+    "pii_scrub",
+    "token_entropy",
+    "incremental_dedup",
+    "embed_near_dup",
+    "knn_brute",
+    "label_centroids",
+    "dedup_clusters",
+    "embed_dim_stats",
+    "nation_pagerank",
+    "semdedup_keep",
+    "tumbling_window",
+    "retention_cohorts",
+    "click_attribution",
+    "funnel_steps",
+    "session_window_agg",
+    "media_decode",
+    "corr_matrix",
+    "join_skew_report",
+    "fk_integrity_audit",
+    "pk_uniqueness_audit",
+    "basket_pair_lift",
 )
 
 

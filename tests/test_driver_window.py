@@ -34,12 +34,12 @@ pytestmark = pytest.mark.fast  # driver-entry tier (pytest.ini)
 # family representatives in the CURRENT head: key -> family letter
 # (see SURVEY §2)
 _FAMILY_OF = {
-    "chart_rank": "A",
+    "chart_rank_move": "A",
     "q1_pricing_summary": "B",
-    "doc_fingerprint": "C",
-    "ivfpq_retrained_served": "D",
-    "stream_latest_state": "E",
-    "media_features": "F",
+    "exact_dedup": "C",
+    "knn_brute": "D",
+    "tumbling_window": "E",
+    "media_decode": "F",
 }
 
 
