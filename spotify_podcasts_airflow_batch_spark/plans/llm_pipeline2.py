@@ -1299,10 +1299,15 @@ def fold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fold"),
         F.size(tokens(F.col("text"))).alias("n_tokens"),
     )
+    # persist: the k-row fold rollup feeds two consumers whose
+    # lineages end in different exchanges (the 1-row broadcast totals
+    # and the final projection) — without it the corpus scan +
+    # tokenize run twice (2 text scans in the round-11 before-plan)
+    # to rebuild a FIVE-row relation. Cache cost: k rows.
     per_fold = d.groupBy("fold").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-    )
+    ).persist()
     tot = per_fold.agg(
         F.sum("n_tokens").alias("tok_total"),
         F.max("n_tokens").alias("tok_max"),

@@ -927,11 +927,18 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
         .select("id_a", "id_b")
     )
-    # truth is consumed three times (nt, per, perc) but needs NO
-    # persist: all three consumers sit in ONE action, and the truth
-    # subtree ends in identical exchanges that ReusedExchangeExec
-    # dedups at the physical level — measured A/B at sf0.1 showed the
-    # persist barrier a wash-to-loss (8.07 s vs 7.35 s min-of-5)
+    # truth is consumed three times (nt, per, perc) with NO persist:
+    # the static plan prints the shingle self-join per consumer (6 of
+    # the 7 documents scans in plans/r11/lsh_param_sweep_before.txt),
+    # but runtime stage reuse dedups the identical exchanges — a
+    # persist here was re-A/B'd under the round-10 fused shape in
+    # round 11 (interleaved, 5 windows × 3 passes) and LOST in 4 of 5
+    # windows (old per-window minima 4.8-5.9 s vs new 6.1-9.8 s): the
+    # barrier serializes three consumers the scheduler otherwise
+    # overlaps, the same independent-stage-overlap loss as the r10
+    # opq_recall fusion. Matches the round-9 pre-fusion A/B verdict
+    # (8.07 s vs 7.35 s). Do not re-try without new evidence that the
+    # exchange reuse stopped firing.
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     truth_t = truth.withColumn("__t", F.lit(1))
     per = (
