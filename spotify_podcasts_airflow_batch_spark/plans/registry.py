@@ -95,6 +95,7 @@ _CHANGED_SINCE_DRIVER_ROW = (
     "dup_span_removal",
     "domain_quota_cap",
     "quantile_normalize_grid",
+    "fold_balance_audit",
 )
 
 _DRIVER_HEAD = (
@@ -144,7 +145,6 @@ _DRIVER_HEAD = (
     "join_skew_report",
     "fk_integrity_audit",
     "pk_uniqueness_audit",
-    "basket_pair_lift",
 )
 
 
