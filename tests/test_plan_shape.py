@@ -335,14 +335,36 @@ def test_open_orders_single_fact_pass(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
-def test_bm25_no_cache_barrier(spark, sf_dir):
-    """BM25's per-doc length rollup feeds both the score join and the
-    (N, avgdl) scalars. A persist barrier here measured 0.20 s SLOWER
-    cold at sf0.1 than letting Catalyst re-derive the scalar branch as
-    a pruned scan (the re-run token explode is parallel in-scan CPU
-    with no extra shuffle), so the plan must stay cache-free."""
+def test_bm25_single_text_scan(spark, sf_dir):
+    """Round 11: BM25 computes ONE per-doc profile (length + per-term
+    frequencies) in a single map-side-combined aggregate and persists
+    it for its two cross-exchange consumers — the corpus text must be
+    scanned exactly once (the prior shape re-derived the token explode
+    for dl/st/tf/dfc: 4 full-text scans,
+    plans/r11/bm25_search_before.txt). The pre-round-11 no-persist
+    rationale (a 0.20 s rejection of caching the dl rollup) applied to
+    the old multi-branch shape and is superseded by the interleaved
+    A/B in OPTIMIZATION_r11.md (-8% plus 3 fewer corpus reads)."""
     plan = plan_of(spark, sf_dir, "bm25_search")
-    assert "InMemoryTableScan" not in plan
+    assert "InMemoryTableScan" in plan
+    # exactly one parquet scan reads the corpus text: the FORMATTED
+    # plan details each scan node once with its ReadSchema (the tree
+    # string re-prints the cached child per InMemoryTableScan
+    # reference, so it cannot be counted)
+    df = QUERIES["bm25_search"].spark_fn(spark, sf_dir)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    text_scans = [
+        ln
+        for ln in formatted.splitlines()
+        if "ReadSchema" in ln and "text:string" in ln
+    ]
+    assert len(text_scans) == 1, text_scans
+    # the posting-list joins are gone: scores project off the profile
+    assert "SortMergeJoin" not in plan
 
 
 def test_jl_projection_is_pure_map(spark, sf_dir):
