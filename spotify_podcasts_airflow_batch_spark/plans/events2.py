@@ -1840,22 +1840,29 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         universal_family,
     )
 
-    rows_c = table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("grp"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("long")
-        .alias("c"),
-        # ONE md5 per row; replicate uniforms derive arithmetically
-        # from it via the universal family (the minhash discipline) —
-        # B md5s per row measured 23.7 s at sf0.1, this plan 1.96 s
-        md5_hash31(
-            F.concat(
-                F.lit("boot:"),
-                F.col("l_orderkey").cast("string"),
-                F.lit(":"),
-                F.col("l_linenumber").cast("string"),
-            )
-        ).alias("h31"),
+    rows_c = (
+        table(spark, sf_dir, "lineitem")
+        # the oracle's inner joins on grp drop a NULL group; filtering
+        # here keeps the single-pipeline form value-identical (and
+        # matches the IsNotNull the joins pushed into the old plan)
+        .where(F.col("l_returnflag").isNotNull())
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("c"),
+            # ONE md5 per row; replicate uniforms derive arithmetically
+            # from it via the universal family (the minhash discipline) —
+            # B md5s per row measured 23.7 s at sf0.1, this plan 1.96 s
+            md5_hash31(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ).alias("h31"),
+        )
     )
     fam = universal_family(_BOOT_B)
     a_arr = F.array(*[F.lit(a) for a, _ in fam])
@@ -1870,6 +1877,18 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(len(_BOOT_CDF))
     for k in range(len(_BOOT_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    # ONE pipeline (round 11; guide §2.4 "remove shuffles outright" /
+    # §1.2 "how many full passes are unavoidable": one). The old shape
+    # ran the scan→explode→aggregate subtree THREE times — the lo and
+    # hi rank filters each rebuilt it for their broadcast join side,
+    # and the point mean re-scanned lineitem (3 parquet scans in
+    # plans/r11/bootstrap_ci_before.txt). Since the explode emits every
+    # raw row exactly once per replicate b, the per-(grp, b) aggregate
+    # can carry the UNWEIGHTED sum(c) and count too — identical long
+    # sums for every b — so the point mean needs no second scan, and
+    # the 2nd-smallest/2nd-largest replicate means collapse into one
+    # conditional rollup after the rank window instead of two
+    # join-back branches: 1 scan, 2 exchanges, no broadcasts.
     reps = (
         rows_c.select(
             "grp", "c", "h31",
@@ -1880,10 +1899,18 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("__w") * F.col("c")).alias("num"),
             F.sum("__w").alias("den"),
+            # unweighted group sums ride the same aggregate: the
+            # explode repeats each raw row once per b, so per (grp, b)
+            # these equal the raw per-grp sums — exact long addition,
+            # any b slice (the final max() picks the common value)
+            F.sum("c").alias("sc"),
+            F.count(F.lit(1)).alias("nc"),
         )
         .select(
             "grp",
             "b",
+            "sc",
+            "nc",
             F.when(F.col("den") == 0, F.lit(0).cast("long"))
             .otherwise(F.expr("num div den"))
             .alias("mean_c"),
@@ -1891,18 +1918,20 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rk = Window.partitionBy("grp").orderBy("mean_c", "b")
     ranked = reps.withColumn("rk", F.row_number().over(rk))
-    lo = ranked.where(F.col("rk") == _BOOT_LO_RANK).select(
-        "grp", F.col("mean_c").alias("ci_lo_c")
-    )
-    hi = ranked.where(
-        F.col("rk") == _BOOT_B + 1 - _BOOT_LO_RANK
-    ).select("grp", F.col("mean_c").alias("ci_hi_c"))
-    point = rows_c.groupBy("grp").agg(
-        F.expr("sum(c) div count(1)").alias("point_mean_c")
-    )
     return (
-        point.join(F.broadcast(lo), "grp")
-        .join(F.broadcast(hi), "grp")
+        ranked.groupBy("grp")
+        .agg(
+            F.expr("max(sc) div max(nc)").alias("point_mean_c"),
+            F.max(
+                F.when(F.col("rk") == _BOOT_LO_RANK, F.col("mean_c"))
+            ).alias("ci_lo_c"),
+            F.max(
+                F.when(
+                    F.col("rk") == _BOOT_B + 1 - _BOOT_LO_RANK,
+                    F.col("mean_c"),
+                )
+            ).alias("ci_hi_c"),
+        )
         .select(
             F.col("grp").alias("l_returnflag"),
             F.col("point_mean_c").cast("long"),

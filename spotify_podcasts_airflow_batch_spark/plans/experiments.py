@@ -596,32 +596,6 @@ def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h31"),
         )
     )
-    obs = rows_u.agg(
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-        .cast("long")
-        .alias("n_a"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("n_b"),
-        # the CASE guards mirror DuckDB's NULL on `// 0` when one arm
-        # has no rows (single-event-type slice) — ANSI `div` raises
-        (
-            F.expr(
-                "CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1"
-                " ELSE 0 END) = 0 THEN NULL ELSE "
-                "sum(CASE WHEN event_type = 'view' THEN vu ELSE 0 END) div "
-                "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) END"
-            )
-            - F.expr(
-                "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1"
-                " ELSE 0 END) = 0 THEN NULL ELSE "
-                "sum(CASE WHEN event_type = 'purchase' THEN vu ELSE 0 END)"
-                " div "
-                "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
-                " END"
-            )
-        ).alias("obs_diff_u"),
-    )
     fam = universal_family(_PERM_B)
     a_arr = F.array(*[F.lit(a) for a, _ in fam])
     b_arr = F.array(*[F.lit(bb) for _, bb in fam])
@@ -632,8 +606,18 @@ def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % F.lit(MERSENNE_31)
     ) % 2
-    reps = (
+    # ONE events pass for observed stats AND replicates (round 11;
+    # guide §1.2/§2.4, the bootstrap_ci/bh_fdr_screen discipline): the
+    # explode emits each raw row exactly once per replicate b, so the
+    # per-b aggregate carries the per-arm sums too — identical exact
+    # long sums for every b; obs reads them from the b = 0 slice. The
+    # old shape ran the events scan for obs, again (exploded ×B) for
+    # reps, and a third time when the final projection re-derived obs
+    # (3 parquet scans in plans/r11/permutation_test_before.txt).
+    # per_b is B rows — persist, three consumers.
+    per_b = (
         rows_u.select(
+            "event_type",
             "vu",
             "h31",
             F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
@@ -647,17 +631,52 @@ def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("__bit") == 1, F.col("vu")).otherwise(0))
             .alias("s1"),
             F.sum(F.when(F.col("__bit") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("na"),
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("vu")).otherwise(0)
+            ).alias("sa"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("nb"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("vu")
+                ).otherwise(0)
+            ).alias("sb"),
         )
-        .select(
-            (
-                F.when(F.col("n0") == 0, F.lit(0).cast("long")).otherwise(
-                    F.expr("s0 div n0")
-                )
-                - F.when(F.col("n1") == 0, F.lit(0).cast("long")).otherwise(
-                    F.expr("s1 div n1")
-                )
-            ).alias("diff_u")
-        )
+        .persist()
+    )
+    # a GLOBAL aggregate over the b = 0 slice (not a filter) so the
+    # empty-events case still yields obs's one all-NULL row, exactly
+    # like the old global rows_u aggregate and the oracle's obs CTE
+    obs = per_b.agg(
+        F.max(F.when(F.col("b") == 0, F.col("na"))).alias("na"),
+        F.max(F.when(F.col("b") == 0, F.col("sa"))).alias("sa"),
+        F.max(F.when(F.col("b") == 0, F.col("nb"))).alias("nb"),
+        F.max(F.when(F.col("b") == 0, F.col("sb"))).alias("sb"),
+    ).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        # the NULL guards mirror DuckDB's NULL on `// 0` when one arm
+        # has no rows (single-event-type slice) — ANSI `div` raises
+        (
+            F.when(F.col("na") == 0, F.lit(None).cast("long")).otherwise(
+                F.expr("sa div na")
+            )
+            - F.when(F.col("nb") == 0, F.lit(None).cast("long")).otherwise(
+                F.expr("sb div nb")
+            )
+        ).alias("obs_diff_u"),
+    )
+    reps = per_b.select(
+        (
+            F.when(F.col("n0") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("s0 div n0")
+            )
+            - F.when(F.col("n1") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("s1 div n1")
+            )
+        ).alias("diff_u")
     )
     ext = reps.crossJoin(F.broadcast(obs.select("obs_diff_u"))).agg(
         F.sum(
@@ -938,21 +957,6 @@ def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h31"),
     )
-    obs = (
-        rows_u.groupBy("event_type")
-        .agg(
-            F.sum("early").cast("long").alias("n_early"),
-            F.sum(1 - F.col("early")).cast("long").alias("n_late"),
-            (
-                F.expr("sum(CASE WHEN early = 1 THEN vu END) div sum(early)")
-                - F.expr(
-                    "sum(CASE WHEN early = 0 THEN vu END)"
-                    " div sum(1 - early)"
-                )
-            ).alias("obs_diff_u"),
-        )
-        .where((F.col("n_early") > 0) & (F.col("n_late") > 0))
-    )
     fam = universal_family(_PERM_B)
     a_arr = F.array(*[F.lit(a) for a, _ in fam])
     b_arr = F.array(*[F.lit(bb) for _, bb in fam])
@@ -963,12 +967,27 @@ def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % F.lit(MERSENNE_31)
     ) % 2
-    reps = (
-        rows_u.join(F.broadcast(obs.select("event_type")), "event_type")
-        .select(
+    # ONE events pass for observed stats AND replicates (round 11;
+    # guide §1.2 "how many full passes are unavoidable" / §2.4). The
+    # old shape aggregated rows_u once for obs and again (exploded
+    # ×B) for reps, and the static plan re-ran every consumer's whole
+    # subtree — 16 events scans in plans/r11/bh_fdr_screen_before.txt.
+    # Since the explode emits each raw row exactly once per replicate
+    # b, the per-(type, b) aggregate carries the UNWEIGHTED early/late
+    # sums too (identical exact long sums for every b — obs reads them
+    # from any one slice, b = 0). The empty-half screen moves from a
+    # pre-explode semi-join to a post-aggregate filter: replicate rows
+    # of screened-out types are built then dropped, value-identical
+    # because obs's HAVING and the join keys are unchanged. per_tb
+    # (m·B rows) and ranked (m rows) persist because their consumers'
+    # lineages end in different exchanges — both are segment-count-
+    # sized, never fact-sized.
+    per_tb = (
+        rows_u.select(
             "event_type",
             "vu",
             "h31",
+            "early",
             F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
         )
         .withColumn("__bit", bit)
@@ -980,18 +999,35 @@ def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("__bit") == 1, F.col("vu")).otherwise(0))
             .alias("s1"),
             F.sum(F.when(F.col("__bit") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("early") == 1, F.col("vu"))).alias("se"),
+            F.sum("early").alias("ne"),
+            F.sum(F.when(F.col("early") == 0, F.col("vu"))).alias("sl"),
+            F.sum(1 - F.col("early")).alias("nl"),
         )
+        .persist()
+    )
+    obs = (
+        per_tb.where(F.col("b") == 0)
         .select(
             "event_type",
-            (
-                F.when(F.col("n0") == 0, F.lit(0).cast("long")).otherwise(
-                    F.expr("s0 div n0")
-                )
-                - F.when(F.col("n1") == 0, F.lit(0).cast("long")).otherwise(
-                    F.expr("s1 div n1")
-                )
-            ).alias("diff_u"),
+            F.col("ne").cast("long").alias("n_early"),
+            F.col("nl").cast("long").alias("n_late"),
+            (F.expr("se div ne") - F.expr("sl div nl")).alias(
+                "obs_diff_u"
+            ),
         )
+        .where((F.col("n_early") > 0) & (F.col("n_late") > 0))
+    )
+    reps = per_tb.select(
+        "event_type",
+        (
+            F.when(F.col("n0") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("s0 div n0")
+            )
+            - F.when(F.col("n1") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("s1 div n1")
+            )
+        ).alias("diff_u"),
     )
     ext = (
         reps.join(F.broadcast(obs.select("event_type", "obs_diff_u")),
@@ -1009,7 +1045,7 @@ def bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = ext.withColumn(
         "i", F.row_number().over(Window.orderBy("c", "event_type"))
-    )
+    ).persist()
     m_cnt = obs.agg(F.count(F.lit(1)).alias("m"))
     kstar = (
         ranked.crossJoin(F.broadcast(m_cnt))
